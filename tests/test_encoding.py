@@ -1,0 +1,87 @@
+"""Encoding + oracle semantics vs the reference's documented contract.
+
+The worked examples come from the reference README.md:307-330; the
+predicate semantics from src/utils.c:255-295.
+"""
+
+import numpy as np
+
+from uvaia_tpu.core import encoding as enc
+from uvaia_tpu.core.oracle import (pair_counters, pair_counters_acgt,
+                                   pair_hamming_indelcheck, partial_weight)
+
+
+def test_basic_codes():
+    codes = enc.encode("ACGTN-RYMKU")
+    assert list(codes[:4]) == [1, 2, 4, 8]
+    assert codes[4] == 0 and codes[5] == 0        # N and gap invalid
+    assert codes[6] == 5 and codes[7] == 10       # R=A|G, Y=C|T
+    assert codes[8] == 3 and codes[9] == 12       # M=A|C, K=G|T
+    assert codes[10] == 8                         # U -> T
+
+
+def test_lowercase_and_indel_set():
+    assert np.array_equal(enc.encode("acgt"), enc.encode("ACGT"))
+    for ch in "NnXx-?Oo.":
+        assert enc.encode(ch)[0] == 0
+
+
+def test_counts():
+    codes = enc.encode("ACGT-NMRV")
+    assert enc.count_valid(codes) == 7
+    assert enc.count_acgt(codes) == 4
+
+
+def test_readme_worked_example():
+    """README.md:307-316: three sequences, all pairwise counters."""
+    s1 = enc.encode("AACGTTA--")
+    s2 = enc.encode("AACG-TAM-")
+    s3 = enc.encode("MNCGTTMC-")
+
+    assert enc.count_valid(s1) == 7
+    assert enc.count_valid(s2) == 7
+    assert enc.count_valid(s3) == 7
+
+    a, t, p, v = pair_counters(s1, s2)
+    assert (a, p, v) == (6, 6, 6)
+    a, t, p, v = pair_counters(s1, s3)
+    assert (a, p, v) == (4, 6, 6)
+    assert t == 4   # M vs A is not a text match
+    a, t, p, v = pair_counters(s2, s3)
+    assert (a, p, v) == (3, 6, 6)
+
+
+def test_readme_K_incompatibility():
+    """README.md:328-330: K={G,T} mismatches A and M={A,C}."""
+    k = enc.encode("K")[0]
+    a = enc.encode("A")[0]
+    m = enc.encode("M")[0]
+    assert (k & a) == 0 and (k & m) == 0          # partial mismatch
+    assert (m & a) != 0                           # M-A partial match
+
+
+def test_text_match_of_equal_ambiguity_codes():
+    a, t, p, v = pair_counters(enc.encode("MMM"), enc.encode("MAC"))
+    assert v == 3 and p == 3        # all intersect
+    assert t == 1                   # only M-M text-matches
+    assert a == 0                   # no pure-base match
+
+
+def test_acgt_mode_counters():
+    mm, valid = pair_counters_acgt(enc.encode("ACGTMN-"), enc.encode("AGGTAC-"))
+    # pairs: AA CG GG TT MA NC -- ; both-acgt: AA CG GG TT (M,N,- excluded)
+    assert valid == 4
+    assert mm == 1                  # C vs G
+
+
+def test_hamming_indelcheck():
+    d = pair_hamming_indelcheck(enc.encode("ACGT-N"), enc.encode("AGGTAC"))
+    assert d == 1                   # C/G only; gaps and N skipped
+
+
+def test_partial_weight():
+    t = enc.encode("T")[0]
+    w = enc.encode("W")[0]
+    assert partial_weight(t, w) == 0.5            # utils.c:73 comment
+    assert partial_weight(t, t) == 1.0
+    assert partial_weight(0, t) == 0.0

@@ -1,0 +1,78 @@
+"""Streaming FASTA reader/writer over possibly-compressed files.
+
+Behavioural contract copied from the reference's incremental reader
+(``readfasta_next``, src/fastaseq.c:410-486): multi-line sequences are
+accumulated, spaces stripped, characters uppercased; the header name is
+the full rest of the ``>`` line.  Unlike the C version this reader is a
+generator; batching lives in the engine layer.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Iterator
+
+from .compress import open_read, open_write
+
+# Uppercase ASCII a-z; other bytes unchanged. Spaces/tabs deleted.
+_UPPER = bytes(c - 32 if 97 <= c <= 122 else c for c in range(256))
+_DELETE = b" \t\r"
+
+
+@dataclass
+class FastaRecord:
+    name: str
+    seq: bytes  # uppercased, space-free
+
+
+def read_fasta(path: str | Path) -> Iterator[FastaRecord]:
+    """Yield (name, uppercased sequence bytes) records."""
+    name: str | None = None
+    chunks: list[bytes] = []
+    with open_read(path) as fh:
+        for raw in fh:
+            line = raw.rstrip(b"\r\n")
+            if not line:
+                continue
+            gt = line.find(b">")
+            if gt >= 0:
+                if name is not None:
+                    yield FastaRecord(name, b"".join(chunks))
+                name = line[gt + 1:].decode("utf-8", errors="replace")
+                chunks = []
+            elif name is not None:
+                chunks.append(line.translate(_UPPER, _DELETE))
+    if name is not None:
+        yield FastaRecord(name, b"".join(chunks))
+
+
+def read_fasta_all(path: str | Path) -> list[FastaRecord]:
+    return list(read_fasta(path))
+
+
+class FastaWriter:
+    """Append-style FASTA writer to a (possibly xz-compressed) stream.
+
+    Mirrors ``save_sequence_to_compress_stream`` (nearest.c:416-426).
+    """
+
+    def __init__(self, path: str | Path, preset: int = 6):
+        self.path = str(path)
+        self._fh = open_write(path, preset=preset)
+        self.n_written = 0
+
+    def write(self, name: str, seq: bytes | str) -> None:
+        if isinstance(seq, str):
+            seq = seq.encode("ascii")
+        self._fh.write(b">" + name.encode("utf-8") + b"\n" + seq + b"\n")
+        self.n_written += 1
+
+    def close(self) -> None:
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
