@@ -1,0 +1,97 @@
+"""End-to-end nearest search: files in, .aln.xz/.csv.xz out, vs oracle."""
+
+import lzma
+import os
+
+import numpy as np
+import pytest
+
+from uvaia_tpu.core.encoding import encode
+from uvaia_tpu.core import oracle
+from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+from uvaia_tpu.engine.query import build_query_pack
+from uvaia_tpu.io.fasta import read_fasta_all
+
+ALPHABET = "ACGTACGTACGTACGTN-RYMKSWBDHV"
+
+
+def write_fasta(path, names, seqs):
+    comp = lzma.open(path, "wt") if str(path).endswith(".xz") else \
+        open(path, "w")
+    with comp as f:
+        for n, s in zip(names, seqs):
+            f.write(f">{n}\n{s}\n")
+
+
+def random_seqs(rng, n, L, mut=0.03):
+    backbone = np.array([ALPHABET[i] for i in rng.integers(0, 4, L)])
+    out = []
+    for _ in range(n):
+        s = backbone.copy()
+        m = rng.random(L) < mut
+        s[m] = [ALPHABET[i]
+                for i in rng.integers(0, len(ALPHABET), int(m.sum()))]
+        out.append("".join(s))
+    return out
+
+
+@pytest.mark.parametrize("acgt", [False, True])
+def test_run_nearest_end_to_end(tmp_path, acgt, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(3)
+    L, nq, nr, k = 500, 4, 37, 5
+    qnames = [f"q{i}" for i in range(nq)]
+    rnames = [f"r{i}" for i in range(nr)]
+    write_fasta("q.fa.xz", qnames, random_seqs(rng, nq, L))
+    write_fasta("db.fa", rnames, random_seqs(rng, nr, L))
+
+    cfg = NearestConfig(nbest=k, acgt=acgt, pool=16)  # 3 batches, last padded
+    res = run_nearest(["db.fa"], "q.fa.xz", cfg)
+
+    # oracle on the same preprocessed pack
+    pack = build_query_pack("q.fa.xz", acgt=acgt)
+    db = read_fasta_all("db.fa")
+    ref_codes = np.stack([encode(r.seq) for r in db])
+    ref_valid = (ref_codes != 0).sum(axis=1)
+    ora_scores, ora_topk = oracle.nearest_oracle(
+        ref_codes, ref_valid, pack.codes, pack.consensus,
+        pack.idx_c, pack.idx_mq, k=k, acgt=acgt)
+
+    np.testing.assert_array_equal(res.indices, ora_topk)
+    for qi in range(nq):
+        np.testing.assert_array_equal(
+            res.scores[qi], ora_scores[ora_topk[qi], qi, :])
+
+    # csv exists, has header + nq*k rows, ranks ascending per query
+    prefix = "nn_uvaia_acgt" if acgt else "nn_uvaia"
+    with lzma.open(prefix + ".csv.xz", "rt") as f:
+        lines = f.read().strip().split("\n")
+    assert len(lines) == 1 + nq * k
+    assert lines[0].startswith("query,reference,rank,ACGT_matches")
+    for qi in range(nq):
+        ranks = [int(l.split(",")[2]) for l in
+                 lines[1 + qi * k: 1 + (qi + 1) * k]]
+        assert ranks == list(range(1, k + 1))
+
+    # every reference named in the csv must be in the dumped alignment
+    dumped = {r.name for r in read_fasta_all(prefix + ".aln.xz")}
+    csv_refs = {l.split(",")[1] for l in lines[1:]}
+    assert csv_refs <= dumped
+
+
+def test_exclude_self_and_reject(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(5)
+    L = 300
+    seqs = random_seqs(rng, 6, L)
+    write_fasta("q.fa", ["q0", "shared"], seqs[:2])
+    # db: one shares a query name, one is all-N (rejected), rest valid
+    write_fasta("db.fa", ["shared", "junk", "a", "b"],
+                [seqs[2], "N" * L, seqs[3], seqs[4]])
+    cfg = NearestConfig(nbest=3, pool=8, exclude_self=True, output="out")
+    res = run_nearest(["db.fa"], "q.fa", cfg)
+    assert res.same_name == 1
+    assert res.n_invalid == 1
+    kept = set(res.names.values())
+    assert "shared" not in kept and "junk" not in kept
+    assert os.path.exists("out.csv.xz") and os.path.exists("out.aln.xz")

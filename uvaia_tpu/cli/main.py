@@ -1,0 +1,181 @@
+"""uvaia-tpu command line interface.
+
+One multiplexed entry point with subcommands matching the reference's
+five binaries (SURVEY.md §2.2):
+
+  nearest  — uvaia        (exact top-k neighbour search)
+  align    — uvaialign    (reference-based affine alignment)
+  ball     — uvaiaball    (radius search)
+  cluster  — uvaiaclust   (canopy clustering / dedup)
+  legacy   — uvaia_legacy (in-memory searcher)
+
+Flags mirror the reference CLIs (nearest.c:53-91, align.c:42-70,
+ball.c:42-79, cluster.c:40-72, uvaia.c:9-50); thread flags are accepted
+for compatibility but the device does the parallel work here.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _add_nearest(sub):
+    p = sub.add_parser(
+        "nearest", help="for every query sequence, find closest "
+        "neighbours in a (huge, streamed) aligned reference database")
+    p.add_argument("--acgt", action="store_true",
+                   help="consider only ACGT sites (unambiguous SNPs)")
+    p.add_argument("-k", "--keep_resolved", action="store_true",
+                   help="keep more resolved, exclude redundant queries")
+    p.add_argument("-x", "--exclude_self", action="store_true",
+                   help="exclude references with same name as a query")
+    p.add_argument("-n", "--nbest", type=int, default=100,
+                   help="number of best references per query (default 100)")
+    p.add_argument("--trim", type=int, default=0,
+                   help="sites to trim from both ends (sarscov2: 230)")
+    p.add_argument("-a", "--query_ambiguity", type=float, default=0.5)
+    p.add_argument("-A", "--ref_ambiguity", type=float, default=0.5)
+    p.add_argument("-p", "--pool", type=int, default=4096,
+                   help="references scored per device batch")
+    p.add_argument("-r", "--reference", action="append", required=True,
+                   help="aligned reference database (repeatable)")
+    p.add_argument("fasta", help="aligned query sequences")
+    p.add_argument("-t", "--nthreads", type=int, default=None,
+                   help="accepted for compatibility (device-parallel here)")
+    p.add_argument("-o", "--output", default=None,
+                   help="prefix of output alignment and csv")
+    p.add_argument("--devices", type=int, default=None,
+                   help="shard the scan over this many devices")
+    p.add_argument("--checkpoint", default=None,
+                   help="path for periodic scan checkpoints (resume-able)")
+    return p
+
+
+def _add_align(sub):
+    p = sub.add_parser("align",
+                       help="align query sequences against a reference")
+    p.add_argument("--stdout", action="store_true",
+                   help="print alignment to stdout instead of xz file")
+    p.add_argument("-a", "--ambiguity", type=float, default=0.5)
+    p.add_argument("-p", "--pool", type=int, default=512,
+                   help="query sequences aligned per device batch")
+    p.add_argument("--band", type=int, default=1024,
+                   help="DP band width (auto-widened on demand)")
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("fasta", nargs="+")
+    p.add_argument("-t", "--nthreads", type=int, default=None)
+    p.add_argument("-o", "--output", default=None)
+    return p
+
+
+def _add_ball(sub):
+    p = sub.add_parser("ball", help="keep references within a distance "
+                       "radius of any query sequence")
+    p.add_argument("-x", "--acgt", action="store_true")
+    p.add_argument("-k", "--keep_resolved", action="store_true")
+    p.add_argument("-d", "--distance", type=int, default=5)
+    p.add_argument("--trim", type=int, default=0)
+    p.add_argument("-a", "--query_ambiguity", type=float, default=0.5)
+    p.add_argument("-A", "--ref_ambiguity", type=float, default=0.5)
+    p.add_argument("-p", "--pool", type=int, default=4096)
+    p.add_argument("-r", "--reference", action="append", required=True)
+    p.add_argument("fasta")
+    p.add_argument("-o", "--output", default=None)
+    return p
+
+
+def _add_cluster(sub):
+    p = sub.add_parser("cluster", help="one-pass canopy clustering/dedup")
+    p.add_argument("-d", "--distance", type=int, default=1)
+    p.add_argument("--trim", type=int, default=0)
+    p.add_argument("-p", "--pool", type=int, default=16,
+                   help="number of independent clustering queues")
+    p.add_argument("-s", "--snps", type=int, default=1)
+    p.add_argument("-r", "--reference", default=None)
+    p.add_argument("fasta", nargs="+")
+    p.add_argument("-o", "--output", default=None)
+    return p
+
+
+def _add_legacy(sub):
+    p = sub.add_parser("legacy", help="in-memory searcher (pre-2022 "
+                       "uvaia behaviour)")
+    p.add_argument("-n", "--nbest", type=int, default=8)
+    p.add_argument("-m", "--nmax", type=int, default=16)
+    p.add_argument("--trim", type=int, default=0)
+    p.add_argument("-a", "--ambiguity", type=float, default=0.5)
+    p.add_argument("-r", "--reference", required=True)
+    p.add_argument("fasta")
+    p.add_argument("-o", "--output", default=None)
+    return p
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="uvaia-tpu",
+        description="TPU-native reference-based genome alignment & search")
+    ap.add_argument("-v", "--version", action="version",
+                    version=_version())
+    sub = ap.add_subparsers(dest="cmd", required=True)
+    _add_nearest(sub)
+    _add_align(sub)
+    _add_ball(sub)
+    _add_cluster(sub)
+    _add_legacy(sub)
+    return ap
+
+
+def _version() -> str:
+    from .. import __version__
+    return f"uvaia-tpu {__version__}"
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cmd == "nearest":
+        from ..engine.nearest import NearestConfig, run_nearest
+        cfg = NearestConfig(
+            nbest=args.nbest, trim=args.trim, acgt=args.acgt,
+            keep_resolved=args.keep_resolved,
+            exclude_self=args.exclude_self,
+            query_ambiguity=args.query_ambiguity,
+            ref_ambiguity=args.ref_ambiguity,
+            pool=args.pool, output=args.output)
+        run_nearest(args.reference, args.fasta, cfg)
+        return 0
+    if args.cmd == "align":
+        from ..engine.align import AlignConfig, run_align
+        cfg = AlignConfig(ambiguity=args.ambiguity, pool=args.pool,
+                          band=args.band, to_stdout=args.stdout,
+                          output=args.output)
+        run_align(args.reference, args.fasta, cfg)
+        return 0
+    if args.cmd == "ball":
+        from ..engine.ball import BallConfig, run_ball
+        cfg = BallConfig(distance=args.distance, trim=args.trim,
+                         acgt=args.acgt, keep_resolved=args.keep_resolved,
+                         query_ambiguity=args.query_ambiguity,
+                         ref_ambiguity=args.ref_ambiguity,
+                         pool=args.pool, output=args.output)
+        run_ball(args.reference, args.fasta, cfg)
+        return 0
+    if args.cmd == "cluster":
+        from ..engine.cluster import ClusterConfig, run_cluster
+        cfg = ClusterConfig(distance=args.distance, trim=args.trim,
+                            pool=args.pool, snps=args.snps,
+                            reference=args.reference, output=args.output)
+        run_cluster(args.fasta, cfg)
+        return 0
+    if args.cmd == "legacy":
+        from ..engine.legacy import LegacyConfig, run_legacy
+        cfg = LegacyConfig(nbest=args.nbest, nmax=args.nmax,
+                           trim=args.trim, ambiguity=args.ambiguity,
+                           output=args.output)
+        run_legacy(args.reference, args.fasta, cfg)
+        return 0
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,175 @@
+"""Streaming exact nearest-neighbour search (the `uvaia` flagship).
+
+Orchestration mirrors src/nearest.c:159-353 (read queries → QC → site
+indices → stream DB in batches → per-query top-k → append-dump close
+refs → ranked CSV), with the compute redesigned for TPU: every batch is
+scored densely on the MXU and merged into a device-resident top-k state
+(ops/scan.py); host IO overlaps device compute via a prefetch thread.
+
+Outputs (identical conventions to nearest.c:198-200, 343, 513-547):
+  <prefix>.aln.xz — every reference that at some point entered a
+                    best set (superset of the final neighbours)
+  <prefix>.csv.xz — ranked table: query,reference,rank + six scores
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.fasta import FastaWriter
+from ..io.compress import open_write
+from ..ops import scan
+from .query import QueryPack, build_query_pack, log
+from .stream import RefStreamer
+
+CSV_HEADER_FULL = ("query,reference,rank,ACGT_matches,text_matches,"
+                   "partial_matches,valid_pair_comparisons,"
+                   "ACGT_matches_unique,valid_ref_sites\n")
+CSV_HEADER_ACGT = ("query,reference,rank,ACGT_matches,"
+                   "valid_ACGT_comparisons,ACGT_matches_unique,"
+                   "valid_ref_sites,dist_consensus,dist_unique\n")
+
+
+@dataclass
+class NearestConfig:
+    nbest: int = 100
+    trim: int = 0
+    acgt: bool = False
+    keep_resolved: bool = False
+    exclude_self: bool = False
+    query_ambiguity: float = 0.5
+    ref_ambiguity: float = 0.5
+    pool: int = 4096                 # refs per device batch
+    output: str | None = None
+    print_interval: int = 10000
+
+    def clamp(self) -> "NearestConfig":
+        self.query_ambiguity = min(max(self.query_ambiguity, 0.001), 1.0)
+        self.ref_ambiguity = min(max(self.ref_ambiguity, 0.001), 1.0)
+        self.nbest = max(self.nbest, 1)
+        self.pool = max(self.pool, 8)
+        return self
+
+    @property
+    def prefix(self) -> str:
+        if self.output:
+            return self.output
+        return "nn_uvaia_acgt" if self.acgt else "nn_uvaia"
+
+
+@dataclass
+class NearestResult:
+    pack: QueryPack
+    scores: np.ndarray            # (Q, k, 6)
+    indices: np.ndarray           # (Q, k) global db index or sentinel
+    names: dict[int, str]         # db index -> reference name
+    n_scanned: int = 0
+    n_saved: int = 0
+    n_invalid: int = 0
+    same_name: int = 0
+
+    def rows(self):
+        """Yield CSV rows (query, ref, rank, s0..s5)."""
+        for qi, qname in enumerate(self.pack.names):
+            rank = 0
+            for slot in range(self.indices.shape[1]):
+                ri = int(self.indices[qi, slot])
+                if ri == int(scan.IDX_SENTINEL):
+                    break
+                rank += 1
+                yield (qname, self.names.get(ri, f"db_{ri}"), rank,
+                       *map(int, self.scores[qi, slot]))
+
+    def write_csv(self, path: str) -> None:
+        with open_write(path) as fh:
+            fh.write((CSV_HEADER_ACGT if self.pack.acgt
+                      else CSV_HEADER_FULL).encode())
+            for row in self.rows():
+                q, r, rank, *s = row
+                fh.write((f"{q},{r},{rank}," +
+                          ",".join(map(str, s)) + "\n").encode())
+
+
+def run_nearest(ref_paths: list[str], query_path: str,
+                cfg: NearestConfig) -> NearestResult:
+    cfg.clamp()
+    t0 = time.time()
+    pack = build_query_pack(query_path, trim=cfg.trim, acgt=cfg.acgt,
+                            ambiguity=cfg.query_ambiguity,
+                            keep_resolved=cfg.keep_resolved if
+                            cfg.keep_resolved else None)
+    log(f"Prepared {pack.n_query} query sequences in "
+        f"{time.time()-t0:.2f}s; scanning with top-k={cfg.nbest}, "
+        f"batch={cfg.pool}")
+    if cfg.acgt:
+        log("Considering ACGT differences only "
+            "(excluding all other characters).")
+    else:
+        log("Considering text match and partially ambiguous "
+            "(excluding only gaps and Ns).")
+
+    qd = scan.build_device_data(pack, k=cfg.nbest)
+    state = scan.init_state(pack.n_query, cfg.nbest)
+
+    exclude = set(pack.names) if cfg.exclude_self else None
+    streamer = RefStreamer(ref_paths, pack.n_sites, cfg.pool,
+                           ref_ambiguity=cfg.ref_ambiguity,
+                           exclude_names=exclude)
+
+    names: dict[int, str] = {}
+    writer = FastaWriter(cfg.prefix + ".aln.xz")
+    t1 = time.time()
+    last_print = 0
+    pending = None  # (flags_device, batch) for one-batch pipelining
+
+    def _drain(pending):
+        flags, batch = pending
+        flags = np.asarray(flags)[: batch.n]
+        for i in np.nonzero(flags)[0]:
+            names[batch.base_idx + int(i)] = batch.names[i]
+            writer.write(batch.names[i], batch.seqs[i])
+
+    for batch in streamer:
+        flags_d = None
+        state, flags_d = scan.scan_step(
+            qd, state, jnp.asarray(batch.codes), jnp.asarray(batch.ok),
+            np.int32(batch.base_idx))
+        if pending is not None:
+            _drain(pending)
+        pending = (flags_d, batch)
+        total = batch.base_idx + batch.n
+        if total - last_print >= cfg.print_interval:
+            last_print = total
+            rate = total / max(time.time() - t1, 1e-9)
+            log(f"Total: {streamer.stats.count} sequences analysed, "
+                f"{writer.n_written} saved, {streamer.stats.n_invalid} "
+                f"poorly resolved. {rate:,.0f} genomes/sec. "
+                f"{time.time()-t1:.1f}s elapsed.")
+    if pending is not None:
+        _drain(pending)
+    writer.close()
+
+    result = NearestResult(
+        pack=pack,
+        scores=np.asarray(state[0]),
+        indices=np.asarray(state[1]),
+        names=names,
+        n_scanned=streamer.stats.count,
+        n_saved=writer.n_written,
+        n_invalid=streamer.stats.n_invalid,
+        same_name=streamer.stats.same_name,
+    )
+    log(f"Total of {result.n_scanned} sequences read; {result.n_saved} "
+        f"saved (close or intermediate), {result.n_invalid} too ambiguous "
+        f"(excluded). {time.time()-t1:.2f}s scan time.")
+    if cfg.exclude_self:
+        log(f" {result.same_name} reference sequences already present in "
+            "query alignment (based on name only).")
+    result.write_csv(cfg.prefix + ".csv.xz")
+    log(f"Saved distance table to {cfg.prefix}.csv.xz ; "
+        f"{time.time()-t0:.2f}s total.")
+    return result
