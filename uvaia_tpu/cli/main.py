@@ -141,7 +141,8 @@ def main(argv=None) -> int:
             exclude_self=args.exclude_self,
             query_ambiguity=args.query_ambiguity,
             ref_ambiguity=args.ref_ambiguity,
-            pool=args.pool, output=args.output)
+            pool=args.pool, output=args.output,
+            n_devices=args.devices)
         run_nearest(args.reference, args.fasta, cfg)
         return 0
     if args.cmd == "align":

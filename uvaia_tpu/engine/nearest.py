@@ -46,6 +46,8 @@ class NearestConfig:
     pool: int = 4096                 # refs per device batch
     output: str | None = None
     print_interval: int = 10000
+    n_devices: int | None = None     # shard the scan over a 'db' mesh axis
+    site_shards: int = 1             # additionally shard the site axis
 
     def clamp(self) -> "NearestConfig":
         self.query_ambiguity = min(max(self.query_ambiguity, 0.001), 1.0)
@@ -112,7 +114,19 @@ def run_nearest(ref_paths: list[str], query_path: str,
         log("Considering text match and partially ambiguous "
             "(excluding only gaps and Ns).")
 
-    qd = scan.build_device_data(pack, k=cfg.nbest)
+    if cfg.n_devices and cfg.n_devices > 1:
+        from ..parallel.mesh import make_mesh, make_sharded_scan_step
+        n_db = cfg.n_devices // cfg.site_shards
+        cfg.pool = -(-cfg.pool // n_db) * n_db   # round up to divide evenly
+        qd = scan.build_device_data(pack, k=cfg.nbest,
+                                    site_shards=cfg.site_shards)
+        mesh = make_mesh(n_db, cfg.site_shards)
+        step_fn = make_sharded_scan_step(qd, mesh)
+        log(f"Sharded scan over mesh (db={n_db}, site={cfg.site_shards})")
+    else:
+        qd = scan.build_device_data(pack, k=cfg.nbest)
+        step_fn = lambda st, codes, ok, base: scan.scan_step(
+            qd, st, codes, ok, base)
     state = scan.init_state(pack.n_query, cfg.nbest)
 
     exclude = set(pack.names) if cfg.exclude_self else None
@@ -134,9 +148,8 @@ def run_nearest(ref_paths: list[str], query_path: str,
             writer.write(batch.names[i], batch.seqs[i])
 
     for batch in streamer:
-        flags_d = None
-        state, flags_d = scan.scan_step(
-            qd, state, jnp.asarray(batch.codes), jnp.asarray(batch.ok),
+        state, flags_d = step_fn(
+            state, jnp.asarray(batch.codes), jnp.asarray(batch.ok),
             np.int32(batch.base_idx))
         if pending is not None:
             _drain(pending)

@@ -19,6 +19,11 @@ The consensus stage (constant gap-free sites, idx_c) is a single
 elementwise pass per reference — exactly the reference's
 ``queue_distance_to_consensus`` factorisation (nearest.c:428-433).
 
+The site-summable part (`site_partials`) is separated from score
+assembly so a device mesh can shard the site/contraction axis and
+`psum` the partial counters (see parallel/mesh.py) — the context/
+sequence-parallel analogue for genomes larger than one chip's HBM.
+
 Ranking keys: the six int scores are packed into three int32 keys
 (s0<<15|s1, s2<<15|s3, s4<<15|s5) when the alignment length fits 15
 bits, else six separate keys; `lax.sort` with the database index as the
@@ -35,7 +40,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.encoding import IS_AMBIG, IS_PURE, POPCOUNT4
+from ..core.encoding import IS_AMBIG, POPCOUNT4
 from ..engine.query import QueryPack
 
 INT32_MIN = np.int32(-2**31)
@@ -65,36 +70,38 @@ class QueryDeviceData:
     cons_c: jnp.ndarray        # (Lc,) uint8 consensus codes at idx_c
     idx_mq: jnp.ndarray        # (S,) int32 (padded)
     q_sub: jnp.ndarray         # (Q, S) uint8 query codes at idx_mq
-    amb_pos: jnp.ndarray | None  # (A,) int32 positions within S
-    w_part: jnp.ndarray | None   # (Q, A, 16) int8 partial-match correction
-    w_text: jnp.ndarray | None   # (Q, A, 16) int8 text-match correction
+    amb_sites: jnp.ndarray | None  # (A,) int32 global site indices
+    w_part: jnp.ndarray | None     # (Q, A, 16) int8 partial-match corr
+    w_text: jnp.ndarray | None     # (Q, A, 16) int8 text-match corr
 
 
-def build_device_data(pack: QueryPack, k: int) -> QueryDeviceData:
+def build_device_data(pack: QueryPack, k: int,
+                      site_shards: int = 1) -> QueryDeviceData:
+    """Prepare static device arrays.  `site_shards` pads the site-indexed
+    arrays so they divide evenly over a 'site' mesh axis."""
+    mult = 128 * site_shards
     idx_mq = pack.idx_mq.astype(np.int32)
     q_sub = pack.codes[:, idx_mq]
-    idx_mq_p = _pad_to(idx_mq, 128)
-    q_sub_p = _pad_to(q_sub, 128, axis=1)
 
     idx_c = pack.idx_c.astype(np.int32)
     cons_c = pack.consensus[idx_c]
-    idx_c_p = _pad_to(idx_c, 128)
-    cons_c_p = _pad_to(cons_c, 128)
 
-    amb_pos = w_part = w_text = None
+    amb_sites = w_part = w_text = None
     if not pack.acgt:
-        amb_cols = np.nonzero((IS_AMBIG[q_sub_p] != 0).any(axis=0))[0]
+        amb_cols = np.nonzero((IS_AMBIG[q_sub] != 0).any(axis=0))[0]
         if len(amb_cols):
-            amb_cols = _pad_to(amb_cols.astype(np.int32), 8)
-            cq = q_sub_p[:, amb_cols]                      # (Q, A)
+            sites = _pad_to(idx_mq[amb_cols], 8)      # pad repeats site 0
+            # pad slots get weight 0 via code 0 rows below
+            cq = np.zeros((pack.n_query, len(sites)), dtype=np.uint8)
+            cq[:, :len(amb_cols)] = q_sub[:, amb_cols]
             codes16 = np.arange(16, dtype=np.uint8)
-            inter = cq[..., None] & codes16                # (Q, A, 16)
+            inter = cq[..., None] & codes16            # (Q, A, 16)
             cnt = POPCOUNT4[inter].astype(np.int8)
-            w_part = ((cnt > 0).astype(np.int8) - cnt)     # <= 0
+            w_part = ((cnt > 0).astype(np.int8) - cnt)  # <= 0
             eq_amb = ((cq[..., None] == codes16)
                       & (IS_AMBIG[cq][..., None] != 0))
             w_text = eq_amb.astype(np.int8)
-            amb_pos = amb_cols
+            amb_sites = sites
 
     return QueryDeviceData(
         acgt=pack.acgt,
@@ -102,11 +109,11 @@ def build_device_data(pack: QueryPack, k: int) -> QueryDeviceData:
         n_sites=pack.n_sites,
         k=k,
         pack_keys=pack.n_sites < 2**15,
-        idx_c=jnp.asarray(idx_c_p),
-        cons_c=jnp.asarray(cons_c_p),
-        idx_mq=jnp.asarray(idx_mq_p),
-        q_sub=jnp.asarray(q_sub_p),
-        amb_pos=None if amb_pos is None else jnp.asarray(amb_pos),
+        idx_c=jnp.asarray(_pad_to(idx_c, mult)),
+        cons_c=jnp.asarray(_pad_to(cons_c, mult)),
+        idx_mq=jnp.asarray(_pad_to(idx_mq, mult)),
+        q_sub=jnp.asarray(_pad_to(q_sub, mult, axis=1)),
+        amb_sites=None if amb_sites is None else jnp.asarray(amb_sites),
         w_part=None if w_part is None else jnp.asarray(w_part),
         w_text=None if w_text is None else jnp.asarray(w_text),
     )
@@ -137,65 +144,77 @@ def _imm(a, b):
 
 
 # ----------------------------------------------------------------------
-# scoring
+# scoring, split into (a) site-summable partials and (b) assembly
 
-def score_batch(qd: QueryDeviceData, ref_codes: jnp.ndarray) -> tuple:
-    """(B, Q, 6) int32 six-score tensor + per-ref valid-site counts."""
-    valid_sites = jnp.sum((ref_codes != 0).astype(jnp.int32), axis=1)
+def site_partials(acgt: bool, idx_c, cons_c, idx_mq, q_sub, ref_codes):
+    """Counter contributions that sum over sites.
 
-    rc = jnp.take(ref_codes, qd.idx_c, axis=1)        # (B, Lc)
-    cons = qd.cons_c[None, :]
-    rs = jnp.take(ref_codes, qd.idx_mq, axis=1)       # (B, S)
+    Returns (cons (B, 4) int32, mats (B, Q, 3) int32); in --acgt mode
+    only cons[:, :2] and mats[:, :, :2] are meaningful.  Under a 'site'
+    mesh axis these are the psum-reducible partials.
+    """
+    rc = jnp.take(ref_codes, idx_c, axis=1)           # (B, Lc)
+    cons = cons_c[None, :]
+    rs = jnp.take(ref_codes, idx_mq, axis=1)          # (B, S)
 
-    if qd.acgt:
-        # consensus stage: acgt mismatches / valid acgt pairs
+    if acgt:
         both = (_pure(rc) & _pure(cons)).astype(jnp.int32)
         mm_c = jnp.sum(both * (rc != cons), axis=1)
         va_c = jnp.sum(both, axis=1)
-
-        p_r = _pure(rs)                               # (B, S)
-        a_r = _bits(rs) * p_r[..., None]              # (B, S, 4)
-        p_q = _pure(qd.q_sub)
-        a_q = _bits(qd.q_sub) * p_q[..., None]
-        s_pp = _imm(p_r, p_q)                         # valid acgt pairs
-        s_aa = _imm(a_r, a_q)                         # acgt matches
-        mm_m = s_pp - s_aa
-        s0 = (va_c - mm_c)[:, None] + s_aa            # ACGT_matches
-        s1 = va_c[:, None] + s_pp                     # valid_ACGT_comparisons
-        s2 = s_aa                                     # ACGT_matches_unique
-        s3 = jnp.broadcast_to(valid_sites[:, None], s2.shape)
-        s4 = jnp.broadcast_to(mm_c[:, None], s2.shape)   # dist_consensus
-        s5 = mm_m                                     # dist_unique
-    else:
-        v_rc = (rc != 0) & (cons != 0)
-        eq_c = (rc == cons) & v_rc
-        pure_cons = _pure(cons) != 0
-        acgt_c = jnp.sum((eq_c & pure_cons).astype(jnp.int32), axis=1)
-        text_c = jnp.sum(eq_c.astype(jnp.int32), axis=1)
-        part_c = jnp.sum(((rc & cons) != 0).astype(jnp.int32), axis=1)
-        valid_c = jnp.sum(v_rc.astype(jnp.int32), axis=1)
+        cons4 = jnp.stack([mm_c, va_c, va_c * 0, va_c * 0], axis=-1)
 
         p_r = _pure(rs)
         a_r = _bits(rs) * p_r[..., None]
-        m_r = _bits(rs)
-        v_r = (rs != 0).astype(jnp.int8)
-        p_q = _pure(qd.q_sub)
-        a_q = _bits(qd.q_sub) * p_q[..., None]
-        m_q = _bits(qd.q_sub)
-        v_q = (qd.q_sub != 0).astype(jnp.int8)
-
+        p_q = _pure(q_sub)
+        a_q = _bits(q_sub) * p_q[..., None]
+        s_pp = _imm(p_r, p_q)
         s_aa = _imm(a_r, a_q)
-        s_mm = _imm(m_r, m_q)
-        s_vv = _imm(v_r, v_q)
+        mats = jnp.stack([s_pp, s_aa, s_aa * 0], axis=-1)
+        return cons4, mats
 
+    v_rc = (rc != 0) & (cons != 0)
+    eq_c = (rc == cons) & v_rc
+    pure_cons = _pure(cons) != 0
+    acgt_c = jnp.sum((eq_c & pure_cons).astype(jnp.int32), axis=1)
+    text_c = jnp.sum(eq_c.astype(jnp.int32), axis=1)
+    part_c = jnp.sum(((rc & cons) != 0).astype(jnp.int32), axis=1)
+    valid_c = jnp.sum(v_rc.astype(jnp.int32), axis=1)
+    cons4 = jnp.stack([acgt_c, text_c, part_c, valid_c], axis=-1)
+
+    a_r = _bits(rs) * _pure(rs)[..., None]
+    m_r = _bits(rs)
+    v_r = (rs != 0).astype(jnp.int8)
+    a_q = _bits(q_sub) * _pure(q_sub)[..., None]
+    m_q = _bits(q_sub)
+    v_q = (q_sub != 0).astype(jnp.int8)
+    mats = jnp.stack([_imm(a_r, a_q), _imm(m_r, m_q), _imm(v_r, v_q)],
+                     axis=-1)
+    return cons4, mats
+
+
+def assemble_scores(qd: QueryDeviceData, ref_codes, cons4, mats):
+    """Combine partials + rare-ambiguity corrections into (B, Q, 6)."""
+    valid_sites = jnp.sum((ref_codes != 0).astype(jnp.int32), axis=1)
+
+    if qd.acgt:
+        mm_c, va_c = cons4[:, 0], cons4[:, 1]
+        s_pp, s_aa = mats[..., 0], mats[..., 1]
+        s0 = (va_c - mm_c)[:, None] + s_aa
+        s1 = va_c[:, None] + s_pp
+        s2 = s_aa
+        s3 = jnp.broadcast_to(valid_sites[:, None], s_aa.shape)
+        s4 = jnp.broadcast_to(mm_c[:, None], s_aa.shape)
+        s5 = s_pp - s_aa
+    else:
+        acgt_c, text_c, part_c, valid_c = (cons4[:, i] for i in range(4))
+        s_aa, s_mm, s_vv = (mats[..., i] for i in range(3))
         corr_t = corr_p = 0
-        if qd.amb_pos is not None:
-            ra = jnp.take(rs, qd.amb_pos, axis=1)     # (B, A)
+        if qd.amb_sites is not None:
+            ra = jnp.take(ref_codes, qd.amb_sites, axis=1)   # (B, A)
             oh = (ra[..., None] == jnp.arange(16, dtype=ra.dtype)
-                  ).astype(jnp.int8)                  # (B, A, 16)
+                  ).astype(jnp.int8)
             corr_t = _imm(oh, qd.w_text)
             corr_p = _imm(oh, qd.w_part)
-
         s0 = acgt_c[:, None] + s_aa
         s1 = text_c[:, None] + s_aa + corr_t
         s2 = part_c[:, None] + s_mm + corr_p
@@ -203,8 +222,15 @@ def score_batch(qd: QueryDeviceData, ref_codes: jnp.ndarray) -> tuple:
         s4 = s_aa
         s5 = jnp.broadcast_to(valid_sites[:, None], s_aa.shape)
 
-    scores = jnp.stack([s0, s1, s2, s3, s4, s5], axis=-1)  # (B, Q, 6)
-    return scores, valid_sites
+    return jnp.stack([s0, s1, s2, s3, s4, s5], axis=-1)
+
+
+def score_batch(qd: QueryDeviceData, ref_codes: jnp.ndarray):
+    """(B, Q, 6) int32 six-score tensor + per-ref valid-site counts."""
+    cons4, mats = site_partials(qd.acgt, qd.idx_c, qd.cons_c,
+                                qd.idx_mq, qd.q_sub, ref_codes)
+    scores = assemble_scores(qd, ref_codes, cons4, mats)
+    return scores, scores[..., 5 if not qd.acgt else 3][:, 0]
 
 
 # ----------------------------------------------------------------------
@@ -239,6 +265,38 @@ def _lex_gt(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return out
 
 
+def select_topk(qd: QueryDeviceData, scores, idx, k):
+    """Exact lexicographic top-k along axis 1.
+
+    scores (Q, N, 6), idx (Q, N) -> (Q, k, 6), (Q, k); sentinel-idx rows
+    sort last; ties broken by ascending database index.
+    """
+    neg_keys = -_keys(qd, scores)
+    neg_keys = jnp.where(idx[..., None] == IDX_SENTINEL,
+                         jnp.int32(2**31 - 1), neg_keys)
+    nk = neg_keys.shape[-1]
+    operands = tuple(neg_keys[..., i] for i in range(nk)) + (idx,) + \
+        tuple(scores[..., i] for i in range(6))
+    sorted_ops = jax.lax.sort(operands, dimension=1, num_keys=nk + 1)
+    out_idx = sorted_ops[nk][:, :k]
+    out_scores = jnp.stack([o[:, :k] for o in sorted_ops[nk + 1:]], axis=-1)
+    return out_scores, out_idx
+
+
+def batch_flags_and_idx(qd, state, scores, ok, base_idx):
+    """is_best flags (would this ref enter any query's current top-k?)
+    and the per-row global database indices."""
+    st_scores, _ = state
+    cand_keys = _keys(qd, scores)                     # (B, Q, nk)
+    cand_keys = jnp.where(ok[:, None, None], cand_keys, INT32_MIN)
+    thr = _keys(qd, st_scores[:, qd.k - 1, :])        # (Q, nk)
+    is_best = jnp.any(_lex_gt(cand_keys, thr[None, :, :]), axis=1) & ok
+    B = scores.shape[0]
+    batch_idx = base_idx + jnp.arange(B, dtype=jnp.int32)
+    batch_idx = jnp.where(ok, batch_idx, IDX_SENTINEL)
+    return is_best, batch_idx
+
+
 def merge_topk(qd: QueryDeviceData, state, scores, ok, base_idx):
     """Merge a scored batch into the running per-query top-k.
 
@@ -249,33 +307,13 @@ def merge_topk(qd: QueryDeviceData, state, scores, ok, base_idx):
     Returns (new_state, is_best (B,) bool).
     """
     st_scores, st_idx = state
-    k = qd.k
-    B = scores.shape[0]
-
-    cand_keys = _keys(qd, scores)                     # (B, Q, nk)
-    cand_keys = jnp.where(ok[:, None, None], cand_keys, INT32_MIN)
-    thr = _keys(qd, st_scores[:, k - 1, :])           # (Q, nk)
-    is_best = jnp.any(_lex_gt(cand_keys, thr[None, :, :]), axis=1) & ok
-
-    batch_idx = base_idx + jnp.arange(B, dtype=jnp.int32)
-    batch_idx = jnp.where(ok, batch_idx, IDX_SENTINEL)
-
+    is_best, batch_idx = batch_flags_and_idx(qd, state, scores, ok, base_idx)
     all_scores = jnp.concatenate(
-        [st_scores, jnp.transpose(scores, (1, 0, 2))], axis=1)  # (Q, k+B, 6)
+        [st_scores, jnp.transpose(scores, (1, 0, 2))], axis=1)
     all_idx = jnp.concatenate(
-        [st_idx, jnp.broadcast_to(batch_idx[None, :], (qd.n_query, B))],
-        axis=1)
-    # negate for descending sort; sentinel rows forced to the very end
-    # (note: -INT32_MIN overflows, so mask AFTER negation)
-    neg_keys = -_keys(qd, all_scores)
-    neg_keys = jnp.where(all_idx[..., None] == IDX_SENTINEL,
-                         jnp.int32(2**31 - 1), neg_keys)
-    nk = neg_keys.shape[-1]
-    operands = tuple(neg_keys[..., i] for i in range(nk)) + (all_idx,) + \
-        tuple(all_scores[..., i] for i in range(6))
-    sorted_ops = jax.lax.sort(operands, dimension=1, num_keys=nk + 1)
-    new_idx = sorted_ops[nk][:, :k]
-    new_scores = jnp.stack([o[:, :k] for o in sorted_ops[nk + 1:]], axis=-1)
+        [st_idx, jnp.broadcast_to(batch_idx[None, :],
+                                  (qd.n_query, scores.shape[0]))], axis=1)
+    new_scores, new_idx = select_topk(qd, all_scores, all_idx, qd.k)
     return (new_scores, new_idx), is_best
 
 

@@ -1,0 +1,100 @@
+"""Multi-chip sharded database scan.
+
+The reference's only parallelism is single-host OpenMP (SURVEY.md §2.5).
+The TPU-native design shards two axes of the scan over a device mesh:
+
+* ``db``   — data parallelism over database rows: each device scores its
+  slice of the batch, selects a local per-query top-k, and the per-query
+  global state is rebuilt from an ``all_gather`` of the tiny
+  (k × queries) candidate sets over ICI.  Exactness: every global top-k
+  member is necessarily in its own shard's local top-k.
+* ``site`` — contraction/sequence parallelism over alignment columns
+  (the context-parallel analogue, SURVEY.md §5): the site-summable
+  counter partials from ops/scan.site_partials are ``psum``-reduced.
+
+Replicated: the top-k state, the query feature arrays on the db axis,
+and reference rows on the site axis (counters are reductions over
+sites, so the activation is replicated while the reduction is sharded —
+the standard "shard the contraction" layout).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..ops import scan
+
+
+def make_mesh(n_db: int, n_site: int = 1, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = n_db * n_site
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    dev = np.array(devices[:n]).reshape(n_db, n_site)
+    return Mesh(dev, ("db", "site"))
+
+
+def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
+    """Jitted (state, ref_codes, ok, base_idx) -> (state, is_best) over a
+    ('db','site') mesh.  Call with batch size divisible by mesh.shape['db']
+    and QueryDeviceData built with site_shards=mesh.shape['site']."""
+    n_db = mesh.shape["db"]
+    k = qd.k
+
+    def local_step(st_scores, st_idx, idx_c, cons_c, idx_mq, q_sub,
+                   ref_codes, ok, base_idx):
+        b_loc = ref_codes.shape[0]
+        cons4, mats = scan.site_partials(qd.acgt, idx_c, cons_c,
+                                         idx_mq, q_sub, ref_codes)
+        cons4, mats = jax.lax.psum((cons4, mats), "site")
+        scores = scan.assemble_scores(qd, ref_codes, cons4, mats)
+
+        me = jax.lax.axis_index("db")
+        local_base = base_idx + me * b_loc
+        state = (st_scores, st_idx)
+        is_best, batch_idx = scan.batch_flags_and_idx(
+            qd, state, scores, ok, local_base)
+
+        # local per-query top-k candidates (exact superset of the global)
+        k_loc = min(k, b_loc)
+        cand_scores, cand_idx = scan.select_topk(
+            qd, jnp.transpose(scores, (1, 0, 2)),
+            jnp.broadcast_to(batch_idx[None, :], (qd.n_query, b_loc)),
+            k_loc)
+
+        # tiny all_gather over ICI, then rebuild the replicated state
+        g_scores = jax.lax.all_gather(cand_scores, "db", axis=0)
+        g_idx = jax.lax.all_gather(cand_idx, "db", axis=0)
+        g_scores = jnp.transpose(g_scores, (1, 0, 2, 3)).reshape(
+            qd.n_query, n_db * k_loc, 6)
+        g_idx = jnp.transpose(g_idx, (1, 0, 2)).reshape(
+            qd.n_query, n_db * k_loc)
+        all_scores = jnp.concatenate([st_scores, g_scores], axis=1)
+        all_idx = jnp.concatenate([st_idx, g_idx], axis=1)
+        new_scores, new_idx = scan.select_topk(qd, all_scores, all_idx, k)
+        return new_scores, new_idx, is_best
+
+    mapped = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), P(),                     # state (replicated)
+                  P("site"), P("site"),         # idx_c, cons_c
+                  P("site"), P(None, "site"),   # idx_mq, q_sub
+                  P("db", None),                # ref rows over db
+                  P("db"), P()),                # ok, base_idx
+        out_specs=(P(), P(), P("db")),
+        check_vma=False,
+    )
+
+    @functools.partial(jax.jit, donate_argnums=0)
+    def step(state, ref_codes, ok, base_idx):
+        new_scores, new_idx, is_best = mapped(
+            state[0], state[1], qd.idx_c, qd.cons_c, qd.idx_mq, qd.q_sub,
+            ref_codes, ok, base_idx)
+        return (new_scores, new_idx), is_best
+
+    return step
