@@ -1,0 +1,67 @@
+"""End-to-end align engine: unaligned FASTA -> ref-projected alignment."""
+
+import lzma
+
+import numpy as np
+
+from uvaia_tpu.engine.align import AlignConfig, run_align
+from uvaia_tpu.io.fasta import read_fasta_all
+
+from test_gotoh import rand_dna
+
+
+def test_run_align_end_to_end(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(9)
+    n = 300
+    ref = rand_dna(rng, n)
+    with open("ref.fa", "w") as f:
+        f.write(f">wuhan\n{ref.decode()}\n")
+
+    # queries: identical; SNPs; deletion; insertion; too-short (rejected);
+    # too-ambiguous (rejected)
+    q_snp = bytearray(ref)
+    q_snp[10] = ord("A") if ref[10] != ord("A") else ord("C")
+    q_del = ref[:50] + ref[58:]
+    q_ins = ref[:100] + b"ACGTAC" + ref[100:]
+    qs = {
+        "ident": bytes(ref),
+        "snp": bytes(q_snp),
+        "del8": q_del,
+        "ins6": q_ins,
+        "short": ref[:100],
+        "ambig": b"N" * n,
+    }
+    with open("q.fa", "w") as f:
+        for k, v in qs.items():
+            f.write(f">{k}\n{v.decode()}\n")
+
+    cfg = AlignConfig(pool=4, output="al_out")
+    stats = run_align("ref.fa", ["q.fa"], cfg)
+    assert stats.count == 6
+    assert stats.n_output == 4
+    assert stats.rejected_length == 1
+    assert stats.rejected_ambiguity == 1
+
+    out = {r.name: r.seq for r in read_fasta_all("al_out.aln.xz")}
+    assert set(out) == {"ident", "snp", "del8", "ins6"}
+    for name, seq in out.items():
+        assert len(seq) == n
+    assert out["ident"] == ref
+    assert out["snp"] == bytes(q_snp)
+    assert out["del8"].count(b"-") == 8
+    # insertion dropped: projected equals ref exactly
+    assert out["ins6"] == ref
+
+
+def test_align_stdout(tmp_path, monkeypatch, capsys):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(2)
+    ref = rand_dna(rng, 200)
+    with open("ref.fa", "w") as f:
+        f.write(f">r\n{ref.decode()}\n")
+    with open("q.fa", "w") as f:
+        f.write(f">a\n{ref.decode()}\n")
+    run_align("ref.fa", ["q.fa"], AlignConfig(to_stdout=True))
+    cap = capsys.readouterr()
+    assert cap.out == f">a\n{ref.decode()}\n"

@@ -1,0 +1,184 @@
+"""Reference-based batch alignment (the `uvaialign` equivalent).
+
+Orchestration mirrors src/align.c:115-271: read the reference, stream
+query FASTA files, QC-reject sequences too different in length
+(outside [2/3, 3/2] x ref, align.c:190-193) or too ambiguous
+(align.c:194-202), align each against the reference with affine-gap
+penalties {0,4,6,2}, project onto reference coordinates (insertions
+dropped, deletions '-'), and write an xz alignment or stdout.
+
+The compute is the batched banded Gotoh kernel (ops/gotoh.py) instead
+of per-thread WFA objects; bands are chosen per batch from the length
+offsets and widened automatically when a path escapes (the exactness
+guarantee WFA-Adapt does not give).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.encoding import encode, composition
+from ..io.fasta import FastaRecord, FastaWriter, read_fasta
+from ..ops import gotoh
+from .query import log
+
+
+@dataclass
+class AlignConfig:
+    ambiguity: float = 0.5
+    pool: int = 512               # queries aligned per device batch
+    band: int = 1024              # max band width before giving up
+    slack: int = 48               # band slack beyond the length offset
+    to_stdout: bool = False
+    output: str | None = None
+    print_interval: int = 5000
+
+    @property
+    def prefix(self) -> str:
+        return self.output if self.output else "uvaia_tpu_align"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _choose_band(n: int, lens: list[int], slack: int) -> tuple[int, int]:
+    """(lo, width) covering all length offsets plus slack, quantised to
+    limit recompilation."""
+    d_min = min(min(l - n for l in lens), 0) - slack
+    d_max = max(max(l - n for l in lens), 0) + slack
+    lo = -_round_up(-d_min, 32)
+    width = _round_up(d_max - lo + 1, 64) + 1
+    return lo, width
+
+
+@dataclass
+class AlignStats:
+    count: int = 0
+    n_output: int = 0
+    rejected_length: int = 0
+    rejected_ambiguity: int = 0
+    failed_band: int = 0
+
+
+def _qc(rec: FastaRecord, n: int, ambiguity: float, stats: AlignStats) -> bool:
+    m = len(rec.seq)
+    if 3 * m < 2 * n or 2 * m > 3 * n:
+        log(f"Sequence {rec.name} has size too different from reference "
+            f"({m} vs {n})")
+        stats.rejected_length += 1
+        return False
+    acgt, _amb, other = composition(encode(rec.seq))
+    if other > ambiguity:
+        log(f"Sequence {rec.name} has proportion of N etc. (={other:f}) "
+            f"above threshold of {ambiguity:f}")
+        stats.rejected_ambiguity += 1
+        return False
+    if acgt < 1.0 - 1.1 * ambiguity:
+        log(f"Sequence {rec.name} has proportion of ACGT (={acgt:f}) below "
+            f"threshold of {1.0 - 1.1 * ambiguity:f}")
+        stats.rejected_ambiguity += 1
+        return False
+    return True
+
+
+def _align_group(ref_arr, recs, lo, width, out, stats, cfg):
+    """Align one batch group; escalate band for rows that escape."""
+    n = ref_arr.shape[0]
+    m_pad = _round_up(max(len(r.seq) for r in recs), 256)
+    arr = np.zeros((len(recs), m_pad), dtype=np.uint8)
+    lens = np.zeros(len(recs), dtype=np.int32)
+    for b, r in enumerate(recs):
+        arr[b, :len(r.seq)] = np.frombuffer(r.seq, dtype=np.uint8)
+        lens[b] = len(r.seq)
+    aligned, score, ok = gotoh.align_batch(ref_arr, arr, lens, lo, width)
+
+    retry = [i for i in range(len(recs)) if not ok[i]]
+    for i in range(len(recs)):
+        if ok[i]:
+            out[id(recs[i])] = aligned[i].tobytes()
+    if retry:
+        new_width = width * 4
+        if new_width > cfg.band * 4:
+            for i in retry:
+                log(f"Sequence {recs[i].name}: no alignment within band "
+                    f"{width} (giving up at cap {cfg.band * 4}); skipped")
+                stats.failed_band += 1
+            return
+        new_lo = lo - (new_width - width) // 2
+        _align_group(ref_arr, [recs[i] for i in retry],
+                     new_lo, new_width, out, stats, cfg)
+
+
+def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
+    t0 = time.time()
+    try:
+        ref = next(iter(read_fasta(ref_path)))
+    except StopIteration:
+        raise SystemExit(f"Error reading reference sequence {ref_path}")
+    n = len(ref.seq)
+    ref_arr = np.frombuffer(ref.seq, dtype=np.uint8)
+    log(f"Reference {ref.name}: {n} sites")
+
+    writer = None
+    if not cfg.to_stdout:
+        writer = FastaWriter(cfg.prefix + ".aln.xz")
+        log(f"Sequences will be compressed and saved into file "
+            f"{writer.path}.")
+
+    stats = AlignStats()
+    batch: list[FastaRecord] = []
+
+    def flush():
+        if not batch:
+            return
+        out: dict[int, bytes] = {}
+        # bucket by length offset so narrow bands stay narrow
+        groups: dict[int, list[FastaRecord]] = {}
+        for r in batch:
+            groups.setdefault((len(r.seq) - n) // 64, []).append(r)
+        for recs in groups.values():
+            lo, width = _choose_band(n, [len(r.seq) for r in recs],
+                                     cfg.slack)
+            _align_group(ref_arr, recs, lo, width, out, stats, cfg)
+        for r in batch:
+            seq = out.get(id(r))
+            if seq is None:
+                continue
+            stats.n_output += 1
+            if cfg.to_stdout:
+                sys.stdout.write(f">{r.name}\n{seq.decode('ascii')}\n")
+            else:
+                writer.write(r.name, seq)
+        batch.clear()
+
+    last_print = 0
+    for path in fasta_paths:
+        log(f"Started  reading file {path}")
+        for rec in read_fasta(path):
+            stats.count += 1
+            if not _qc(rec, n, cfg.ambiguity, stats):
+                continue
+            batch.append(rec)
+            if len(batch) >= cfg.pool:
+                flush()
+            if stats.count - last_print >= cfg.print_interval:
+                last_print = stats.count
+                log(f"{stats.count}\t sequences read, {stats.n_output} \t"
+                    f"aligned. {time.time()-t0:.3f} secs elapsed.")
+        log(f"Finished reading file {path}.")
+    flush()
+
+    if writer is not None:
+        writer.close()
+        log(f"Saved {stats.n_output} sequences to file {writer.path}")
+    log(f"Total: {stats.count} read, {stats.n_output} aligned, "
+        f"{stats.rejected_length} wrong length, "
+        f"{stats.rejected_ambiguity} too ambiguous, "
+        f"{stats.failed_band} failed band cap. "
+        f"{time.time()-t0:.3f} secs total.")
+    return stats
