@@ -89,8 +89,8 @@ def _add_cluster(sub):
     p = sub.add_parser("cluster", help="one-pass canopy clustering/dedup")
     p.add_argument("-d", "--distance", type=int, default=1)
     p.add_argument("--trim", type=int, default=0)
-    p.add_argument("-p", "--pool", type=int, default=16,
-                   help="number of independent clustering queues")
+    p.add_argument("-p", "--pool", type=int, default=1024,
+                   help="sequences clustered per device batch")
     p.add_argument("-s", "--snps", type=int, default=1)
     p.add_argument("-r", "--reference", default=None)
     p.add_argument("fasta", nargs="+")
@@ -102,9 +102,12 @@ def _add_legacy(sub):
     p = sub.add_parser("legacy", help="in-memory searcher (pre-2022 "
                        "uvaia behaviour)")
     p.add_argument("-n", "--nbest", type=int, default=8)
-    p.add_argument("-m", "--nmax", type=int, default=16)
+    p.add_argument("-m", "--nmax", type=int, default=0,
+                   help="max best refs when several optimal (default "
+                   "2 x nbest)")
     p.add_argument("--trim", type=int, default=0)
-    p.add_argument("-a", "--ambiguity", type=float, default=0.5)
+    p.add_argument("-a", "--query_ambiguity", type=float, default=0.5)
+    p.add_argument("-A", "--ref_ambiguity", type=float, default=0.5)
     p.add_argument("-r", "--reference", required=True)
     p.add_argument("fasta")
     p.add_argument("-o", "--output", default=None)
@@ -171,7 +174,8 @@ def main(argv=None) -> int:
     if args.cmd == "legacy":
         from ..engine.legacy import LegacyConfig, run_legacy
         cfg = LegacyConfig(nbest=args.nbest, nmax=args.nmax,
-                           trim=args.trim, ambiguity=args.ambiguity,
+                           trim=args.trim, ambiguity=args.query_ambiguity,
+                           ref_ambiguity=args.ref_ambiguity,
                            output=args.output)
         run_legacy(args.reference, args.fasta, cfg)
         return 0

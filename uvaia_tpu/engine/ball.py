@@ -1,0 +1,114 @@
+"""Radius search (the `uvaiaball` equivalent).
+
+Keeps every reference whose distance to ANY query sequence is within
+`distance` SNPs, streaming the database in device batches.  Mirrors
+src/ball.c:137-289 + the staged distance decomposition of
+`seq_ball_against_query_structure` (fastaseq.c:660-696):
+
+  keep  <=>  d(ref, consensus | idx_c) + d(ref, consensus | idx_m)
+             + min_q d(ref, q | idx)   <=  distance
+
+computed densely on device (the truncated early exits of the C code
+only affect speed, not the keep/drop decision).  Redundant query
+sequences are always removed first (ball.c:190).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.fasta import FastaWriter
+from ..ops import distance as dist_ops
+from ..ops.scan import _pad_to
+from .query import build_query_pack, log
+from .stream import RefStreamer
+
+
+@dataclass
+class BallConfig:
+    distance: int = 5
+    trim: int = 0
+    acgt: bool = False
+    keep_resolved: bool = False
+    query_ambiguity: float = 0.5
+    ref_ambiguity: float = 0.5
+    pool: int = 4096
+    output: str | None = None
+    print_interval: int = 50000
+
+    @property
+    def prefix(self) -> str:
+        return self.output if self.output else "ball_uvaia"
+
+
+def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
+    import jax
+
+    t0 = time.time()
+    cfg.query_ambiguity = min(max(cfg.query_ambiguity, 0.001), 1.0)
+    cfg.ref_ambiguity = min(max(cfg.ref_ambiguity, 0.001), 1.0)
+    pack = build_query_pack(query_path, trim=cfg.trim, acgt=cfg.acgt,
+                            ambiguity=cfg.query_ambiguity,
+                            keep_resolved=cfg.keep_resolved,
+                            always_exclude_redundant=True)
+    L = pack.n_sites
+    # distance clamp as in fastaseq.c:713-714
+    dist = max(0, min(cfg.distance, (L - 2 * pack.trim) // 10))
+    log(f"Radius search: {pack.n_query} queries, radius {dist}")
+
+    cons_sites = np.concatenate([pack.idx_c, pack.idx_m]).astype(np.int32)
+    cons_codes = pack.consensus[cons_sites]
+    cons_sites_d = jnp.asarray(_pad_to(cons_sites, 128))
+    cons_codes_d = jnp.asarray(_pad_to(cons_codes, 128))
+    idx = pack.idx.astype(np.int32)
+    q_sub = pack.codes[:, idx]
+    idx_d = jnp.asarray(_pad_to(idx, 8))
+    weights = jnp.asarray(_pad_to(
+        dist_ops.mismatch_weights(q_sub, cfg.acgt), 8, axis=1))
+
+    @jax.jit
+    def step(ref_codes, ok):
+        d_cons = dist_ops.cons_mismatches(ref_codes, cons_sites_d,
+                                          cons_codes_d, cfg.acgt)
+        d_q = dist_ops.pair_mismatches(
+            jnp.take(ref_codes, idx_d, axis=1), weights)
+        mindist = d_cons + jnp.min(d_q, axis=1)
+        return ok & (mindist <= dist), mindist
+
+    streamer = RefStreamer(ref_paths, L, cfg.pool,
+                           ref_ambiguity=cfg.ref_ambiguity)
+    writer = FastaWriter(cfg.prefix + ".aln.xz")
+    t1 = time.time()
+    last_print = 0
+    pending = None
+
+    def drain(pending):
+        keep, batch = pending
+        keep = np.asarray(keep)[: batch.n]
+        for i in np.nonzero(keep)[0]:
+            writer.write(batch.names[i], batch.seqs[i])
+
+    for batch in streamer:
+        keep, _ = step(jnp.asarray(batch.codes), jnp.asarray(batch.ok))
+        if pending is not None:
+            drain(pending)
+        pending = (keep, batch)
+        if streamer.stats.count - last_print >= cfg.print_interval:
+            last_print = streamer.stats.count
+            log(f"{streamer.stats.count} sequences analysed in total, "
+                f"{writer.n_written} saved, {streamer.stats.n_invalid} "
+                f"rejected due to high ambiguity; "
+                f"{time.time()-t1:.3f} secs passed")
+    if pending is not None:
+        drain(pending)
+    writer.close()
+    log(f"Total of {streamer.stats.count} sequences read, "
+        f"{writer.n_written} within radius (kept), "
+        f"{streamer.stats.n_invalid} too ambiguous (excluded). "
+        f"{time.time()-t0:.3f} secs.")
+    return dict(count=streamer.stats.count, kept=writer.n_written,
+                invalid=streamer.stats.n_invalid)

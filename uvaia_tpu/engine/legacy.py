@@ -1,0 +1,156 @@
+"""In-memory searcher (the `uvaia_legacy` equivalent, src/uvaia.c).
+
+Loads the whole aligned reference DB and the queries, computes for
+every (query, reference) pair the legacy double-precision counters
+(utils.c:50-79) on device, and reproduces the three-stage best-
+reference selection + stdout score table of describe_scores
+(utils.c:87-161):
+
+  stage 1: rank all refs by ACGT matches, take nbest (+ties <= nmax)
+  stage 2 (n>16): re-rank the top n/8 of stage 1 by the proportion of
+           char matches among valid sites, take nbest (+ties)
+  stage 3 (n>32): re-rank the top n/16 by IUPAC-weighted partial
+           matches, take nbest (+ties)
+  output: the union, de-duplicated by frequency, printed in ACGT-match
+           order; optionally the chosen references saved to xz.
+
+The weighted partial match uses |intersection|/(|set1|*|set2|)
+(T vs W = 0.5, utils.c:73 comment; biomcmc-lib's exact table is not
+recoverable from the snapshot).
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..core.encoding import encode
+from ..io.fasta import FastaWriter, read_fasta_all
+from ..ops import distance as dist_ops
+from .query import log, qc_filter
+
+
+@dataclass
+class LegacyConfig:
+    nbest: int = 8
+    nmax: int = 0                    # 0 -> 2 * nbest
+    trim: int = 0
+    ambiguity: float = 0.5           # query ambiguity
+    ref_ambiguity: float = 0.5
+    output: str | None = None
+    batch: int = 2048                # refs scored per device step
+
+
+def print_score_header():
+    print(f"{'query sequence':>48}, {'reference sequence':>48}, "
+          f"{'valid_sites':>13}, {'ACGT_matches':>13}, "
+          f"{'prop_char_matches':>13}, {'partial_matches':>13}")
+
+
+def describe_scores(qname: str, scores: np.ndarray, ref_names: list[str],
+                    nbest: int, nmax: int) -> list[int]:
+    """Three-stage selection; prints table rows; returns chosen ids."""
+    n = scores.shape[0]
+    s0 = scores[:, 0]                      # ACGT matches
+    prop = scores[:, 1] / np.maximum(scores[:, 3], 1e-9)
+    s2 = scores[:, 2]                      # weighted partial
+    nbest = min(nbest, n)
+    nmax = min(nmax, n)
+
+    def take(order, key, nb, nm):
+        out = list(order[:nb])
+        best = key[order[0]]
+        i = nb
+        while i < nm and best - key[order[i]] < 1e-15:
+            out.append(order[i])
+            i += 1
+        return out
+
+    order1 = np.lexsort((np.arange(n), -s0))
+    idbest = take(order1, s0, nbest, nmax)
+
+    if n > 16:
+        cand = order1[: n // 8]
+        o2 = cand[np.lexsort((np.arange(len(cand)), -prop[cand]))]
+        idbest += take(o2, prop, min(nbest, len(o2)), min(nmax, len(o2)))
+    if n > 32:
+        cand = order1[: n // 16]
+        o3 = cand[np.lexsort((np.arange(len(cand)), -s2[cand]))]
+        idbest += take(o3, s2, min(nbest, len(o3)), min(nmax, len(o3)))
+
+    uniq, counts = np.unique(idbest, return_counts=True)
+    show = uniq[np.lexsort((uniq, -s0[uniq]))]
+    for i in show:
+        print(f"{qname:>48}, {ref_names[i]:>48}, {scores[i, 3]:13.0f}, "
+              f"{s0[i]:13.1f}, {prop[i]:13.8f}, {s2[i]:13.3f}")
+    sys.stdout.flush()
+    return [int(i) for i in uniq]
+
+
+def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
+    import jax
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    cfg.nbest = max(cfg.nbest, 1)
+    if cfg.nmax < cfg.nbest:
+        cfg.nmax = 2 * cfg.nbest
+    cfg.ambiguity = min(max(cfg.ambiguity, 0.001), 1.0)
+    cfg.ref_ambiguity = min(max(cfg.ref_ambiguity, 0.001), 1.0)
+
+    refs = read_fasta_all(ref_path)
+    rnames, rseqs = qc_filter([r.name for r in refs], [r.seq for r in refs],
+                              cfg.ref_ambiguity, check_aligned=True)
+    log(f"Reference database: {len(rnames)} valid sequences "
+        f"({time.time()-t0:.2f}s)")
+    if not rnames:
+        raise SystemExit(f"No valid reference sequences in {ref_path}.")
+    L = len(rseqs[0])
+
+    queries = read_fasta_all(query_path)
+    qnames, qseqs = qc_filter([q.name for q in queries],
+                              [q.seq for q in queries],
+                              cfg.ambiguity, check_aligned=False)
+    keep = [(n, s) for n, s in zip(qnames, qseqs) if len(s) == L]
+    for n, s in zip(qnames, qseqs):
+        if len(s) != L:
+            log(f"this program assumes aligned sequences, and sequence "
+                f"{n} has length {len(s)} while references have {L}")
+    if not keep:
+        raise SystemExit("No valid query sequences.")
+    qnames = [n for n, _ in keep]
+    q_codes = np.stack([encode(s) for n, s in keep])
+
+    trim = max(0, min(cfg.trim, int(L / 2.1)))
+    qdata = dist_ops.build_legacy_query_data(q_codes, trim)
+    score_fn = jax.jit(lambda r: dist_ops.legacy_scores(qdata, r))
+
+    # score all refs in device batches -> (R, Q, 4)
+    R, Q = len(rnames), len(qnames)
+    all_scores = np.zeros((R, Q, 4), dtype=np.float32)
+    for start in range(0, R, cfg.batch):
+        chunk = rseqs[start:start + cfg.batch]
+        codes = np.stack([encode(s) for s in chunk])
+        all_scores[start:start + len(chunk)] = np.asarray(
+            score_fn(jnp.asarray(codes)))
+
+    print_score_header()
+    chosen: list[int] = []
+    for qi, qname in enumerate(qnames):
+        chosen += describe_scores(qname, all_scores[:, qi, :], rnames,
+                                  cfg.nbest, cfg.nmax)
+    log(f"finished search in {time.time()-t0:.3f} secs")
+
+    if cfg.output:
+        ids = sorted(set(chosen))
+        path = cfg.output
+        if not path.endswith(".xz"):
+            path += ".fa.xz"
+        with FastaWriter(path) as w:
+            for i in ids:
+                w.write(rnames[i], rseqs[i])
+        log(f"Saved {len(ids)} sequences to {path}")
+    return all_scores, qnames, rnames
