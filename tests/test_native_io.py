@@ -1,0 +1,54 @@
+"""Native C++ FASTA reader == Python reader, on all codecs."""
+
+import bz2
+import gzip
+import lzma
+
+import pytest
+
+from uvaia_tpu.io import native
+from uvaia_tpu.io.fasta import _read_fasta_py, read_fasta
+
+CONTENT = (">seq one extra words\n"
+           "acgt ACGT\nnn--rymk\n"
+           "\n"
+           ">seq2\n"
+           "TTTT\n")
+
+
+@pytest.fixture(scope="module")
+def have_native():
+    if native.get_lib() is None:
+        pytest.skip("native IO unavailable")
+
+
+@pytest.mark.parametrize("codec", ["raw", "gz", "xz", "bz2"])
+def test_native_matches_python(tmp_path, codec, have_native):
+    path = tmp_path / f"t.fa.{codec}"
+    opener = {"raw": open, "gz": gzip.open, "xz": lzma.open,
+              "bz2": bz2.open}[codec]
+    with opener(path, "wt") as f:
+        f.write(CONTENT)
+    got = [(r.name, r.seq) for r in read_fasta(path)]
+    exp = [(r.name, r.seq) for r in _read_fasta_py(path)]
+    assert got == exp
+    assert got[0] == ("seq one extra words", b"ACGTACGTNN--RYMK")
+    assert got[1] == ("seq2", b"TTTT")
+
+
+def test_native_large_multiline(tmp_path, have_native):
+    seqs = [("s%d" % i, "acgtACGT" * 500) for i in range(50)]
+    path = tmp_path / "big.fa.xz"
+    with lzma.open(path, "wt") as f:
+        for n, s in seqs:
+            f.write(f">{n}\n")
+            for j in range(0, len(s), 61):
+                f.write(s[j:j + 61] + "\n")
+    recs = list(read_fasta(path))
+    assert len(recs) == 50
+    assert all(r.seq == b"ACGTACGT" * 500 for r in recs)
+
+
+def test_native_open_failure(have_native):
+    with pytest.raises(RuntimeError):
+        list(native.read_fasta_native("/nonexistent/file.fa"))

@@ -90,7 +90,7 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
         keep, batch = pending
         keep = np.asarray(keep)[: batch.n]
         for i in np.nonzero(keep)[0]:
-            writer.write(batch.names[i], batch.seqs[i])
+            writer.write(batch.names[i], batch.seq(int(i)))
 
     for batch in streamer:
         keep, _ = step(jnp.asarray(batch.codes), jnp.asarray(batch.ok))

@@ -145,7 +145,7 @@ def run_nearest(ref_paths: list[str], query_path: str,
         flags = np.asarray(flags)[: batch.n]
         for i in np.nonzero(flags)[0]:
             names[batch.base_idx + int(i)] = batch.names[i]
-            writer.write(batch.names[i], batch.seqs[i])
+            writer.write(batch.names[i], batch.seq(int(i)))
 
     for batch in streamer:
         state, flags_d = step_fn(

@@ -4,19 +4,25 @@ Replaces the reference's single-threaded read/compute/write phase
 alternation (nearest.c:249-330) with a background reader thread feeding
 fixed-shape encoded batches through a bounded queue, so xz decompression
 overlaps device compute (the TPU analogue of its OpenMP pipeline).
+
+Fast path: the native C++ reader's batched API (native/fasta_io.cpp)
+fills a (chunk, L) char matrix directly — encoding and the valid-site
+QC reduction are then single vectorised numpy ops.  Falls back to the
+per-record Python reader (bz2, or native lib unavailable).
 """
 
 from __future__ import annotations
 
+import ctypes
 import queue
 import threading
 from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core.encoding import encode
+from ..core.encoding import ENCODE_LUT, encode
+from ..io.compress import sniff_codec
 from ..io.fasta import read_fasta
-from .query import log
 
 
 @dataclass
@@ -24,9 +30,15 @@ class RefBatch:
     codes: np.ndarray          # (B, L) uint8, zero-padded rows
     ok: np.ndarray             # (B,) bool
     names: list[str]           # len n (valid rows only)
-    seqs: list[bytes]          # raw uppercased sequences (for dumping)
     base_idx: int              # global index of row 0
     n: int                     # number of valid rows
+    raw: np.ndarray | None = None      # (n, L) raw chars (native path)
+    seqs: list[bytes] | None = None    # python path
+
+    def seq(self, i: int) -> bytes:
+        if self.seqs is not None:
+            return self.seqs[i]
+        return self.raw[i].tobytes()
 
 
 @dataclass
@@ -71,48 +83,128 @@ class RefStreamer:
 
     # ------------------------------------------------------------------
 
+    def _records(self):
+        """Yield (names, raw_chars (k, L), codes-or-None) chunks."""
+        from ..io import native
+        lib = native.get_lib()
+        for path in self.paths:
+            self.stats.files.append(path)
+            if lib is not None and sniff_codec(path) != "bz2":
+                yield from self._native_chunks(lib, path)
+            else:
+                yield from self._python_chunks(path)
+
+    def _native_chunks(self, lib, path):
+        L, chunk = self.n_sites, self.batch
+        handle = lib.ufa_open(str(path).encode())
+        if not handle:
+            raise SystemExit(f"cannot open reference file {path}")
+        if not hasattr(lib, "ufa_next_batch_configured"):
+            lib.ufa_next_batch.restype = ctypes.c_long
+            lib.ufa_next_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_char_p, ctypes.c_long,
+                ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
+            lib.ufa_next_batch_configured = True
+        namecap = 1024 * chunk
+        namebuf = ctypes.create_string_buffer(namecap)
+        ends = (ctypes.c_long * chunk)()
+        lens = (ctypes.c_long * chunk)()
+        lut = ENCODE_LUT.tobytes()
+        try:
+            while True:
+                raw = np.zeros((chunk, L), dtype=np.uint8)
+                codes = np.zeros((chunk, L), dtype=np.uint8)
+                k = lib.ufa_next_batch(
+                    handle, raw.ctypes.data_as(ctypes.c_void_p),
+                    codes.ctypes.data_as(ctypes.c_void_p), lut, L, chunk,
+                    namebuf, namecap, ends, lens)
+                if k < 0:
+                    raise SystemExit(f"error reading {path}")
+                if k == 0:
+                    return
+                blob = namebuf.raw
+                names, start = [], 0
+                for i in range(k):
+                    names.append(blob[start:ends[i]].decode(
+                        "utf-8", errors="replace"))
+                    start = ends[i]
+                for i in range(k):
+                    if lens[i] != L:
+                        raise SystemExit(
+                            f"Reference sequence '{names[i]}' has "
+                            f"{lens[i]} sites but query sequences have "
+                            f"{L} sites: all sequences must be aligned")
+                yield names, raw[:k], codes[:k]
+        finally:
+            lib.ufa_close(handle)
+
+    def _python_chunks(self, path):
+        L = self.n_sites
+        names, rows = [], []
+        for rec in read_fasta(path):
+            if len(rec.seq) != L:
+                raise SystemExit(
+                    f"Reference sequence '{rec.name}' has {len(rec.seq)} "
+                    f"sites but query sequences have {L} sites: all "
+                    "sequences must be aligned")
+            names.append(rec.name)
+            rows.append(np.frombuffer(rec.seq, dtype=np.uint8))
+            if len(names) >= self.batch:
+                yield names, np.stack(rows), None
+                names, rows = [], []
+        if names:
+            yield names, np.stack(rows), None
+
     def _produce(self):
         try:
             base = 0
-            buf_names: list[str] = []
-            buf_seqs: list[bytes] = []
-            buf_codes = np.zeros((self.batch, self.n_sites), dtype=np.uint8)
+            acc_names: list[str] = []
+            acc_codes = np.zeros((self.batch, self.n_sites), dtype=np.uint8)
+            acc_raw = np.zeros((self.batch, self.n_sites), dtype=np.uint8)
             n = 0
-            for path in self.paths:
-                self.stats.files.append(path)
-                for rec in read_fasta(path):
-                    self.stats.count += 1
-                    if rec.name in self.exclude_names:
-                        self.stats.same_name += 1
-                        continue
-                    if len(rec.seq) != self.n_sites:
-                        raise SystemExit(
-                            f"Reference sequence '{rec.name}' has "
-                            f"{len(rec.seq)} sites but query sequences have "
-                            f"{self.n_sites} sites: all sequences must be "
-                            "aligned")
-                    codes = encode(rec.seq)
-                    if int(np.count_nonzero(codes)) < self.min_valid:
-                        self.stats.n_invalid += 1
-                        continue
-                    buf_codes[n] = codes
-                    buf_names.append(rec.name)
-                    buf_seqs.append(rec.seq)
+            for names, raw, codes in self._records():
+                self.stats.count += len(names)
+                if codes is None:
+                    codes = ENCODE_LUT[raw]
+                valid = (codes != 0).sum(axis=1)
+                keep = valid >= self.min_valid
+                if self.exclude_names:
+                    # name exclusion precedes the quality check, as in
+                    # nearest.c:255-270
+                    excl = np.array([nm in self.exclude_names
+                                     for nm in names])
+                    self.stats.same_name += int(excl.sum())
+                    self.stats.n_invalid += int((~keep & ~excl).sum())
+                    keep &= ~excl
+                else:
+                    self.stats.n_invalid += int((~keep).sum())
+                if n == 0 and len(names) == self.batch and keep.all():
+                    # common fast path: full clean chunk, no copies
+                    self._q.put(RefBatch(
+                        codes, np.ones(self.batch, dtype=bool),
+                        names, base, self.batch, raw=raw))
+                    base += self.batch
+                    continue
+                for i in np.nonzero(keep)[0]:
+                    acc_codes[n] = codes[i]
+                    acc_raw[n] = raw[i]
+                    acc_names.append(names[i])
                     n += 1
                     if n == self.batch:
-                        ok = np.ones(self.batch, dtype=bool)
-                        self._q.put(RefBatch(buf_codes, ok, buf_names,
-                                             buf_seqs, base, n))
+                        self._q.put(RefBatch(
+                            acc_codes, np.ones(self.batch, dtype=bool),
+                            acc_names, base, n, raw=acc_raw))
                         base += n
-                        buf_names, buf_seqs, n = [], [], 0
-                        buf_codes = np.zeros((self.batch, self.n_sites),
-                                             dtype=np.uint8)
+                        acc_names, n = [], 0
+                        acc_codes = np.zeros_like(acc_codes)
+                        acc_raw = np.zeros_like(acc_raw)
             if n:
                 ok = np.zeros(self.batch, dtype=bool)
                 ok[:n] = True
-                buf_codes[n:] = 0
-                self._q.put(RefBatch(buf_codes, ok, buf_names, buf_seqs,
-                                     base, n))
+                self._q.put(RefBatch(acc_codes, ok, acc_names, base, n,
+                                     raw=acc_raw))
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:

@@ -27,7 +27,24 @@ class FastaRecord:
 
 
 def read_fasta(path: str | Path) -> Iterator[FastaRecord]:
-    """Yield (name, uppercased sequence bytes) records."""
+    """Yield (name, uppercased sequence bytes) records.
+
+    Uses the native C++ reader (io/native.py) for xz/gz/raw files,
+    falling back to the Python implementation (bz2, or when the native
+    library is unavailable)."""
+    from .compress import sniff_codec
+    if sniff_codec(path) != "bz2":
+        try:
+            from .native import read_fasta_native
+            for name, seq in read_fasta_native(path):
+                yield FastaRecord(name, seq)
+            return
+        except RuntimeError:
+            pass
+    yield from _read_fasta_py(path)
+
+
+def _read_fasta_py(path: str | Path) -> Iterator[FastaRecord]:
     name: str | None = None
     chunks: list[bytes] = []
     with open_read(path) as fh:

@@ -1,0 +1,308 @@
+// Streaming FASTA reader over xz / gzip / raw files.
+//
+// Native replacement for the host-side input path (the reference uses
+// biomcmc-lib's file_compress_t + readfasta_next, fastaseq.c:410-486):
+// decompresses with liblzma/zlib, splits records, strips spaces and
+// uppercases in one pass.  Exposed as a tiny C API consumed from
+// Python via ctypes (io/native.py); bz2 inputs fall back to the Python
+// reader.
+//
+// Build: g++ -O3 -shared -fPIC fasta_io.cpp -o libuvaia_io.so -llzma -lz
+//
+// API contract:
+//   handle = ufa_open(path)          NULL on failure
+//   r = ufa_next(handle, &name, &name_len, &seq, &seq_len)
+//       1 = record produced, 0 = EOF, -1 = read/decode error
+//       buffers owned by the handle, valid until the next call
+//   ufa_close(handle)
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+#include <lzma.h>
+#include <zlib.h>
+
+namespace {
+
+constexpr size_t kChunk = 1 << 20;
+
+struct Upper {
+  unsigned char tab[256];
+  Upper() {
+    for (int i = 0; i < 256; i++) tab[i] = static_cast<unsigned char>(i);
+    for (int c = 'a'; c <= 'z'; c++) tab[c] = static_cast<unsigned char>(c - 32);
+  }
+};
+const Upper kUpper;
+
+struct Source {
+  virtual ~Source() = default;
+  // returns bytes read, 0 on EOF, <0 on error
+  virtual long read(uint8_t* buf, size_t n) = 0;
+};
+
+struct GzSource : Source {
+  gzFile f;
+  explicit GzSource(gzFile f) : f(f) {}
+  ~GzSource() override { gzclose(f); }
+  long read(uint8_t* buf, size_t n) override {
+    int r = gzread(f, buf, static_cast<unsigned>(n));
+    return r;
+  }
+};
+
+struct XzSource : Source {
+  FILE* f;
+  lzma_stream strm;
+  std::vector<uint8_t> in;
+  bool eof_in = false;
+  bool ended = false;
+
+  explicit XzSource(FILE* f) : f(f), in(kChunk) {
+    strm = LZMA_STREAM_INIT;
+    lzma_stream_decoder(&strm, UINT64_MAX, LZMA_CONCATENATED);
+    strm.avail_in = 0;
+  }
+  ~XzSource() override {
+    lzma_end(&strm);
+    fclose(f);
+  }
+  long read(uint8_t* buf, size_t n) override {
+    if (ended) return 0;
+    strm.next_out = buf;
+    strm.avail_out = n;
+    while (strm.avail_out > 0) {
+      if (strm.avail_in == 0 && !eof_in) {
+        size_t got = fread(in.data(), 1, in.size(), f);
+        if (got == 0) eof_in = true;
+        strm.next_in = in.data();
+        strm.avail_in = got;
+      }
+      lzma_ret ret = lzma_code(&strm, eof_in ? LZMA_FINISH : LZMA_RUN);
+      if (ret == LZMA_STREAM_END) {
+        ended = true;
+        break;
+      }
+      if (ret != LZMA_OK) return -1;
+      if (eof_in && strm.avail_in == 0 && strm.avail_out == n) break;
+    }
+    return static_cast<long>(n - strm.avail_out);
+  }
+};
+
+struct Reader {
+  Source* src = nullptr;
+  std::vector<uint8_t> buf;
+  size_t pos = 0, len = 0;
+  bool eof = false, error = false;
+
+  std::string name;       // current record header
+  std::string next_name;  // header of the record being started
+  std::vector<uint8_t> seq;
+  bool have_pending = false;
+
+  // record parked by ufa_next_batch when the name buffer filled
+  std::string stash_name;
+  std::vector<uint8_t> stash_seq;
+  bool have_stash = false;
+
+  ~Reader() { delete src; }
+
+  bool fill() {
+    if (eof) return false;
+    long r = src->read(buf.data(), buf.size());
+    if (r < 0) {
+      error = true;
+      eof = true;
+      return false;
+    }
+    if (r == 0) {
+      eof = true;
+      return false;
+    }
+    pos = 0;
+    len = static_cast<size_t>(r);
+    return true;
+  }
+
+  // returns 1 record, 0 EOF, -1 error
+  int next() {
+    seq.clear();
+    if (have_pending) {
+      name = next_name;
+      have_pending = false;
+    } else {
+      // scan forward to the first '>' header
+      if (!scan_header()) return error ? -1 : 0;
+      name = next_name;
+    }
+    // accumulate sequence lines until next header or EOF
+    for (;;) {
+      if (pos >= len && !fill()) break;
+      uint8_t c = buf[pos];
+      if (c == '>') {
+        if (!scan_header()) break;  // EOF mid-header: emit what we have
+        have_pending = true;
+        break;
+      }
+      // one line (may span fills): bulk-copy spans up to '\n'
+      for (;;) {
+        const uint8_t* base = buf.data();
+        const uint8_t* nl = static_cast<const uint8_t*>(
+            memchr(base + pos, '\n', len - pos));
+        size_t end = nl ? static_cast<size_t>(nl - base) : len;
+        append_span(base + pos, end - pos);
+        pos = end;
+        if (nl) {
+          pos++;
+          break;
+        }
+        if (!fill()) goto done;
+      }
+    }
+  done:
+    if (error) return -1;
+    return 1;
+  }
+
+  // uppercase + drop spaces/tabs/CR; spaces are rare so the skip
+  // branch predicts perfectly and the copy loop vectorises
+  void append_span(const uint8_t* p, size_t n) {
+    size_t base = seq.size();
+    seq.resize(base + n);
+    uint8_t* out = seq.data() + base;
+    size_t o = 0;
+    for (size_t i = 0; i < n; i++) {
+      uint8_t c = p[i];
+      if (c == ' ' || c == '\t' || c == '\r') continue;
+      out[o++] = kUpper.tab[c];
+    }
+    seq.resize(base + o);
+  }
+
+  // positions after a full header line; fills next_name
+  bool scan_header() {
+    // find '>'
+    for (;;) {
+      if (pos >= len && !fill()) return false;
+      if (buf[pos] == '>') {
+        pos++;
+        break;
+      }
+      pos++;
+    }
+    next_name.clear();
+    for (;;) {
+      if (pos >= len && !fill()) return !next_name.empty();
+      uint8_t ch = buf[pos++];
+      if (ch == '\n') return true;
+      if (ch != '\r') next_name.push_back(static_cast<char>(ch));
+    }
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* ufa_open(const char* path) {
+  FILE* probe = fopen(path, "rb");
+  if (!probe) return nullptr;
+  uint8_t magic[6] = {0};
+  size_t got = fread(magic, 1, 6, probe);
+
+  Reader* r = new Reader();
+  r->buf.resize(kChunk);
+  if (got >= 6 && memcmp(magic, "\xfd""7zXZ\x00", 6) == 0) {
+    rewind(probe);
+    r->src = new XzSource(probe);
+  } else {
+    fclose(probe);
+    gzFile gf = gzopen(path, "rb");  // transparently handles gz and raw
+    if (!gf) {
+      delete r;
+      return nullptr;
+    }
+    gzbuffer(gf, kChunk);
+    r->src = new GzSource(gf);
+  }
+  return r;
+}
+
+int ufa_next(void* handle, const char** name, size_t* name_len,
+             const uint8_t** seq, size_t* seq_len) {
+  Reader* r = static_cast<Reader*>(handle);
+  int rc = r->next();
+  if (rc != 1) return rc;
+  *name = r->name.c_str();
+  *name_len = r->name.size();
+  *seq = r->seq.data();
+  *seq_len = r->seq.size();
+  return 1;
+}
+
+void ufa_close(void* handle) { delete static_cast<Reader*>(handle); }
+
+// Batched variant for fixed-length (aligned) databases: fills caller
+// buffers, avoiding per-record FFI + allocation overhead.
+//   seqbuf   — nmax * stride bytes; record i copied (clipped to stride)
+//   codebuf  — optional (may be NULL): nmax * stride bytes receiving
+//              lut[char] per position (the 4-bit IUPAC encoding)
+//   lut      — 256-entry char->code table (used when codebuf != NULL)
+//   seq_lens — true length per record (caller validates == stride)
+//   namebuf  — concatenated names; name_ends[i] = end offset of name i
+// Returns #records (may be < nmax at EOF / when namebuf fills),
+// 0 at EOF, -1 on read error.
+long ufa_next_batch(void* handle, uint8_t* seqbuf, uint8_t* codebuf,
+                    const uint8_t* lut, long stride, long nmax,
+                    char* namebuf, long namecap, long* name_ends,
+                    long* seq_lens) {
+  Reader* r = static_cast<Reader*>(handle);
+  long k = 0;
+  long name_pos = 0;
+  while (k < nmax) {
+    const std::string* nm;
+    const std::vector<uint8_t>* sq;
+    if (r->have_stash) {
+      nm = &r->stash_name;
+      sq = &r->stash_seq;
+    } else {
+      int rc = r->next();
+      if (rc < 0) return -1;
+      if (rc == 0) break;
+      nm = &r->name;
+      sq = &r->seq;
+    }
+    long nl = static_cast<long>(nm->size());
+    if (name_pos + nl > namecap) {
+      if (k == 0) return -1;  // one name larger than the whole buffer
+      if (!r->have_stash) {   // park this record for the next call
+        r->stash_name = r->name;
+        r->stash_seq = r->seq;
+        r->have_stash = true;
+      }
+      return k;
+    }
+    memcpy(namebuf + name_pos, nm->data(), nl);
+    name_pos += nl;
+    name_ends[k] = name_pos;
+    long sl = static_cast<long>(sq->size());
+    seq_lens[k] = sl;
+    size_t ncopy = static_cast<size_t>(sl < stride ? sl : stride);
+    memcpy(seqbuf + k * stride, sq->data(), ncopy);
+    if (codebuf != nullptr) {
+      const uint8_t* src = sq->data();
+      uint8_t* dst = codebuf + k * stride;
+      for (size_t i = 0; i < ncopy; i++) dst[i] = lut[src[i]];
+    }
+    r->have_stash = false;
+    k++;
+  }
+  return k;
+}
+
+}  // extern "C"
