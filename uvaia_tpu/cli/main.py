@@ -49,6 +49,8 @@ def _add_nearest(sub):
                    help="shard the scan over this many devices")
     p.add_argument("--checkpoint", default=None,
                    help="path for periodic scan checkpoints (resume-able)")
+    p.add_argument("--checkpoint_every", type=float, default=60.0,
+                   help="seconds between checkpoint snapshots")
     return p
 
 
@@ -145,7 +147,8 @@ def main(argv=None) -> int:
             query_ambiguity=args.query_ambiguity,
             ref_ambiguity=args.ref_ambiguity,
             pool=args.pool, output=args.output,
-            n_devices=args.devices)
+            n_devices=args.devices, checkpoint=args.checkpoint,
+            checkpoint_every=args.checkpoint_every)
         run_nearest(args.reference, args.fasta, cfg)
         return 0
     if args.cmd == "align":

@@ -48,6 +48,8 @@ class NearestConfig:
     print_interval: int = 10000
     n_devices: int | None = None     # shard the scan over a 'db' mesh axis
     site_shards: int = 1             # additionally shard the site axis
+    checkpoint: str | None = None    # snapshot path (resume if it exists)
+    checkpoint_every: float = 60.0   # seconds between snapshots
 
     def clamp(self) -> "NearestConfig":
         self.query_ambiguity = min(max(self.query_ambiguity, 0.001), 1.0)
@@ -129,16 +131,73 @@ def run_nearest(ref_paths: list[str], query_path: str,
             qd, st, codes, ok, base)
     state = scan.init_state(pack.n_query, cfg.nbest)
 
+    # ---- checkpoint / resume -----------------------------------------
+    from ..utils import checkpoint as ckpt_mod
+    ckpt_key = ckpt_mod.config_key(
+        refs=list(ref_paths), query=query_path, nbest=cfg.nbest,
+        trim=cfg.trim, acgt=cfg.acgt, keep_resolved=cfg.keep_resolved,
+        exclude_self=cfg.exclude_self, qa=cfg.query_ambiguity,
+        ra=cfg.ref_ambiguity, n_query=pack.n_query)
+    ckpt = ckpt_mod.load(cfg.checkpoint) if cfg.checkpoint else None
+    if ckpt is not None and ckpt.config_key != ckpt_key:
+        raise SystemExit(f"checkpoint {cfg.checkpoint} was written by a "
+                         "different run configuration; remove it or use "
+                         "a different path")
+    names: dict[int, str] = {}
+    skip, base0, resumed_written = 0, 0, 0
+    if ckpt is not None:
+        state = (jnp.asarray(ckpt.state_scores), jnp.asarray(ckpt.state_idx))
+        names = dict(ckpt.names)
+        skip, base0 = ckpt.records_read, ckpt.base_idx
+        resumed_written = ckpt.n_written
+        log(f"Resuming from checkpoint: {skip} records already scanned, "
+            f"{resumed_written} sequences already dumped")
+
     exclude = set(pack.names) if cfg.exclude_self else None
     streamer = RefStreamer(ref_paths, pack.n_sites, cfg.pool,
                            ref_ambiguity=cfg.ref_ambiguity,
-                           exclude_names=exclude)
+                           exclude_names=exclude,
+                           skip_records=skip, initial_base=base0)
+    if ckpt is not None:
+        streamer.stats.count = ckpt.records_read
+        streamer.stats.n_invalid = ckpt.n_invalid
+        streamer.stats.same_name = ckpt.same_name
 
-    names: dict[int, str] = {}
-    writer = FastaWriter(cfg.prefix + ".aln.xz")
+    import os as _os
+    dump_path = cfg.prefix + ".aln.xz"
+    if ckpt is not None:
+        # drop any truncated xz stream a crash left after the snapshot
+        if _os.path.exists(dump_path) and \
+                _os.path.getsize(dump_path) >= ckpt.dump_bytes:
+            _os.truncate(dump_path, ckpt.dump_bytes)
+        else:
+            raise SystemExit(
+                f"{dump_path} is smaller than the checkpoint recorded; "
+                "the dump and checkpoint no longer match")
+    writer = FastaWriter(dump_path, append=ckpt is not None)
     t1 = time.time()
     last_print = 0
+    last_ckpt = time.time()
     pending = None  # (flags_device, batch) for one-batch pipelining
+
+    def _save_ckpt(prev_batch, state_host):
+        """Snapshot through `prev_batch` (drained; state_host is the
+        merged state at exactly that point).  The dump writer is closed
+        first so the file ends on a complete xz stream whose size the
+        checkpoint records."""
+        nonlocal writer, resumed_written
+        resumed_written += writer.n_written
+        writer.close()
+        ckpt_mod.save(cfg.checkpoint, ckpt_mod.ScanCheckpoint(
+            version=1, records_read=prev_batch.records_read,
+            base_idx=prev_batch.base_idx + prev_batch.n,
+            n_invalid=prev_batch.n_invalid,
+            same_name=prev_batch.same_name,
+            n_written=resumed_written,
+            state_scores=state_host[0], state_idx=state_host[1],
+            names=names, config_key=ckpt_key,
+            dump_bytes=_os.path.getsize(dump_path)))
+        writer = FastaWriter(dump_path, append=True)
 
     def _drain(pending):
         flags, batch = pending
@@ -148,18 +207,30 @@ def run_nearest(ref_paths: list[str], query_path: str,
             writer.write(batch.names[i], batch.seq(int(i)))
 
     for batch in streamer:
+        # a due checkpoint snapshots the state BEFORE this step (its
+        # buffers are donated into the step), which is consistent with
+        # the dump/stream position after draining the previous batch
+        ckpt_due = (cfg.checkpoint is not None and pending is not None
+                    and time.time() - last_ckpt >= cfg.checkpoint_every)
+        if ckpt_due:
+            state_host = (np.asarray(state[0]), np.asarray(state[1]))
         state, flags_d = step_fn(
             state, jnp.asarray(batch.codes), jnp.asarray(batch.ok),
             np.int32(batch.base_idx))
         if pending is not None:
+            prev = pending[1]
             _drain(pending)
+            if ckpt_due:
+                last_ckpt = time.time()
+                _save_ckpt(prev, state_host)
         pending = (flags_d, batch)
         total = batch.base_idx + batch.n
         if total - last_print >= cfg.print_interval:
             last_print = total
             rate = total / max(time.time() - t1, 1e-9)
             log(f"Total: {streamer.stats.count} sequences analysed, "
-                f"{writer.n_written} saved, {streamer.stats.n_invalid} "
+                f"{resumed_written + writer.n_written} saved, "
+                f"{streamer.stats.n_invalid} "
                 f"poorly resolved. {rate:,.0f} genomes/sec. "
                 f"{time.time()-t1:.1f}s elapsed.")
     if pending is not None:
@@ -172,7 +243,7 @@ def run_nearest(ref_paths: list[str], query_path: str,
         indices=np.asarray(state[1]),
         names=names,
         n_scanned=streamer.stats.count,
-        n_saved=writer.n_written,
+        n_saved=resumed_written + writer.n_written,
         n_invalid=streamer.stats.n_invalid,
         same_name=streamer.stats.same_name,
     )

@@ -34,6 +34,11 @@ class RefBatch:
     n: int                     # number of valid rows
     raw: np.ndarray | None = None      # (n, L) raw chars (native path)
     seqs: list[bytes] | None = None    # python path
+    # exact stream position after this batch's last record — lets a
+    # checkpoint resume precisely here
+    records_read: int = 0
+    n_invalid: int = 0
+    same_name: int = 0
 
     def seq(self, i: int) -> bytes:
         if self.seqs is not None:
@@ -60,12 +65,15 @@ class RefStreamer:
     def __init__(self, paths: list[str], n_sites: int, batch: int,
                  ref_ambiguity: float = 0.5,
                  exclude_names: set[str] | None = None,
-                 prefetch: int = 4):
+                 prefetch: int = 4,
+                 skip_records: int = 0, initial_base: int = 0):
         self.paths = paths
         self.n_sites = n_sites
         self.batch = batch
         self.min_valid = int(n_sites * (1.0 - ref_ambiguity))
         self.exclude_names = exclude_names or set()
+        self.skip_records = skip_records   # resume: raw records to skip
+        self.initial_base = initial_base   # resume: accepted-count offset
         self.stats = StreamStats()
         self._q: queue.Queue = queue.Queue(maxsize=prefetch)
         self._thread = threading.Thread(target=self._produce, daemon=True)
@@ -159,52 +167,70 @@ class RefStreamer:
 
     def _produce(self):
         try:
-            base = 0
+            base = self.initial_base
+            skip = self.skip_records
             acc_names: list[str] = []
             acc_codes = np.zeros((self.batch, self.n_sites), dtype=np.uint8)
             acc_raw = np.zeros((self.batch, self.n_sites), dtype=np.uint8)
             n = 0
+
+            def put(codes, ok, names, count, raw):
+                nonlocal base
+                self._q.put(RefBatch(
+                    codes, ok, names, base, count, raw=raw,
+                    records_read=self.stats.count,
+                    n_invalid=self.stats.n_invalid,
+                    same_name=self.stats.same_name))
+                base += count
+
             for names, raw, codes in self._records():
-                self.stats.count += len(names)
+                if skip:                     # resume: fast-skip records
+                    if skip >= len(names):
+                        skip -= len(names)
+                        continue
+                    names = names[skip:]
+                    raw = raw[skip:]
+                    codes = None if codes is None else codes[skip:]
+                    skip = 0
                 if codes is None:
                     codes = ENCODE_LUT[raw]
                 valid = (codes != 0).sum(axis=1)
                 keep = valid >= self.min_valid
+                excl = None
                 if self.exclude_names:
                     # name exclusion precedes the quality check, as in
                     # nearest.c:255-270
                     excl = np.array([nm in self.exclude_names
                                      for nm in names])
-                    self.stats.same_name += int(excl.sum())
-                    self.stats.n_invalid += int((~keep & ~excl).sum())
                     keep &= ~excl
-                else:
-                    self.stats.n_invalid += int((~keep).sum())
                 if n == 0 and len(names) == self.batch and keep.all():
                     # common fast path: full clean chunk, no copies
-                    self._q.put(RefBatch(
-                        codes, np.ones(self.batch, dtype=bool),
-                        names, base, self.batch, raw=raw))
-                    base += self.batch
+                    self.stats.count += self.batch
+                    put(codes, np.ones(self.batch, dtype=bool), names,
+                        self.batch, raw)
                     continue
-                for i in np.nonzero(keep)[0]:
+                for i in range(len(names)):
+                    self.stats.count += 1
+                    if not keep[i]:
+                        if excl is not None and excl[i]:
+                            self.stats.same_name += 1
+                        else:
+                            self.stats.n_invalid += 1
+                        continue
                     acc_codes[n] = codes[i]
                     acc_raw[n] = raw[i]
                     acc_names.append(names[i])
                     n += 1
                     if n == self.batch:
-                        self._q.put(RefBatch(
-                            acc_codes, np.ones(self.batch, dtype=bool),
-                            acc_names, base, n, raw=acc_raw))
-                        base += n
+                        put(acc_codes, np.ones(self.batch, dtype=bool),
+                            acc_names, n, acc_raw)
                         acc_names, n = [], 0
                         acc_codes = np.zeros_like(acc_codes)
                         acc_raw = np.zeros_like(acc_raw)
             if n:
                 ok = np.zeros(self.batch, dtype=bool)
                 ok[:n] = True
-                self._q.put(RefBatch(acc_codes, ok, acc_names, base, n,
-                                     raw=acc_raw))
+                put(acc_codes, ok, acc_names, n, acc_raw)
         except BaseException as e:  # surfaced on the consumer side
             self._err = e
         finally:

@@ -43,13 +43,19 @@ def open_read(path: str | Path) -> io.BufferedReader:
     return open(path, "rb", buffering=1 << 20)
 
 
-def open_write(path: str | Path, preset: int = 6) -> io.BufferedWriter:
-    """Open a file for binary writing, codec chosen by suffix."""
+def open_write(path: str | Path, preset: int = 6,
+               append: bool = False) -> io.BufferedWriter:
+    """Open a file for binary writing, codec chosen by suffix.
+
+    Append mode starts a fresh compressed stream at the end of the
+    file; xz/gz/bz2 readers all accept such concatenated streams, so
+    checkpointed scans can extend their dump across restarts."""
     name = str(path)
+    mode = "ab" if append else "wb"
     if name.endswith(".xz"):
-        return lzma.open(name, "wb", preset=preset)
+        return lzma.open(name, mode, preset=preset)
     if name.endswith(".gz"):
-        return gzip.open(name, "wb", compresslevel=preset)
+        return gzip.open(name, mode, compresslevel=preset)
     if name.endswith(".bz2"):
-        return bz2.open(name, "wb", compresslevel=preset)
-    return open(name, "wb")
+        return bz2.open(name, mode, compresslevel=preset)
+    return open(name, mode)

@@ -74,9 +74,10 @@ class FastaWriter:
     Mirrors ``save_sequence_to_compress_stream`` (nearest.c:416-426).
     """
 
-    def __init__(self, path: str | Path, preset: int = 6):
+    def __init__(self, path: str | Path, preset: int = 6,
+                 append: bool = False):
         self.path = str(path)
-        self._fh = open_write(path, preset=preset)
+        self._fh = open_write(path, preset=preset, append=append)
         self.n_written = 0
 
     def write(self, name: str, seq: bytes | str) -> None:
