@@ -15,7 +15,8 @@ class _Boom(RuntimeError):
     pass
 
 
-def test_resume_matches_single_run(tmp_path, monkeypatch):
+@pytest.mark.parametrize("prune", [False, True])
+def test_resume_matches_single_run(tmp_path, monkeypatch, prune):
     monkeypatch.chdir(tmp_path)
     rng = np.random.default_rng(77)
     L, nq, nr, k = 400, 3, 70, 5
@@ -26,28 +27,32 @@ def test_resume_matches_single_run(tmp_path, monkeypatch):
 
     # ground truth: one uninterrupted run
     ref = run_nearest(["db.fa"], "q.fa",
-                      NearestConfig(nbest=k, pool=16, output="full"))
+                      NearestConfig(nbest=k, pool=16, output="full",
+                                    prune=prune))
 
-    # interrupted run: checkpoint every batch, crash after batch 3
+    # interrupted run: checkpoint every batch, crash after a few steps
     import uvaia_tpu.engine.nearest as nearest_mod
-    orig_drain_count = {"n": 0}
-    orig_step = nearest_mod.scan.scan_step
+    count = {"n": 0}
+    target = "scan_step_gather" if prune else "scan_step"
+    orig_step = getattr(nearest_mod.scan, target)
 
-    def crashing_step(qd, state, codes, ok, base):
-        if orig_drain_count["n"] >= 3:
+    def crashing_step(*a, **kw):
+        if count["n"] >= 2:
             raise _Boom("simulated crash")
-        orig_drain_count["n"] += 1
-        return orig_step(qd, state, codes, ok, base)
+        count["n"] += 1
+        return orig_step(*a, **kw)
 
-    monkeypatch.setattr(nearest_mod.scan, "scan_step", crashing_step)
-    cfg = NearestConfig(nbest=k, pool=16, output="part",
+    monkeypatch.setattr(nearest_mod.scan, target, crashing_step)
+    cfg = NearestConfig(nbest=k, pool=16, output="part", prune=prune,
                         checkpoint="scan.ckpt", checkpoint_every=0.0)
     with pytest.raises(_Boom):
         run_nearest(["db.fa"], "q.fa", cfg)
-    monkeypatch.setattr(nearest_mod.scan, "scan_step", orig_step)
+    monkeypatch.setattr(nearest_mod.scan, target, orig_step)
+    import os
+    assert os.path.exists("scan.ckpt")
 
     # resume from the checkpoint and finish
-    cfg2 = NearestConfig(nbest=k, pool=16, output="part",
+    cfg2 = NearestConfig(nbest=k, pool=16, output="part", prune=prune,
                          checkpoint="scan.ckpt", checkpoint_every=1e9)
     res = run_nearest(["db.fa"], "q.fa", cfg2)
 

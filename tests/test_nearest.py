@@ -95,3 +95,28 @@ def test_exclude_self_and_reject(tmp_path, monkeypatch):
     kept = set(res.names.values())
     assert "shared" not in kept and "junk" not in kept
     assert os.path.exists("out.csv.xz") and os.path.exists("out.aln.xz")
+
+
+@pytest.mark.parametrize("acgt", [False, True])
+def test_pruned_equals_dense(tmp_path, acgt, monkeypatch):
+    """The two-phase upper-bound prefilter is lossless: identical CSV."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(55)
+    L, nq, nr, k = 450, 5, 120, 6
+    write_fasta("q.fa", [f"q{i}" for i in range(nq)],
+                random_seqs(rng, nq, L))
+    write_fasta("db.fa", [f"r{i}" for i in range(nr)],
+                random_seqs(rng, nr, L, mut=0.05))
+    dense = run_nearest(["db.fa"], "q.fa",
+                        NearestConfig(nbest=k, pool=16, output="dense",
+                                      acgt=acgt, prune=False))
+    pruned = run_nearest(["db.fa"], "q.fa",
+                         NearestConfig(nbest=k, pool=16, output="pruned",
+                                       acgt=acgt, prune=True))
+    np.testing.assert_array_equal(pruned.indices, dense.indices)
+    np.testing.assert_array_equal(pruned.scores, dense.scores)
+    with lzma.open("dense.csv.xz", "rt") as f:
+        d = f.read()
+    with lzma.open("pruned.csv.xz", "rt") as f:
+        p = f.read()
+    assert d == p

@@ -51,6 +51,8 @@ def _add_nearest(sub):
                    help="path for periodic scan checkpoints (resume-able)")
     p.add_argument("--checkpoint_every", type=float, default=60.0,
                    help="seconds between checkpoint snapshots")
+    p.add_argument("--no-prune", action="store_true",
+                   help="disable the (lossless) two-phase prefilter")
     return p
 
 
@@ -137,7 +139,22 @@ def _version() -> str:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    try:
+        return _dispatch(build_parser().parse_args(argv))
+    except FileNotFoundError as e:
+        print(f"uvaia-tpu: cannot open {e.filename}: {e.strerror}",
+              file=sys.stderr)
+        return 2
+    except PermissionError as e:
+        print(f"uvaia-tpu: permission denied: {e.filename}",
+              file=sys.stderr)
+        return 2
+    except KeyboardInterrupt:
+        print("uvaia-tpu: interrupted", file=sys.stderr)
+        return 130
+
+
+def _dispatch(args) -> int:
     if args.cmd == "nearest":
         from ..engine.nearest import NearestConfig, run_nearest
         cfg = NearestConfig(
@@ -148,7 +165,8 @@ def main(argv=None) -> int:
             ref_ambiguity=args.ref_ambiguity,
             pool=args.pool, output=args.output,
             n_devices=args.devices, checkpoint=args.checkpoint,
-            checkpoint_every=args.checkpoint_every)
+            checkpoint_every=args.checkpoint_every,
+            prune=not args.no_prune)
         run_nearest(args.reference, args.fasta, cfg)
         return 0
     if args.cmd == "align":

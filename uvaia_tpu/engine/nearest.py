@@ -50,6 +50,8 @@ class NearestConfig:
     site_shards: int = 1             # additionally shard the site axis
     checkpoint: str | None = None    # snapshot path (resume if it exists)
     checkpoint_every: float = 60.0   # seconds between snapshots
+    prune: bool = True               # two-phase upper-bound prefilter
+                                     # (exact; single-device path only)
 
     def clamp(self) -> "NearestConfig":
         self.query_ambiguity = min(max(self.query_ambiguity, 0.001), 1.0)
@@ -100,6 +102,13 @@ class NearestResult:
 
 def run_nearest(ref_paths: list[str], query_path: str,
                 cfg: NearestConfig) -> NearestResult:
+    from ..utils.observe import maybe_profile
+    with maybe_profile():
+        return _run_nearest(ref_paths, query_path, cfg)
+
+
+def _run_nearest(ref_paths: list[str], query_path: str,
+                 cfg: NearestConfig) -> NearestResult:
     cfg.clamp()
     t0 = time.time()
     pack = build_query_pack(query_path, trim=cfg.trim, acgt=cfg.acgt,
@@ -206,25 +215,12 @@ def run_nearest(ref_paths: list[str], query_path: str,
             names[batch.base_idx + int(i)] = batch.names[i]
             writer.write(batch.names[i], batch.seq(int(i)))
 
-    for batch in streamer:
-        # a due checkpoint snapshots the state BEFORE this step (its
-        # buffers are donated into the step), which is consistent with
-        # the dump/stream position after draining the previous batch
-        ckpt_due = (cfg.checkpoint is not None and pending is not None
-                    and time.time() - last_ckpt >= cfg.checkpoint_every)
-        if ckpt_due:
-            state_host = (np.asarray(state[0]), np.asarray(state[1]))
-        state, flags_d = step_fn(
-            state, jnp.asarray(batch.codes), jnp.asarray(batch.ok),
-            np.int32(batch.base_idx))
-        if pending is not None:
-            prev = pending[1]
-            _drain(pending)
-            if ckpt_due:
-                last_ckpt = time.time()
-                _save_ckpt(prev, state_host)
-        pending = (flags_d, batch)
-        total = batch.base_idx + batch.n
+    use_prune = cfg.prune and not (cfg.n_devices and cfg.n_devices > 1)
+    if use_prune:
+        scan.build_prune_data(qd, pack)
+
+    def _progress(total):
+        nonlocal last_print
         if total - last_print >= cfg.print_interval:
             last_print = total
             rate = total / max(time.time() - t1, 1e-9)
@@ -233,8 +229,79 @@ def run_nearest(ref_paths: list[str], query_path: str,
                 f"{streamer.stats.n_invalid} "
                 f"poorly resolved. {rate:,.0f} genomes/sec. "
                 f"{time.time()-t1:.1f}s elapsed.")
-    if pending is not None:
-        _drain(pending)
+
+    if use_prune:
+        # ---- two-phase: cheap bound prefilter + compacted exact scan
+        B2 = max(128, cfg.pool // 8)
+        sv_codes = np.zeros((B2, pack.n_sites), dtype=np.uint8)
+        sv_raw = np.zeros((B2, pack.n_sites), dtype=np.uint8)
+        sv_names: list[str] = []
+        sv_idx = np.zeros(B2, dtype=np.int32)
+        sv_m = 0
+        n_pruned = 0
+
+        def flush_p2():
+            nonlocal state, sv_m, sv_names
+            if sv_m == 0:
+                return
+            ok2 = np.zeros(B2, dtype=bool)
+            ok2[:sv_m] = True
+            state, flags = scan.scan_step_gather(
+                qd, state, jnp.asarray(sv_codes), jnp.asarray(ok2),
+                jnp.asarray(sv_idx))
+            flags = np.asarray(flags)[:sv_m]
+            for i in np.nonzero(flags)[0]:
+                names[int(sv_idx[i])] = sv_names[i]
+                writer.write(sv_names[i], sv_raw[i].tobytes())
+            sv_m, sv_names = 0, []
+
+        for batch in streamer:
+            survive = np.asarray(scan.prune_step(
+                qd, state, jnp.asarray(batch.codes),
+                jnp.asarray(batch.ok)))
+            rows = np.nonzero(survive)[0]
+            n_pruned += batch.n - len(rows)
+            for i in rows:
+                sv_codes[sv_m] = batch.codes[i]
+                sv_raw[sv_m] = batch.raw[i] if batch.raw is not None \
+                    else np.frombuffer(batch.seq(int(i)), dtype=np.uint8)
+                sv_names.append(batch.names[i])
+                sv_idx[sv_m] = batch.base_idx + int(i)
+                sv_m += 1
+                if sv_m == B2:
+                    flush_p2()
+            if cfg.checkpoint is not None and \
+                    time.time() - last_ckpt >= cfg.checkpoint_every:
+                flush_p2()
+                last_ckpt = time.time()
+                _save_ckpt(batch, (np.asarray(state[0]),
+                                   np.asarray(state[1])))
+            _progress(batch.base_idx + batch.n)
+        flush_p2()
+        log(f"Prefilter skipped the exact scan for {n_pruned} of "
+            f"{streamer.stats.count} references (losslessly)")
+    else:
+        for batch in streamer:
+            # a due checkpoint snapshots the state BEFORE this step (its
+            # buffers are donated into the step), consistent with the
+            # dump/stream position after draining the previous batch
+            ckpt_due = (cfg.checkpoint is not None and pending is not None
+                        and time.time() - last_ckpt >= cfg.checkpoint_every)
+            if ckpt_due:
+                state_host = (np.asarray(state[0]), np.asarray(state[1]))
+            state, flags_d = step_fn(
+                state, jnp.asarray(batch.codes), jnp.asarray(batch.ok),
+                np.int32(batch.base_idx))
+            if pending is not None:
+                prev = pending[1]
+                _drain(pending)
+                if ckpt_due:
+                    last_ckpt = time.time()
+                    _save_ckpt(prev, state_host)
+            pending = (flags_d, batch)
+            _progress(batch.base_idx + batch.n)
+        if pending is not None:
+            _drain(pending)
     writer.close()
 
     result = NearestResult(

@@ -59,7 +59,12 @@ def _pad_to(x: np.ndarray, mult: int, axis: int = 0, value=0) -> np.ndarray:
 
 @dataclass
 class QueryDeviceData:
-    """Device-resident, static per-run query data."""
+    """Device-resident per-run query data.
+
+    Registered as a jax pytree (arrays are jit *arguments*, the scalar
+    config is static metadata) — embedding the query arrays as closure
+    constants would inline them into the HLO, which breaks compilation
+    for large query packs."""
 
     acgt: bool
     n_query: int
@@ -73,6 +78,13 @@ class QueryDeviceData:
     amb_sites: jnp.ndarray | None  # (A,) int32 global site indices
     w_part: jnp.ndarray | None     # (Q, A, 16) int8 partial-match corr
     w_text: jnp.ndarray | None     # (Q, A, 16) int8 text-match corr
+    # phase-1 prefilter data (built on demand, see build_prune_data):
+    u_base: jnp.ndarray | None = None    # (L,) uint8 unanimous base code,
+                                         # 0 at segregating/out-of-window
+    q_pure_u: jnp.ndarray | None = None  # (Q, L) int8 query-pure mask on U
+    idx_p: jnp.ndarray | None = None     # (P,) acgt-segregating sites
+    pure_p_q: jnp.ndarray | None = None  # (Q,) pure count over P
+    amb_tot_q: jnp.ndarray | None = None  # (Q,) ambiguity codes in window
 
 
 def build_device_data(pack: QueryPack, k: int,
@@ -103,7 +115,7 @@ def build_device_data(pack: QueryPack, k: int,
             w_text = eq_amb.astype(np.int8)
             amb_sites = sites
 
-    return QueryDeviceData(
+    qd = QueryDeviceData(
         acgt=pack.acgt,
         n_query=pack.n_query,
         n_sites=pack.n_sites,
@@ -117,6 +129,41 @@ def build_device_data(pack: QueryPack, k: int,
         w_part=None if w_part is None else jnp.asarray(w_part),
         w_text=None if w_text is None else jnp.asarray(w_text),
     )
+    return qd
+
+
+def build_prune_data(qd: QueryDeviceData, pack: QueryPack) -> None:
+    """Attach phase-1 prefilter arrays to qd (see prune_step).
+
+    U = window sites where every pure-base query agrees (on base b_i);
+    P = window sites where pure queries disagree.  At U sites the ACGT
+    match count is EXACTLY [q_i pure] * [r_i == b_i], which one int8
+    matmul computes for all pairs; only the small P set is bounded.
+    """
+    from ..core.encoding import IS_PURE
+    Q, L = pack.codes.shape
+    t = pack.trim
+    window = np.zeros(L, dtype=bool)
+    window[t:L - t if t else L] = True
+
+    pure = (IS_PURE[pack.codes] != 0) & window[None, :]
+    c = pack.codes.astype(np.int16)
+    pmax = np.where(pure, c, -1).max(axis=0)
+    pmin = np.where(pure, c, 99).min(axis=0)
+    any_pure = pure.any(axis=0)
+    seg = any_pure & (pmax != pmin)               # acgt-segregating
+    u_base = np.where(any_pure & ~seg, pmax, 0).astype(np.uint8)
+
+    q_pure_u = (pure & ~seg[None, :]).astype(np.int8)
+    idx_p = np.nonzero(seg)[0].astype(np.int32)
+    pure_p_q = pure[:, idx_p].sum(axis=1).astype(np.int32)
+    amb = ((pack.codes != 0) & (IS_PURE[pack.codes] == 0)
+           & window[None, :])
+    qd.u_base = jnp.asarray(u_base)
+    qd.q_pure_u = jnp.asarray(q_pure_u)
+    qd.idx_p = jnp.asarray(_pad_to(idx_p, 8))
+    qd.pure_p_q = jnp.asarray(pure_p_q)
+    qd.amb_tot_q = jnp.asarray(amb.sum(axis=1).astype(np.int32))
 
 
 # ----------------------------------------------------------------------
@@ -318,15 +365,94 @@ def merge_topk(qd: QueryDeviceData, state, scores, ok, base_idx):
 
 
 # ----------------------------------------------------------------------
-# full jitted step
+# full jitted steps.  QueryDeviceData flows in as a pytree argument.
 
-@functools.partial(jax.jit, static_argnums=0, donate_argnums=1)
+jax.tree_util.register_dataclass(
+    QueryDeviceData,
+    data_fields=["idx_c", "cons_c", "idx_mq", "q_sub", "amb_sites",
+                 "w_part", "w_text", "u_base", "q_pure_u", "idx_p",
+                 "pure_p_q", "amb_tot_q"],
+    meta_fields=["acgt", "n_query", "n_sites", "k", "pack_keys"],
+)
+
+
+@functools.partial(jax.jit, donate_argnums=1)
 def scan_step(qd: QueryDeviceData, state, ref_codes, ok, base_idx):
     """One database batch: score + merge. Returns (state, is_best)."""
     scores, _ = score_batch(qd, ref_codes)
     return merge_topk(qd, state, scores, ok, base_idx)
 
 
-# QueryDeviceData must be hashable for static_argnums: use identity.
-QueryDeviceData.__hash__ = lambda self: id(self)
-QueryDeviceData.__eq__ = lambda self, other: self is other
+# ----------------------------------------------------------------------
+# two-phase pruned scan: a sound per-pair upper bound on the leading
+# sort key lets most references skip the full per-query matmuls.  This
+# is the dense-batch analogue of the reference's branch-and-bound
+# (nearest.c:443-509) — but provably lossless: a reference is pruned
+# only when its best-possible key is strictly below the query's current
+# k-th threshold, so nothing that could enter the output is dropped.
+
+@jax.jit
+def prune_step(qd: QueryDeviceData, state, ref_codes, ok):
+    """Phase 1: (B,) survivor mask.
+
+    Leading-score bound (requires build_prune_data):
+
+      s0(r, q) = sum_U [q_i pure][r_i == b_i]   (EXACT, one matmul)
+               + s0_P                           (<= min pure counts on P)
+      s1(r, q) <= s0_ub + min(amb_r, amb_q)     (full mode: text matches)
+      s1(r, q) <= min(pure_r, pure_q) totals    (--acgt: valid acgt pairs)
+
+    A reference survives for query q iff its packed key1 upper bound is
+    >= q's current k-th threshold key; otherwise no candidate built
+    from it can beat the threshold tuple (sound, lossless prune).
+    """
+    st_scores, _ = state
+    pure_r_full = _pure(ref_codes)                               # (B, L)
+    r_match = ((ref_codes == qd.u_base[None, :])
+               & (qd.u_base != 0)[None, :]).astype(jnp.int8)
+    s0_u = jax.lax.dot_general(
+        r_match, qd.q_pure_u, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)                        # (B, Q)
+
+    pure_p_r = jnp.sum(jnp.take(pure_r_full, qd.idx_p, axis=1)
+                       .astype(jnp.int32), axis=1)               # (B,)
+    s0_ub = s0_u + jnp.minimum(pure_p_r[:, None],
+                               qd.pure_p_q[None, :])
+
+    if qd.acgt:
+        pure_tot_r = jnp.sum(pure_r_full.astype(jnp.int32), axis=1)
+        pure_tot_q = qd.pure_p_q + jnp.sum(qd.q_pure_u.astype(jnp.int32),
+                                           axis=1)
+        s1_ub = jnp.minimum(pure_tot_r[:, None], pure_tot_q[None, :])
+    else:
+        amb_r = jnp.sum(((ref_codes != 0) & (pure_r_full == 0))
+                        .astype(jnp.int32), axis=1)
+        s1_ub = s0_ub + jnp.minimum(amb_r[:, None],
+                                    qd.amb_tot_q[None, :])
+
+    key1_ub = s0_ub * 32768 + s1_ub if qd.pack_keys else s0_ub
+    thr = _keys(qd, st_scores[:, qd.k - 1, :])[..., 0]           # (Q,)
+    return ok & jnp.any(key1_ub >= thr[None, :], axis=1)
+
+
+@functools.partial(jax.jit, donate_argnums=1)
+def scan_step_gather(qd: QueryDeviceData, state, ref_codes, ok, ref_idx):
+    """Phase 2: like scan_step but for a compacted survivor batch with
+    explicit (non-contiguous) global database indices."""
+    scores, _ = score_batch(qd, ref_codes)
+    st_scores, st_idx = state
+    cand_keys = _keys(qd, scores)
+    cand_keys = jnp.where(ok[:, None, None], cand_keys, INT32_MIN)
+    thr = _keys(qd, st_scores[:, qd.k - 1, :])
+    is_best = jnp.any(_lex_gt(cand_keys, thr[None, :, :]), axis=1) & ok
+    batch_idx = jnp.where(ok, ref_idx, IDX_SENTINEL)
+
+    all_scores = jnp.concatenate(
+        [st_scores, jnp.transpose(scores, (1, 0, 2))], axis=1)
+    all_idx = jnp.concatenate(
+        [st_idx, jnp.broadcast_to(batch_idx[None, :],
+                                  (qd.n_query, scores.shape[0]))], axis=1)
+    new_scores, new_idx = select_topk(qd, all_scores, all_idx, qd.k)
+    return (new_scores, new_idx), is_best
+
+

@@ -1,0 +1,80 @@
+"""Observability: wall-clock chronometers, throughput counters, and
+optional device profiling.
+
+TPU-native replacement for the reference's two-level chronometers and
+throttled progress lines (biomcmc_get_time / biomcmc_update_elapsed_time
+pairs + print_interval counters, nearest.c:173,321-328; SURVEY.md §5).
+
+Set ``UVAIA_TPU_PROFILE=<dir>`` to capture a `jax.profiler` trace of
+any engine run (viewable in TensorBoard / Perfetto).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import sys
+import time
+from dataclasses import dataclass, field
+
+
+@dataclass
+class Chronometer:
+    """Two-level timer: total since construction + lap since last call
+    (the reference's time0/time1 pattern)."""
+
+    t0: float = field(default_factory=time.monotonic)
+    t_lap: float = field(default_factory=time.monotonic)
+
+    def lap(self) -> float:
+        now = time.monotonic()
+        dt = now - self.t_lap
+        self.t_lap = now
+        return dt
+
+    def total(self) -> float:
+        return time.monotonic() - self.t0
+
+
+@dataclass
+class Meter:
+    """Throughput counter with throttled reporting."""
+
+    name: str
+    unit: str = "items"
+    interval: int = 10000
+    count: int = 0
+    _last_report: int = 0
+    _chrono: Chronometer = field(default_factory=Chronometer)
+
+    def add(self, n: int) -> bool:
+        """Returns True when a progress line is due."""
+        self.count += n
+        if self.count - self._last_report >= self.interval:
+            self._last_report = self.count
+            return True
+        return False
+
+    def rate(self) -> float:
+        return self.count / max(self._chrono.total(), 1e-9)
+
+    def line(self) -> str:
+        return (f"{self.count:,} {self.unit} processed, "
+                f"{self.rate():,.0f}/s, {self._chrono.total():.1f}s elapsed")
+
+
+@contextlib.contextmanager
+def maybe_profile():
+    """jax.profiler trace when UVAIA_TPU_PROFILE is set to a directory."""
+    outdir = os.environ.get("UVAIA_TPU_PROFILE")
+    if not outdir:
+        yield
+        return
+    import jax
+    jax.profiler.start_trace(outdir)
+    print(f"uvaia-tpu: profiling to {outdir}", file=sys.stderr)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+        print(f"uvaia-tpu: profile written to {outdir}", file=sys.stderr)
