@@ -45,25 +45,35 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
     and QueryDeviceData built with site_shards=mesh.shape['site']."""
     n_db = mesh.shape["db"]
     k = qd.k
+    has_amb = qd.amb_sites is not None
 
     def local_step(st_scores, st_idx, idx_c, cons_c, idx_mq, q_sub,
-                   ref_codes, ok, base_idx):
+                   amb, ref_codes, ok, base_idx):
         b_loc = ref_codes.shape[0]
         cons4, mats = scan.site_partials(qd.acgt, idx_c, cons_c,
                                          idx_mq, q_sub, ref_codes)
         cons4, mats = jax.lax.psum((cons4, mats), "site")
-        scores = scan.assemble_scores(qd, ref_codes, cons4, mats)
+        # rebuild a local view so the big query arrays stay jit
+        # arguments (not HLO constants; see QueryDeviceData docstring)
+        qd_loc = scan.QueryDeviceData(
+            acgt=qd.acgt, n_query=qd.n_query, n_sites=qd.n_sites,
+            k=k, pack_keys=qd.pack_keys,
+            idx_c=idx_c, cons_c=cons_c, idx_mq=idx_mq, q_sub=q_sub,
+            amb_sites=amb[0] if has_amb else None,
+            w_part=amb[1] if has_amb else None,
+            w_text=amb[2] if has_amb else None)
+        scores = scan.assemble_scores(qd_loc, ref_codes, cons4, mats)
 
         me = jax.lax.axis_index("db")
         local_base = base_idx + me * b_loc
         state = (st_scores, st_idx)
         is_best, batch_idx = scan.batch_flags_and_idx(
-            qd, state, scores, ok, local_base)
+            qd_loc, state, scores, ok, local_base)
 
         # local per-query top-k candidates (exact superset of the global)
         k_loc = min(k, b_loc)
         cand_scores, cand_idx = scan.select_topk(
-            qd, jnp.transpose(scores, (1, 0, 2)),
+            qd_loc, jnp.transpose(scores, (1, 0, 2)),
             jnp.broadcast_to(batch_idx[None, :], (qd.n_query, b_loc)),
             k_loc)
 
@@ -76,25 +86,30 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
             qd.n_query, n_db * k_loc)
         all_scores = jnp.concatenate([st_scores, g_scores], axis=1)
         all_idx = jnp.concatenate([st_idx, g_idx], axis=1)
-        new_scores, new_idx = scan.select_topk(qd, all_scores, all_idx, k)
+        new_scores, new_idx = scan.select_topk(qd_loc, all_scores,
+                                               all_idx, k)
         return new_scores, new_idx, is_best
 
+    amb_spec = (P(), P(), P()) if has_amb else P()
     mapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(),                     # state (replicated)
                   P("site"), P("site"),         # idx_c, cons_c
                   P("site"), P(None, "site"),   # idx_mq, q_sub
+                  amb_spec,                     # amb correction tables
                   P("db", None),                # ref rows over db
                   P("db"), P()),                # ok, base_idx
         out_specs=(P(), P(), P("db")),
         check_vma=False,
     )
 
+    amb = (qd.amb_sites, qd.w_part, qd.w_text) if has_amb else ()
+
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state, ref_codes, ok, base_idx):
         new_scores, new_idx, is_best = mapped(
             state[0], state[1], qd.idx_c, qd.cons_c, qd.idx_mq, qd.q_sub,
-            ref_codes, ok, base_idx)
+            amb, ref_codes, ok, base_idx)
         return (new_scores, new_idx), is_best
 
     return step
