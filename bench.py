@@ -42,9 +42,9 @@ def main():
 
     L = int(os.environ.get("BENCH_L", 29903))
     Q = int(os.environ.get("BENCH_Q", 64))
-    B = int(os.environ.get("BENCH_B", 2048))
+    B = int(os.environ.get("BENCH_B", 4096))
     K = int(os.environ.get("BENCH_K", 50))
-    STEPS = int(os.environ.get("BENCH_STEPS", 30))
+    STEPS = int(os.environ.get("BENCH_STEPS", 20))
 
     rng = np.random.default_rng(0)
     queries = make_data(rng, Q, L)
@@ -59,19 +59,25 @@ def main():
     ok = jnp.ones(B, dtype=bool)
     state = scan.init_state(Q, K)
 
-    # compile + warmup
+    # compile + warmup; materialise to host (block_until_ready is not a
+    # reliable barrier on every backend transport)
     state, flags = scan.scan_step(qd, state, ref_codes, ok, np.int32(0))
-    jax.block_until_ready(state)
+    _ = np.asarray(state[0])
     print(f"# setup+compile {time.time()-t_setup:.1f}s "
           f"(L={L} Q={Q} B={B} K={K}, S={int(qd.idx_mq.shape[0])}, "
           f"device={jax.devices()[0]})", file=sys.stderr)
 
-    t0 = time.time()
-    for i in range(STEPS):
-        state, flags = scan.scan_step(qd, state, ref_codes, ok,
-                                      np.int32((i + 1) * B))
-    jax.block_until_ready(state)
-    dt = time.time() - t0
+    def run(steps):
+        nonlocal state
+        t0 = time.time()
+        for i in range(steps):
+            state, flags = scan.scan_step(qd, state, ref_codes, ok,
+                                          np.int32((i + 1) * B))
+        _ = np.asarray(state[0])
+        _ = np.asarray(flags)
+        return time.time() - t0
+
+    dt = run(STEPS)
     rate = STEPS * B / dt
 
     print(json.dumps({

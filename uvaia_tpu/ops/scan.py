@@ -322,11 +322,14 @@ def select_topk(qd: QueryDeviceData, scores, idx, k):
     neg_keys = jnp.where(idx[..., None] == IDX_SENTINEL,
                          jnp.int32(2**31 - 1), neg_keys)
     nk = neg_keys.shape[-1]
-    operands = tuple(neg_keys[..., i] for i in range(nk)) + (idx,) + \
-        tuple(scores[..., i] for i in range(6))
+    # carry only a row-position payload through the sort (scores are
+    # gathered afterwards) — sort cost scales with operand count
+    pos = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+    operands = tuple(neg_keys[..., i] for i in range(nk)) + (idx, pos)
     sorted_ops = jax.lax.sort(operands, dimension=1, num_keys=nk + 1)
     out_idx = sorted_ops[nk][:, :k]
-    out_scores = jnp.stack([o[:, :k] for o in sorted_ops[nk + 1:]], axis=-1)
+    out_pos = sorted_ops[nk + 1][:, :k]
+    out_scores = jnp.take_along_axis(scores, out_pos[..., None], axis=1)
     return out_scores, out_idx
 
 
