@@ -33,6 +33,9 @@ def make_data(rng, n, L, n_frac=0.02, amb_frac=0.0005, mut=0.002):
 
 
 def main():
+    import sys as _s; _s.path.insert(0, __file__.rsplit('/', 1)[0])
+    from uvaia_tpu.utils.jaxcache import enable as _cache
+    _cache()
     t_setup = time.time()
     import jax
     import jax.numpy as jnp

@@ -115,6 +115,8 @@ def _align_group(ref_arr, recs, lo, width, out, stats, cfg):
 
 
 def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
+    from ..utils.jaxcache import enable as _cache
+    _cache()
     t0 = time.time()
     try:
         ref = next(iter(read_fasta(ref_path)))

@@ -46,6 +46,8 @@ class BallConfig:
 
 
 def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
+    from ..utils.jaxcache import enable as _cache
+    _cache()
     import jax
 
     t0 = time.time()

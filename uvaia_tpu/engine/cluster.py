@@ -190,6 +190,8 @@ def _seq_stats(codes: np.ndarray, ref_codes: np.ndarray, window: np.ndarray,
 
 
 def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
+    from ..utils.jaxcache import enable as _cache
+    _cache()
     t0 = time.time()
     if cfg.reference:
         ref_seq, L = build_reference(cfg.reference, 1)

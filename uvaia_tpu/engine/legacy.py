@@ -91,6 +91,8 @@ def describe_scores(qname: str, scores: np.ndarray, ref_names: list[str],
 
 
 def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
+    from ..utils.jaxcache import enable as _cache
+    _cache()
     import jax
     import jax.numpy as jnp
 

@@ -102,6 +102,8 @@ class NearestResult:
 
 def run_nearest(ref_paths: list[str], query_path: str,
                 cfg: NearestConfig) -> NearestResult:
+    from ..utils.jaxcache import enable as _cache
+    _cache()
     from ..utils.observe import maybe_profile
     with maybe_profile():
         return _run_nearest(ref_paths, query_path, cfg)
