@@ -1,0 +1,41 @@
+"""Pallas fused counter kernel == XLA feature-matmul path (interpret
+mode on CPU; the same kernel runs compiled on TPU)."""
+
+import numpy as np
+import pytest
+
+from uvaia_tpu.core.encoding import encode
+from uvaia_tpu.ops import pallas_score, scan
+
+from test_scan import random_alignment
+
+
+def test_pallas_counters_match_xla():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(12)
+    B, Q, S = 64, 16, 512
+    refs = np.stack([encode(s) for s in random_alignment(rng, B, S, 0.1)])
+    qs = np.stack([encode(s) for s in random_alignment(rng, Q, S, 0.1)])
+
+    out = np.asarray(pallas_score.pair_counter_mats(
+        jnp.asarray(refs), jnp.asarray(qs), bt=32, qt=8, st=128,
+        interpret=True))
+
+    a_r = scan._bits(jnp.asarray(refs)) * scan._pure(
+        jnp.asarray(refs))[..., None]
+    a_q = scan._bits(jnp.asarray(qs)) * scan._pure(jnp.asarray(qs))[..., None]
+    m_r, m_q = scan._bits(jnp.asarray(refs)), scan._bits(jnp.asarray(qs))
+    v_r = (jnp.asarray(refs) != 0).astype(jnp.int8)
+    v_q = (jnp.asarray(qs) != 0).astype(jnp.int8)
+    exp = np.stack([np.asarray(scan._imm(a_r, a_q)),
+                    np.asarray(scan._imm(m_r, m_q)),
+                    np.asarray(scan._imm(v_r, v_q))], axis=-1)
+    np.testing.assert_array_equal(out, exp)
+
+
+def test_pallas_tile_divisibility_error():
+    import jax.numpy as jnp
+    with pytest.raises(ValueError, match="not divisible"):
+        pallas_score.pair_counter_mats(
+            jnp.zeros((10, 128), jnp.uint8), jnp.zeros((4, 128), jnp.uint8),
+            bt=8, qt=4, st=128, interpret=True)

@@ -1,0 +1,118 @@
+"""Pallas TPU kernel: fused feature-build + match-count matmuls.
+
+The XLA path (ops/scan.site_partials) materialises per-site int8
+feature planes (pure-base one-hot, mask bits, valid) in HBM before the
+dots — ~9x the code bytes of traffic.  This kernel decodes the 4-bit
+IUPAC codes into features inside VMEM per tile and feeds the MXU
+directly, so HBM only ever sees the (B,S)/(Q,S) code matrices and the
+(B,Q,3) counter output.
+
+Counters (identical contract to site_partials' per-query part):
+  out[..., 0] = sum_s a_r . a_q   (ACGT matches)
+  out[..., 1] = sum_s m_r . m_q   (mask-bit intersections)
+  out[..., 2] = sum_s v_r . v_q   (valid pairs)
+
+Grid (B/Bt, Q/Qt, S/St) with revisited output blocks accumulating over
+the site axis.  Exactness is tested against the XLA path (interpret
+mode on CPU, real kernels on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+
+def _features(codes_i32):
+    """(T, St) int32 codes -> (a bits[4], m bits[4], v) int32 planes.
+
+    Stays in int32 — Mosaic has no int8 elementwise multiply; the dot
+    operands are cast to int8 at the MXU boundary instead."""
+    bits = [((codes_i32 >> b) & 1) for b in range(4)]
+    pop = bits[0] + bits[1] + bits[2] + bits[3]
+    pure = pop == 1
+    a = [jnp.where(pure, b, 0) for b in bits]
+    v = (codes_i32 != 0).astype(jnp.int32)
+    return a, bits, v
+
+
+def _kernel(r_ref, q_ref, aa_ref, mm_ref, vv_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        aa_ref[...] = jnp.zeros_like(aa_ref)
+        mm_ref[...] = jnp.zeros_like(mm_ref)
+        vv_ref[...] = jnp.zeros_like(vv_ref)
+
+    rc = r_ref[...].astype(jnp.int32)
+    qc = q_ref[...].astype(jnp.int32)
+    ra, rm, rv = _features(rc)
+    qa, qm, qv = _features(qc)
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x.astype(jnp.int8), y.astype(jnp.int8),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    s_aa = dot(ra[0], qa[0])
+    s_mm = dot(rm[0], qm[0])
+    for b in range(1, 4):
+        s_aa += dot(ra[b], qa[b])
+        s_mm += dot(rm[b], qm[b])
+    s_vv = dot(rv, qv)
+
+    aa_ref[...] += s_aa
+    mm_ref[...] += s_mm
+    vv_ref[...] += s_vv
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "qt", "st", "interpret"))
+def pair_counter_mats(ref_sub: jnp.ndarray, q_sub: jnp.ndarray,
+                      bt: int = 256, qt: int = 128, st: int = 512,
+                      interpret: bool = False) -> jnp.ndarray:
+    """(B, Q, 3) int32 counters from code matrices (B, S), (Q, S).
+
+    S must be padded to a multiple of `st`; B, Q to their tiles (the
+    caller-side padding with code 0 contributes zero to every counter).
+    """
+    B, S = ref_sub.shape
+    Q = q_sub.shape[0]
+    bt = min(bt, B)
+    qt = min(qt, Q)
+    st = min(st, S)
+    if B % bt or Q % qt or S % st:
+        raise ValueError(f"shapes ({B},{Q},{S}) not divisible by tiles "
+                         f"({bt},{qt},{st})")
+    grid = (B // bt, Q // qt, S // st)
+    out_spec = pl.BlockSpec((bt, qt), lambda i, j, k: (i, j))
+    aa, mm, vv = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, st), lambda i, j, k: (i, k)),
+            pl.BlockSpec((qt, st), lambda i, j, k: (j, k)),
+        ],
+        out_specs=(out_spec, out_spec, out_spec),
+        out_shape=tuple(jax.ShapeDtypeStruct((B, Q), jnp.int32)
+                        for _ in range(3)),
+        interpret=interpret,
+    )(ref_sub, q_sub)
+    return jnp.stack([aa, mm, vv], axis=-1)
+
+
+def mats_via_pallas(ref_sub: jnp.ndarray, q_sub: jnp.ndarray) -> jnp.ndarray:
+    """Drop-in for the XLA feature-matmul trio: pads shapes to kernel
+    tiles (zero codes contribute zero) and slices back."""
+    B, S = ref_sub.shape
+    Q = q_sub.shape[0]
+    bt, qt, st = 256, 128, 512
+    pad = lambda n, m: (-n) % m
+    r = jnp.pad(ref_sub, ((0, pad(B, bt)), (0, pad(S, st))))
+    q = jnp.pad(q_sub, ((0, pad(Q, qt)), (0, pad(S, st))))
+    mats = pair_counter_mats(r, q, bt=bt, qt=qt, st=st)
+    return mats[:B, :Q]

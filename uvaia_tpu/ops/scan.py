@@ -181,6 +181,15 @@ def _pure(codes: jnp.ndarray) -> jnp.ndarray:
     return (pop == 1).astype(jnp.int8)
 
 
+def _use_pallas() -> bool:
+    """Opt-in fused Pallas scoring kernel (ops/pallas_score.py): set
+    UVAIA_TPU_PALLAS=1 on a TPU backend.  Results are bit-identical;
+    the kernel avoids materialising feature planes in HBM."""
+    import os
+    return (os.environ.get("UVAIA_TPU_PALLAS") == "1"
+            and jax.default_backend() == "tpu")
+
+
 def _imm(a, b):
     """int8 x int8 -> int32 contraction over the last axes flattened."""
     a2 = a.reshape(a.shape[0], -1)
@@ -228,6 +237,10 @@ def site_partials(acgt: bool, idx_c, cons_c, idx_mq, q_sub, ref_codes):
     valid_c = jnp.sum(v_rc.astype(jnp.int32), axis=1)
     cons4 = jnp.stack([acgt_c, text_c, part_c, valid_c], axis=-1)
 
+    if _use_pallas():
+        from . import pallas_score
+        mats = pallas_score.mats_via_pallas(rs, q_sub)
+        return cons4, mats
     a_r = _bits(rs) * _pure(rs)[..., None]
     m_r = _bits(rs)
     v_r = (rs != 0).astype(jnp.int8)
