@@ -101,7 +101,6 @@ class MedoidIndex:
 
     def __init__(self, L: int, capacity: int, trim: int,
                  initial_tier: int = 1024):
-        import jax
         import jax.numpy as jnp
         self.jnp = jnp
         self.L = L

@@ -15,7 +15,7 @@ Outputs (identical conventions to nearest.c:198-200, 343, 513-547):
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import jax.numpy as jnp
 import numpy as np

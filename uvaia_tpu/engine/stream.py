@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core.encoding import ENCODE_LUT, encode
+from ..core.encoding import ENCODE_LUT
 from ..io.compress import sniff_codec
 from ..io.fasta import read_fasta
 
