@@ -158,6 +158,12 @@ class MedoidIndex:
                         self.jnp.asarray(batch_codes))
         return np.asarray(d)
 
+    def dists_vs(self, rows: np.ndarray, codes: np.ndarray) -> np.ndarray:
+        """(len(rows), len(codes)) exact mismatches between arbitrary
+        code matrices (used by the blocked final merge)."""
+        d = self._dists(self.jnp.asarray(rows), self.jnp.asarray(codes))
+        return np.asarray(d)
+
     def append(self, rows: np.ndarray) -> None:
         if self.n + rows.shape[0] > self.capacity:
             raise SystemExit("cluster: medoid capacity exceeded; raise "
@@ -290,12 +296,16 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
 
 
 def _merge_clusters(index: MedoidIndex, clusters: list[Cluster],
-                    distance: int) -> list[Cluster]:
+                    distance: int, block: int = 2048) -> list[Cluster]:
+    """Union-find over all medoid pairs within `distance`, computed in
+    (block x M) distance tiles so quarter-million-cluster runs never
+    materialise the full pairwise matrix."""
     if len(clusters) < 2:
         return clusters
+    M = len(clusters)
     codes = np.stack([encode(c.seq) for c in clusters])
-    d = index.pairwise(codes)
-    parent = list(range(len(clusters)))
+    codes_d = index.jnp.asarray(codes)       # upload once for all blocks
+    parent = list(range(M))
 
     def find(x):
         while parent[x] != x:
@@ -303,11 +313,17 @@ def _merge_clusters(index: MedoidIndex, clusters: list[Cluster],
             x = parent[x]
         return x
 
-    ii, jj = np.nonzero(np.triu(d <= distance, k=1))
-    for i, j in zip(ii.tolist(), jj.tolist()):
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[max(ri, rj)] = min(ri, rj)
+    for start in range(0, M, block):
+        rows = codes[start:start + block]
+        d = index.dists_vs(rows, codes_d)        # (b, M)
+        ii, jj = np.nonzero(d <= distance)
+        for i, j in zip(ii.tolist(), jj.tolist()):
+            gi = start + i
+            if j <= gi:
+                continue
+            ri, rj = find(gi), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
     groups: dict[int, list[int]] = {}
     for i in range(len(clusters)):
         groups.setdefault(find(i), []).append(i)
