@@ -185,7 +185,8 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             raise SystemExit(
                 f"{dump_path} is smaller than the checkpoint recorded; "
                 "the dump and checkpoint no longer match")
-    writer = FastaWriter(dump_path, append=ckpt is not None)
+    writer = FastaWriter(dump_path, append=ckpt is not None,
+                     preset=1)  # dump is large; fast xz
     t1 = time.time()
     last_print = 0
     last_ckpt = time.time()
@@ -218,8 +219,6 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             writer.write(batch.names[i], batch.seq(int(i)))
 
     use_prune = cfg.prune and not (cfg.n_devices and cfg.n_devices > 1)
-    if use_prune:
-        scan.build_prune_data(qd, pack)
 
     def _progress(total):
         nonlocal last_print
@@ -233,55 +232,68 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                 f"{time.time()-t1:.1f}s elapsed.")
 
     if use_prune:
-        # ---- two-phase: cheap bound prefilter + compacted exact scan
-        B2 = max(128, cfg.pool // 8)
-        sv_codes = np.zeros((B2, pack.n_sites), dtype=np.uint8)
-        sv_raw = np.zeros((B2, pack.n_sites), dtype=np.uint8)
-        sv_names: list[str] = []
-        sv_idx = np.zeros(B2, dtype=np.int32)
-        sv_m = 0
-        n_pruned = 0
+        scan.build_prune_data(qd, pack)
+        # ---- two-phase: packed upload, device-side survivor buffer.
+        # Phase 1 prunes on-device; surviving rows are compacted into a
+        # device buffer (no re-upload) and phase 2 flushes it when full.
+        L = pack.n_sites
+        cap = 2 * cfg.pool
+        flush_at = min(cap - cfg.pool, max(512, cfg.pool // 4))
+        buf = jnp.zeros((cap, L), dtype=jnp.uint8)
+        buf_idx = jnp.full((cap,), scan.IDX_SENTINEL, dtype=jnp.int32)
+        buf_n = jnp.int32(0)
+        retained: list = []        # batches awaiting flush (names/raw)
+        n_surv, n_buf_prev = 0, 0
 
         def flush_p2():
-            nonlocal state, sv_m, sv_names
-            if sv_m == 0:
+            nonlocal state, buf_n, retained
+            if int(buf_n) == 0:
+                retained = []
                 return
-            ok2 = np.zeros(B2, dtype=bool)
-            ok2[:sv_m] = True
-            state, flags = scan.scan_step_gather(
-                qd, state, jnp.asarray(sv_codes), jnp.asarray(ok2),
-                jnp.asarray(sv_idx))
-            flags = np.asarray(flags)[:sv_m]
-            for i in np.nonzero(flags)[0]:
-                names[int(sv_idx[i])] = sv_names[i]
-                writer.write(sv_names[i], sv_raw[i].tobytes())
-            sv_m, sv_names = 0, []
+            state, flags = scan.flush_survivors(qd, state, buf, buf_idx,
+                                                buf_n)
+            flags = np.asarray(flags)
+            idxs = np.asarray(buf_idx)
+            for slot in np.nonzero(flags)[0]:
+                g = int(idxs[slot])
+                for b in retained:
+                    if b.base_idx <= g < b.base_idx + b.n:
+                        row = g - b.base_idx
+                        names[g] = b.names[row]
+                        writer.write(b.names[row], b.seq(row))
+                        break
+            retained = []
+            buf_n = jnp.int32(0)
 
         for batch in streamer:
-            survive = np.asarray(scan.prune_step(
-                qd, state, jnp.asarray(batch.codes),
-                jnp.asarray(batch.ok)))
-            rows = np.nonzero(survive)[0]
-            n_pruned += batch.n - len(rows)
-            for i in rows:
-                sv_codes[sv_m] = batch.codes[i]
-                sv_raw[sv_m] = batch.raw[i] if batch.raw is not None \
-                    else np.frombuffer(batch.seq(int(i)), dtype=np.uint8)
-                sv_names.append(batch.names[i])
-                sv_idx[sv_m] = batch.base_idx + int(i)
-                sv_m += 1
-                if sv_m == B2:
-                    flush_p2()
+            packed = scan.pack_codes(batch.codes)
+            survive, codes_d = scan.prune_and_hold(
+                qd, state, jnp.asarray(packed), jnp.asarray(batch.ok))
+            buf, buf_idx, buf_n = scan.accumulate_survivors(
+                buf, buf_idx, buf_n, codes_d, survive,
+                np.int32(batch.base_idx))
+            retained.append(batch)
+            n_surv += int(buf_n) - n_buf_prev
+            n_buf_prev = int(buf_n)
+            # rows past the buffer end are silently dropped by the
+            # scatter — flush_at must make this impossible
+            assert n_buf_prev <= cap, "survivor buffer overflow"
+            if n_buf_prev >= flush_at:
+                flush_p2()
+                n_buf_prev = 0
             if cfg.checkpoint is not None and \
                     time.time() - last_ckpt >= cfg.checkpoint_every:
                 flush_p2()
+                n_buf_prev = 0
                 last_ckpt = time.time()
                 _save_ckpt(batch, (np.asarray(state[0]),
                                    np.asarray(state[1])))
             _progress(batch.base_idx + batch.n)
         flush_p2()
-        log(f"Prefilter skipped the exact scan for {n_pruned} of "
-            f"{streamer.stats.count} references (losslessly)")
+        total = streamer.stats.count - streamer.stats.n_invalid - \
+            streamer.stats.same_name
+        log(f"Prefilter skipped the exact scan for {total - n_surv} of "
+            f"{total} references (losslessly)")
     else:
         for batch in streamer:
             # a due checkpoint snapshots the state BEFORE this step (its

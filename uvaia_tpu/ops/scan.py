@@ -392,11 +392,69 @@ jax.tree_util.register_dataclass(
 )
 
 
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Host-side: pack two 4-bit codes per byte (halves H2D traffic).
+    Pads an odd site count with code 0."""
+    B, L = codes.shape
+    if L % 2:
+        codes = np.ascontiguousarray(
+            np.pad(codes, ((0, 0), (0, 1))))
+    pairs = codes.reshape(B, -1, 2)       # contiguous, vectorises cleanly
+    return (pairs[:, :, 0] << 4 | pairs[:, :, 1]).astype(np.uint8)
+
+
+def unpack_codes(packed: jnp.ndarray, n_sites: int) -> jnp.ndarray:
+    """Device-side inverse of pack_codes."""
+    hi = (packed >> 4) & 0xF
+    lo = packed & 0xF
+    both = jnp.stack([hi, lo], axis=-1).reshape(packed.shape[0], -1)
+    return both[:, :n_sites]
+
+
 @functools.partial(jax.jit, donate_argnums=1)
 def scan_step(qd: QueryDeviceData, state, ref_codes, ok, base_idx):
     """One database batch: score + merge. Returns (state, is_best)."""
     scores, _ = score_batch(qd, ref_codes)
     return merge_topk(qd, state, scores, ok, base_idx)
+
+
+@functools.partial(jax.jit, donate_argnums=1)
+def scan_step_packed(qd: QueryDeviceData, state, packed, ok, base_idx):
+    """scan_step on 4-bit-packed codes (see pack_codes)."""
+    scores, _ = score_batch(qd, unpack_codes(packed, qd.n_sites))
+    return merge_topk(qd, state, scores, ok, base_idx)
+
+
+@jax.jit
+def prune_and_hold(qd: QueryDeviceData, state, packed, ok):
+    """Phase 1 on packed codes; returns (survive mask, unpacked codes
+    left on device so phase 2 never re-uploads)."""
+    ref_codes = unpack_codes(packed, qd.n_sites)
+    return prune_step(qd, state, ref_codes, ok), ref_codes
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def accumulate_survivors(buf, buf_idx, buf_n, ref_codes, survive, base_idx):
+    """Compact this batch's surviving rows into the device-resident
+    survivor buffer (zero host round-trips).  Caller guarantees
+    buf_n + B <= capacity by flushing first."""
+    B = ref_codes.shape[0]
+    s32 = survive.astype(jnp.int32)
+    pos = buf_n + jnp.cumsum(s32) - s32
+    cap = buf.shape[0]
+    pos_w = jnp.where(survive, pos, cap)          # cap -> dropped
+    buf = buf.at[pos_w].set(ref_codes, mode="drop")
+    gidx = base_idx + jnp.arange(B, dtype=jnp.int32)
+    buf_idx = buf_idx.at[pos_w].set(gidx, mode="drop")
+    return buf, buf_idx, buf_n + jnp.sum(s32)
+
+
+@functools.partial(jax.jit, donate_argnums=1)
+def flush_survivors(qd: QueryDeviceData, state, buf, buf_idx, buf_n):
+    """Phase 2 over the survivor buffer (slots >= buf_n masked)."""
+    cap = buf.shape[0]
+    ok = jnp.arange(cap, dtype=jnp.int32) < buf_n
+    return scan_step_gather(qd, state, buf, ok, buf_idx)
 
 
 # ----------------------------------------------------------------------

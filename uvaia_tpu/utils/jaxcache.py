@@ -26,8 +26,10 @@ def enable() -> None:
         path = os.path.join(os.path.expanduser("~"), ".cache",
                             "uvaia_tpu_xla")
     try:
-        os.makedirs(path, exist_ok=True)
         import jax
+        if jax.default_backend() != "tpu":
+            return   # CPU AOT artifacts are machine-specific; TPU-only
+        os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
