@@ -96,3 +96,13 @@ def test_decode_roundtrip():
     s = b"ACGTRYSWKMBDHVN-"
     out = DECODE_LUT[encode(s)].tobytes()
     assert out == b"ACGTRYSWKMBDHVNN"
+
+
+def test_pack_unpack_roundtrip():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(9)
+    for L in (10, 11, 256, 29903):
+        codes = rng.integers(0, 15, (3, L)).astype(np.uint8)
+        packed = scan.pack_codes(codes)
+        out = np.asarray(scan.unpack_codes(jnp.asarray(packed), L))
+        np.testing.assert_array_equal(out, codes)

@@ -72,8 +72,11 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
     weights = jnp.asarray(_pad_to(
         dist_ops.mismatch_weights(q_sub, cfg.acgt), 8, axis=1))
 
+    from ..ops.scan import pack_codes, unpack_codes
+
     @jax.jit
-    def step(ref_codes, ok):
+    def step(packed, ok):
+        ref_codes = unpack_codes(packed, L)
         d_cons = dist_ops.cons_mismatches(ref_codes, cons_sites_d,
                                           cons_codes_d, cfg.acgt)
         d_q = dist_ops.pair_mismatches(
@@ -95,7 +98,8 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
             writer.write(batch.names[i], batch.seq(int(i)))
 
     for batch in streamer:
-        keep, _ = step(jnp.asarray(batch.codes), jnp.asarray(batch.ok))
+        keep, _ = step(jnp.asarray(pack_codes(batch.codes)),
+                       jnp.asarray(batch.ok))
         if pending is not None:
             drain(pending)
         pending = (keep, batch)
