@@ -123,35 +123,56 @@ class QueryPack:
             raise RuntimeError("create_indices() must run first")
         Q = self.n_query
         codes = self.codes
-        # pairwise distance over idx (mode-dependent kernel), vectorised
-        sub = codes[:, self.idx].astype(np.int16)           # (Q, P)
+
+        # ---- vectorised pair matrices (one-hot matmuls over the small
+        # polymorphic subset), then the reference's sequential
+        # elimination only walks the conflict-free pairs -------------
+        sub = codes[:, self.idx]                            # (Q, P)
         if self.acgt:
-            both = (IS_PURE[sub] != 0)
-            conflict = lambda i, j: bool(
-                ((both[i] & both[j]) & (sub[i] != sub[j])).any())
+            active = (IS_PURE[sub] != 0)
         else:
-            valid = sub != 0
-            conflict = lambda i, j: bool(
-                ((valid[i] & valid[j]) & (sub[i] != sub[j])).any())
+            active = sub != 0
+        # conflict(i,j): exists a site active in both with different
+        # codes  <=>  (#both-active) > (#both-active-and-equal);
+        # computed as 14 per-code matmuls on the device (no Q x P x 16
+        # one-hot materialisation)
+        import jax
+        import jax.numpy as jnp
 
-        # resolution indicators over idx and idx_m
-        def res_over(ix):
+        act_d = jnp.asarray(active.astype(np.int8))
+        dot = lambda x: np.asarray(
+            jax.lax.dot_general(x, x, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.int32))
+        both_act = dot(act_d)
+        both_eq = np.zeros_like(both_act)
+        sub_d = jnp.asarray(sub)
+        for c in range(1, 15):
+            m_c = ((sub_d == c).astype(jnp.int8) * act_d)
+            both_eq += dot(m_c)
+        conflict_m = both_act > both_eq                     # (Q, Q) bool
+
+        def lr_mats(ix):
             s = codes[:, ix]
-            return (IS_PURE[s] != 0) if self.acgt else (s != 0)
+            r = ((IS_PURE[s] != 0) if self.acgt else (s != 0)
+                 ).astype(np.int8)
+            r_d = jnp.asarray(r)
+            inv = jnp.asarray((1 - r).astype(np.int8))
+            a = np.asarray(jax.lax.dot_general(
+                r_d, inv, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)) > 0
+            return a                     # a[i,j]: i resolved where j not
 
-        r_p = res_over(self.idx)
-        r_m = res_over(self.idx_m)
+        a_p = lr_mats(self.idx)
+        a_m = lr_mats(self.idx_m)
 
-        def lr(r, i, j) -> int:
+        def lr(a, i, j) -> int:
             """left_is_resolved_right (fastaseq.c:598-640): -1 left more
             resolved, +1 right, 0 identical, 0xff incomparable."""
-            a = bool((r[i] & ~r[j]).any())
-            b = bool((~r[i] & r[j]).any())
-            if a and b:
+            if a[i, j] and a[j, i]:
                 return 0xff
-            if a:
+            if a[i, j]:
                 return -1
-            if b:
+            if a[j, i]:
                 return 1
             return 0
 
@@ -159,15 +180,14 @@ class QueryPack:
         for i in range(Q - 1):
             if not valid_q[i]:
                 continue
-            for j in range(i + 1, Q):
+            cands = np.nonzero(~conflict_m[i, i + 1:])[0] + i + 1
+            for j in cands:
                 if not (valid_q[i] and valid_q[j]):
                     continue
-                if conflict(i, j):
-                    continue
-                red1 = lr(r_p, i, j)
+                red1 = lr(a_p, i, j)
                 if red1 > 1:
                     continue
-                red2 = lr(r_m, i, j)
+                red2 = lr(a_m, i, j)
                 if red2 > 1:
                     continue
                 if red1 == 0 and red2 == 0:
