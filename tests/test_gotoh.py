@@ -30,7 +30,7 @@ def oracle_score(ref: bytes, q: bytes) -> int:
     return int(H(n, m))
 
 
-def run(ref: bytes, qs: list[bytes], lo=-16, width=33):
+def run(ref: bytes, qs: list[bytes], lo=-32, width=65):
     n = len(ref)
     m_pad = max(len(q) for q in qs)
     arr = np.zeros((len(qs), m_pad), dtype=np.uint8)
@@ -39,7 +39,7 @@ def run(ref: bytes, qs: list[bytes], lo=-16, width=33):
         arr[b, :len(q)] = np.frombuffer(q, dtype=np.uint8)
         lens[b] = len(q)
     return gotoh.align_batch(np.frombuffer(ref, dtype=np.uint8), arr,
-                             lens, lo, width)
+                             lens, lo, width)[:3]
 
 
 def test_identity_and_snp():
@@ -104,8 +104,8 @@ def test_band_escape_flagged():
     q = ref[:6] + ref[26:]
     aligned, score, ok = run(ref, [q], lo=-8, width=17)
     assert not ok[0]
-    # wider band fixes it and matches the oracle
-    aligned, score, ok = run(ref, [q], lo=-24, width=49)
+    # a band with certificate margin fixes it and matches the oracle
+    aligned, score, ok = run(ref, [q], lo=-48, width=97)
     assert ok[0] and score[0] == oracle_score(ref, q)
 
 
@@ -114,3 +114,21 @@ def test_walk_cost_guards_output():
     ref = b"ACGTACGTACGTACGTACGT"
     _, score, ok = run(ref, [b"ACGTACGTACGTACGTACGT"])
     assert ok.all() and score[0] == 0
+
+
+
+def test_certificate_edge_min():
+    """Sound band certificate: a band excluding the optimum must not
+    certify; a band containing it with any margin certifies, even when
+    the margin is tiny (the edge-diagonal minimum is what matters, not
+    band width)."""
+    ref = b"ACGT" * 30
+    q = ref[:40] + ref[52:]          # 12-base deletion, cost 6+24=30
+    exp = oracle_score(ref, q)
+    assert exp == 30
+    # optimum at d=-12 sits inside lo=-14 with margin 2: certified
+    _, score, ok = run(ref, [q], lo=-14, width=29)
+    assert ok[0] and score[0] == exp
+    # band that cannot reach d=-12: must not certify
+    _, score, ok = run(ref, [q], lo=-8, width=17)
+    assert not ok[0]

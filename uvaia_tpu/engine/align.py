@@ -32,7 +32,7 @@ class AlignConfig:
     ambiguity: float = 0.5
     pool: int = 512               # queries aligned per device batch
     band: int = 1024              # max band width before giving up
-    slack: int = 48               # band slack beyond the length offset
+    slack: int = 64               # band slack beyond the length offset
     to_stdout: bool = False
     output: str | None = None
     print_interval: int = 5000
@@ -63,6 +63,8 @@ class AlignStats:
     rejected_length: int = 0
     rejected_ambiguity: int = 0
     failed_band: int = 0
+    uncertified: int = 0     # emitted but optimality not provable
+                             # within the band cap (WFA-Adapt parity)
 
 
 def _qc(rec: FastaRecord, n: int, ambiguity: float, stats: AlignStats) -> bool:
@@ -95,19 +97,33 @@ def _align_group(ref_arr, recs, lo, width, out, stats, cfg):
     for b, r in enumerate(recs):
         arr[b, :len(r.seq)] = np.frombuffer(r.seq, dtype=np.uint8)
         lens[b] = len(r.seq)
-    aligned, score, ok = gotoh.align_batch(ref_arr, arr, lens, lo, width)
+    aligned, score, ok, consistent, wander = gotoh.align_batch(
+        ref_arr, arr, lens, lo, width)
 
-    retry = [i for i in range(len(recs)) if not ok[i]]
+    retry = []
     for i in range(len(recs)):
         if ok[i]:
             out[id(recs[i])] = aligned[i].tobytes()
+        elif consistent[i] and 2 * wander[i] + abs(len(recs[i].seq) - n) \
+                > cfg.band:
+            # certifying this row would need a band beyond the cap
+            # (high-cost, typically N-heavy sequences); accept the
+            # consistent banded alignment, as WFA-Adapt would
+            stats.uncertified += 1
+            out[id(recs[i])] = aligned[i].tobytes()
+        else:
+            retry.append(i)
     if retry:
         new_width = width * 4
         if new_width > cfg.band * 4:
             for i in retry:
-                log(f"Sequence {recs[i].name}: no alignment within band "
-                    f"{width} (giving up at cap {cfg.band * 4}); skipped")
-                stats.failed_band += 1
+                if consistent[i]:
+                    stats.uncertified += 1
+                    out[id(recs[i])] = aligned[i].tobytes()
+                else:
+                    log(f"Sequence {recs[i].name}: no alignment within "
+                        f"band {width}; skipped")
+                    stats.failed_band += 1
             return
         new_lo = lo - (new_width - width) // 2
         _align_group(ref_arr, [recs[i] for i in retry],
@@ -181,6 +197,7 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
     log(f"Total: {stats.count} read, {stats.n_output} aligned, "
         f"{stats.rejected_length} wrong length, "
         f"{stats.rejected_ambiguity} too ambiguous, "
-        f"{stats.failed_band} failed band cap. "
+        f"{stats.uncertified} uncertified (band cap), "
+        f"{stats.failed_band} failed. "
         f"{time.time()-t0:.3f} secs total.")
     return stats

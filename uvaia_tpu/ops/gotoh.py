@@ -74,7 +74,7 @@ def gotoh_forward(ref: jnp.ndarray, q: jnp.ndarray, qlen: jnp.ndarray,
     x0 = jnp.full((B, W), INF)
 
     def row(carry, i):
-        h_prev, x_prev = carry
+        h_prev, x_prev, edge_min = carry
         j = i + lo + slots                       # (W,) col per slot
         jv = (j >= 0) & (j[None, :] <= qlen[:, None])
 
@@ -118,15 +118,21 @@ def gotoh_forward(ref: jnp.ndarray, q: jnp.ndarray, qlen: jnp.ndarray,
         tb_row = (src | (x_from_ext.astype(jnp.uint8) << 2)
                   | (y_from_ext.astype(jnp.uint8) << 3)
                   | (g_from_x.astype(jnp.uint8) << 4))
-        return (h_row, jnp.minimum(x_row, INF)), tb_row
+        # running minimum over the band-edge diagonals: any path that
+        # ever leaves the band must cross one of them (sound optimality
+        # certificate, see band edge check in align_batch)
+        edge_min = jnp.minimum(edge_min,
+                               jnp.minimum(h_row[:, 0], h_row[:, W - 1]))
+        return (h_row, jnp.minimum(x_row, INF), edge_min), tb_row
 
-    (h_fin, _), tb = jax.lax.scan(
-        row, (h0, x0), jnp.arange(1, n + 1, dtype=jnp.int32))
+    edge0 = jnp.minimum(h0[:, 0], h0[:, W - 1])
+    (h_fin, _, edge_min), tb = jax.lax.scan(
+        row, (h0, x0, edge0), jnp.arange(1, n + 1, dtype=jnp.int32))
 
     t_end = qlen - n - lo
     score = h_fin[jnp.arange(B), jnp.clip(t_end, 0, W - 1)]
     score = jnp.where((t_end >= 0) & (t_end < W), score, INF)
-    return tb, score, t_end
+    return tb, score, t_end, edge_min
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -217,13 +223,30 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
 def align_batch(ref: np.ndarray, queries: np.ndarray, qlens: np.ndarray,
                 lo: int, width: int):
     """Host wrapper: forward + traceback.  Returns (aligned (B, n) uint8,
-    score (B,), ok (B,) — exact-and-in-band flag)."""
-    tb, score, t_end = gotoh_forward(
+    score (B,), ok (B,) — provably-optimal-and-consistent flag)."""
+    tb, score, t_end, edge_min = gotoh_forward(
         jnp.asarray(ref), jnp.asarray(queries),
         jnp.asarray(qlens, dtype=jnp.int32), lo, width)
     aligned, done, edge, walk_cost = gotoh_traceback(
         tb, jnp.asarray(ref), jnp.asarray(queries), t_end, lo, ref.shape[0])
     score = np.asarray(score)
-    ok = (np.asarray(done) & ~np.asarray(edge) & (score < (1 << 27))
-          & (np.asarray(walk_cost) == score))
-    return np.asarray(aligned), score, ok
+    # sound optimality certificate: any path that ever leaves the band
+    # crosses an edge diagonal (diagonals change by 1 per gap char) and
+    # then needs >= one gap char out and one back, costing 2*GAP_EXT
+    # beyond the edge cell's DP value.  If the banded score beats that,
+    # no out-of-band path can win.  ("The in-band optimum does not
+    # touch the edge" is NOT sound — a cheaper path may lie entirely
+    # outside the band.)
+    gamma = np.asarray(edge_min).astype(np.int64) + 2 * GAP_EXT
+    # second certificate: a path of cost c wanders at most c/(2e)
+    # diagonals beyond the [0, d_end] hull (out + back costs >= 2e per
+    # diagonal), so a band covering that hull +/- c/(2e) provably
+    # contains the global optimum
+    d_end = qlens.astype(np.int64) - ref.shape[0]
+    wander = score.astype(np.int64) // (2 * GAP_EXT) + 1
+    covered = ((np.minimum(0, d_end) - wander >= lo)
+               & (np.maximum(0, d_end) + wander <= lo + width - 1))
+    consistent = (np.asarray(done) & (score < (1 << 27))
+                  & (np.asarray(walk_cost) == score))
+    ok = consistent & ((score < gamma) | covered)
+    return np.asarray(aligned), score, ok, consistent, wander
