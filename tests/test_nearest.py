@@ -55,7 +55,7 @@ def test_run_nearest_end_to_end(tmp_path, acgt, monkeypatch):
     ref_valid = (ref_codes != 0).sum(axis=1)
     ora_scores, ora_topk = oracle.nearest_oracle(
         ref_codes, ref_valid, pack.codes, pack.consensus,
-        pack.idx_c, pack.idx_mq, k=k, acgt=acgt)
+        pack.idx_c, pack.idx_m, pack.idx, k=k, acgt=acgt)
 
     np.testing.assert_array_equal(res.indices, ora_topk)
     for qi in range(nq):

@@ -42,7 +42,7 @@ def test_scores_match_oracle(acgt, trim):
 
     ora_scores, _ = oracle.nearest_oracle(
         ref_codes, ref_valid, pack.codes, pack.consensus,
-        pack.idx_c, pack.idx_mq, k=5, acgt=acgt)
+        pack.idx_c, pack.idx_m, pack.idx, k=5, acgt=acgt)
 
     qd = scan.build_device_data(pack, k=5)
     import jax.numpy as jnp
@@ -64,7 +64,7 @@ def test_streamed_topk_matches_oracle(acgt):
 
     ora_scores, ora_topk = oracle.nearest_oracle(
         ref_codes, ref_valid, pack.codes, pack.consensus,
-        pack.idx_c, pack.idx_mq, k=k, acgt=acgt)
+        pack.idx_c, pack.idx_m, pack.idx, k=k, acgt=acgt)
 
     qd = scan.build_device_data(pack, k=k)
     state = scan.init_state(pack.n_query, k)

@@ -93,19 +93,24 @@ def six_scores_full(ref: np.ndarray, query: np.ndarray, consensus: np.ndarray,
 
 
 def six_scores_acgt(ref: np.ndarray, query: np.ndarray, consensus: np.ndarray,
-                    idx_c: np.ndarray, idx_mq: np.ndarray, ref_valid_sites: int):
-    """Six-score tuple for --acgt mode (nearest.c:443-477)."""
+                    idx_c: np.ndarray, idx_m: np.ndarray, idx_p: np.ndarray,
+                    ref_valid_sites: int):
+    """Six-score tuple for --acgt mode (nearest.c:443-477): score[4]
+    (dist_consensus) is mismatches over idx_c + idx_m (the reference
+    accumulates the idx_m stage into result[0] before reading it), and
+    score[5] (dist_unique) is mismatches over the polymorphic idx only."""
     mm_c, va_c = pair_counters_acgt(consensus, ref, idx_c)
-    mm_m, va_m = pair_counters_acgt(query, ref, idx_mq)
-    matches = (va_c + va_m) - (mm_c + mm_m)
+    mm_m, va_m = pair_counters_acgt(query, ref, idx_m)
+    mm_p, va_p = pair_counters_acgt(query, ref, idx_p)
+    matches = (va_c + va_m + va_p) - (mm_c + mm_m + mm_p)
     cons_matches = va_c - mm_c
     return (
         matches,              # ACGT_matches
-        va_c + va_m,          # valid_ACGT_comparisons
+        va_c + va_m + va_p,   # valid_ACGT_comparisons
         matches - cons_matches,  # ACGT_matches_unique
         ref_valid_sites,      # valid_ref_sites
-        mm_c,                 # dist_consensus (mismatches vs consensus part)
-        mm_m,                 # dist_unique    (mismatches vs this query part)
+        mm_c + mm_m,          # dist_consensus
+        mm_p,                 # dist_unique
     )
 
 
@@ -124,7 +129,7 @@ def rank_refs(scores: np.ndarray, k: int) -> np.ndarray:
 
 def nearest_oracle(ref_codes: np.ndarray, ref_valid: np.ndarray,
                    query_codes: np.ndarray, consensus: np.ndarray,
-                   idx_c: np.ndarray, idx_mq: np.ndarray,
+                   idx_c: np.ndarray, idx_m: np.ndarray, idx_p: np.ndarray,
                    k: int, acgt: bool = False):
     """Full nearest-neighbour oracle.
 
@@ -134,11 +139,17 @@ def nearest_oracle(ref_codes: np.ndarray, ref_valid: np.ndarray,
     Returns (scores, topk): scores (B, Q, 6) int32; topk (Q, <=k) ref indices.
     """
     B, Q = ref_codes.shape[0], query_codes.shape[0]
-    fn = six_scores_acgt if acgt else six_scores_full
+    idx_mq = np.sort(np.concatenate([idx_m, idx_p]))
     scores = np.zeros((B, Q, 6), dtype=np.int32)
     for b in range(B):
         for q in range(Q):
-            scores[b, q] = fn(ref_codes[b], query_codes[q], consensus,
-                              idx_c, idx_mq, int(ref_valid[b]))
+            if acgt:
+                scores[b, q] = six_scores_acgt(
+                    ref_codes[b], query_codes[q], consensus,
+                    idx_c, idx_m, idx_p, int(ref_valid[b]))
+            else:
+                scores[b, q] = six_scores_full(
+                    ref_codes[b], query_codes[q], consensus,
+                    idx_c, idx_mq, int(ref_valid[b]))
     topk = [rank_refs(scores[:, q, :], k) for q in range(Q)]
     return scores, np.array(topk)

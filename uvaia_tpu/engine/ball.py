@@ -11,6 +11,12 @@ src/ball.c:137-289 + the staged distance decomposition of
 computed densely on device (the truncated early exits of the C code
 only affect speed, not the keep/drop decision).  Redundant query
 sequences are always removed first (ball.c:190).
+
+Documented deviation: the reference-quality threshold follows the
+nearest convention, rejecting refs with fewer than (1-ref_ambiguity)*L
+valid sites.  ball.c:201 instead computes non_n_ref = nchar * ambig_r
+(inconsistent with nearest.c:237 and with the flag's help text); we
+treat that as an upstream slip and keep the nearest semantics.
 """
 
 from __future__ import annotations

@@ -64,7 +64,9 @@ class Cluster:
     seq: bytes
     non_n: int
     dist_ref: int
-    first_snp: int
+    snp_pos: tuple      # positions of the first -s SNPs vs the reference
+                        # (sort tiebreak, quick_pairwise_score_reference
+                        # fastaseq.c:522-537)
     neighbours: list[str] = field(default_factory=list)
 
 
@@ -183,15 +185,19 @@ class MedoidIndex:
 
 def _seq_stats(codes: np.ndarray, ref_codes: np.ndarray, window: np.ndarray,
                n_snps: int):
-    """(non_n, dist_ref, first_snp_pos) per row, as in
+    """(non_n, dist_ref, first-n_snps SNP positions) per row, as in
     quick_pairwise_score_reference (fastaseq.c:522-537)."""
     valid = codes != 0
     non_n = valid.sum(axis=1).astype(np.int64)
     vpair = valid & (ref_codes != 0)[None, :] & window[None, :]
     mism = vpair & (codes != ref_codes[None, :])
     dist_ref = mism.sum(axis=1).astype(np.int64)
-    first = np.where(mism.any(axis=1), mism.argmax(axis=1), -1)
-    return non_n, dist_ref, first
+    snp_pos = []
+    for row in mism:
+        pos = np.flatnonzero(row)[:max(n_snps, 0)]
+        snp_pos.append(tuple(int(p) for p in pos)
+                       + (-1,) * (n_snps - len(pos)))
+    return non_n, dist_ref, snp_pos
 
 
 def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
@@ -216,7 +222,7 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
     def process(names, seqs):
         codes = np.stack([encode(s) for s in seqs])
         non_n, dist_ref, first = _seq_stats(codes, ref_codes, window,
-                                            cfg.snps)
+                                            cfg.snps)  # first = snp tuples
         d_med = index.distances(codes)               # (B, M) exact
         d_self = index.pairwise(codes)               # (B, B)
         new_rows: list[int] = []                     # batch rows that
@@ -234,7 +240,7 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
                         break
             if target < 0:
                 clusters.append(Cluster(names[b], seqs[b], int(non_n[b]),
-                                        int(dist_ref[b]), int(first[b])))
+                                        int(dist_ref[b]), first[b]))
                 new_rows.append(b)
                 new_cl.append(len(clusters) - 1)
             else:
@@ -244,7 +250,7 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
                     cl.name, cl.seq = names[b], seqs[b]
                     cl.non_n = int(non_n[b])
                     cl.dist_ref = int(dist_ref[b])
-                    cl.first_snp = int(first[b])
+                    cl.snp_pos = first[b]
                     if target < index.n:             # in-store medoid
                         index.replace(target, codes[b])
                     else:                            # opened this batch
@@ -282,8 +288,10 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
     log(f"{count} sequences -> {len(merged)} clusters after merge "
         f"({time.time()-t0:.3f}s)")
 
+    # compare_fastaseq order (fastaseq.c:23-40): member count, then
+    # dist-to-ref, then the tracked SNP positions, then resolution
     merged.sort(key=lambda c: (-len(c.neighbours), -c.dist_ref,
-                               -c.first_snp, -c.non_n))
+                               tuple(-p for p in c.snp_pos), -c.non_n))
     with open_write(cfg.prefix + ".csv.xz") as fh:
         for c in merged:
             fh.write((",".join([c.name] + c.neighbours) + "\n").encode())

@@ -111,7 +111,9 @@ def run_nearest(ref_paths: list[str], query_path: str,
 
 def _run_nearest(ref_paths: list[str], query_path: str,
                  cfg: NearestConfig) -> NearestResult:
+    from ..utils.observe import Chronometer
     cfg.clamp()
+    chrono = Chronometer()
     t0 = time.time()
     pack = build_query_pack(query_path, trim=cfg.trim, acgt=cfg.acgt,
                             ambiguity=cfg.query_ambiguity,
@@ -138,8 +140,9 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         log(f"Sharded scan over mesh (db={n_db}, site={cfg.site_shards})")
     else:
         qd = scan.build_device_data(pack, k=cfg.nbest)
-        step_fn = lambda st, codes, ok, base: scan.scan_step(
-            qd, st, codes, ok, base)
+        step_fn = lambda st, codes, ok, base: scan.scan_step_packed(
+            qd, st, jnp.asarray(scan.pack_codes(np.asarray(codes))),
+            ok, base)
     state = scan.init_state(pack.n_query, cfg.nbest)
 
     # ---- checkpoint / resume -----------------------------------------
@@ -209,7 +212,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             state_scores=state_host[0], state_idx=state_host[1],
             names=names, config_key=ckpt_key,
             dump_bytes=_os.path.getsize(dump_path)))
-        writer = FastaWriter(dump_path, append=True)
+        writer = FastaWriter(dump_path, append=True, preset=1)
 
     def _drain(pending):
         flags, batch = pending
@@ -242,13 +245,16 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         buf = jnp.zeros((cap, L), dtype=jnp.uint8)
         buf_idx = jnp.full((cap,), scan.IDX_SENTINEL, dtype=jnp.int32)
         buf_n = jnp.int32(0)
-        retained: list = []        # batches awaiting flush (names/raw)
+        # host copies of only the SURVIVOR rows (name + raw sequence),
+        # keyed by global index — retaining whole batches until flush
+        # would grow without bound when the prefilter prunes well
+        retained: dict[int, tuple[str, bytes]] = {}
         n_surv, n_buf_prev = 0, 0
 
         def flush_p2():
             nonlocal state, buf_n, retained
             if int(buf_n) == 0:
-                retained = []
+                retained = {}
                 return
             state, flags = scan.flush_survivors(qd, state, buf, buf_idx,
                                                 buf_n)
@@ -256,13 +262,10 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             idxs = np.asarray(buf_idx)
             for slot in np.nonzero(flags)[0]:
                 g = int(idxs[slot])
-                for b in retained:
-                    if b.base_idx <= g < b.base_idx + b.n:
-                        row = g - b.base_idx
-                        names[g] = b.names[row]
-                        writer.write(b.names[row], b.seq(row))
-                        break
-            retained = []
+                nm, seq = retained[g]
+                names[g] = nm
+                writer.write(nm, seq)
+            retained = {}
             buf_n = jnp.int32(0)
 
         for batch in streamer:
@@ -272,7 +275,9 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             buf, buf_idx, buf_n = scan.accumulate_survivors(
                 buf, buf_idx, buf_n, codes_d, survive,
                 np.int32(batch.base_idx))
-            retained.append(batch)
+            for i in np.nonzero(np.asarray(survive))[0]:
+                g = batch.base_idx + int(i)
+                retained[g] = (batch.names[i], batch.seq(int(i)))
             n_surv += int(buf_n) - n_buf_prev
             n_buf_prev = int(buf_n)
             # rows past the buffer end are silently dropped by the
@@ -304,7 +309,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             if ckpt_due:
                 state_host = (np.asarray(state[0]), np.asarray(state[1]))
             state, flags_d = step_fn(
-                state, jnp.asarray(batch.codes), jnp.asarray(batch.ok),
+                state, batch.codes, jnp.asarray(batch.ok),
                 np.int32(batch.base_idx))
             if pending is not None:
                 prev = pending[1]
@@ -336,5 +341,5 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             "query alignment (based on name only).")
     result.write_csv(cfg.prefix + ".csv.xz")
     log(f"Saved distance table to {cfg.prefix}.csv.xz ; "
-        f"{time.time()-t0:.2f}s total.")
+        f"{chrono.total():.2f}s total.")
     return result

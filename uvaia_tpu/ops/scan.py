@@ -78,6 +78,11 @@ class QueryDeviceData:
     amb_sites: jnp.ndarray | None  # (A,) int32 global site indices
     w_part: jnp.ndarray | None     # (Q, A, 16) int8 partial-match corr
     w_text: jnp.ndarray | None     # (Q, A, 16) int8 text-match corr
+    # --acgt mode only: the polymorphic subset separated out, because
+    # score[5] (dist_unique) counts mismatches over idx alone while
+    # score[4] (dist_consensus) covers idx_c + idx_m (nearest.c:443-477)
+    idx_poly: jnp.ndarray | None = None   # (P,) int32
+    q_poly: jnp.ndarray | None = None     # (Q, P) uint8
     # phase-1 prefilter data (built on demand, see build_prune_data):
     u_base: jnp.ndarray | None = None    # (L,) uint8 unanimous base code,
                                          # 0 at segregating/out-of-window
@@ -115,6 +120,12 @@ def build_device_data(pack: QueryPack, k: int,
             w_text = eq_amb.astype(np.int8)
             amb_sites = sites
 
+    idx_poly = q_poly = None
+    if pack.acgt:
+        ip = pack.idx.astype(np.int32)
+        idx_poly = _pad_to(ip, mult)
+        q_poly = _pad_to(pack.codes[:, ip], mult, axis=1)
+
     qd = QueryDeviceData(
         acgt=pack.acgt,
         n_query=pack.n_query,
@@ -128,6 +139,8 @@ def build_device_data(pack: QueryPack, k: int,
         amb_sites=None if amb_sites is None else jnp.asarray(amb_sites),
         w_part=None if w_part is None else jnp.asarray(w_part),
         w_text=None if w_text is None else jnp.asarray(w_text),
+        idx_poly=None if idx_poly is None else jnp.asarray(idx_poly),
+        q_poly=None if q_poly is None else jnp.asarray(q_poly),
     )
     return qd
 
@@ -202,12 +215,15 @@ def _imm(a, b):
 # ----------------------------------------------------------------------
 # scoring, split into (a) site-summable partials and (b) assembly
 
-def site_partials(acgt: bool, idx_c, cons_c, idx_mq, q_sub, ref_codes):
+def site_partials(acgt: bool, idx_c, cons_c, idx_mq, q_sub, ref_codes,
+                  idx_poly=None, q_poly=None):
     """Counter contributions that sum over sites.
 
-    Returns (cons (B, 4) int32, mats (B, Q, 3) int32); in --acgt mode
-    only cons[:, :2] and mats[:, :, :2] are meaningful.  Under a 'site'
-    mesh axis these are the psum-reducible partials.
+    Returns (cons (B, 4) int32, mats (B, Q, 3|4) int32); --acgt mode
+    uses cons[:, :2] and a 4-wide mats whose last two slots are the
+    polymorphic-subset pair counts (needed for the reference's s4/s5
+    split, nearest.c:443-477).  Under a 'site' mesh axis these are the
+    psum-reducible partials.
     """
     rc = jnp.take(ref_codes, idx_c, axis=1)           # (B, Lc)
     cons = cons_c[None, :]
@@ -225,7 +241,14 @@ def site_partials(acgt: bool, idx_c, cons_c, idx_mq, q_sub, ref_codes):
         a_q = _bits(q_sub) * p_q[..., None]
         s_pp = _imm(p_r, p_q)
         s_aa = _imm(a_r, a_q)
-        mats = jnp.stack([s_pp, s_aa, s_aa * 0], axis=-1)
+        rp = jnp.take(ref_codes, idx_poly, axis=1)    # (B, P)
+        pp_r = _pure(rp)
+        ap_r = _bits(rp) * pp_r[..., None]
+        pp_q = _pure(q_poly)
+        ap_q = _bits(q_poly) * pp_q[..., None]
+        s_pp_p = _imm(pp_r, pp_q)
+        s_aa_p = _imm(ap_r, ap_q)
+        mats = jnp.stack([s_pp, s_aa, s_pp_p, s_aa_p], axis=-1)
         return cons4, mats
 
     v_rc = (rc != 0) & (cons != 0)
@@ -259,12 +282,14 @@ def assemble_scores(qd: QueryDeviceData, ref_codes, cons4, mats):
     if qd.acgt:
         mm_c, va_c = cons4[:, 0], cons4[:, 1]
         s_pp, s_aa = mats[..., 0], mats[..., 1]
+        mm_poly = mats[..., 2] - mats[..., 3]   # mismatches over idx alone
+        mm_m = (s_pp - s_aa) - mm_poly          # mismatches over idx_m
         s0 = (va_c - mm_c)[:, None] + s_aa
         s1 = va_c[:, None] + s_pp
         s2 = s_aa
         s3 = jnp.broadcast_to(valid_sites[:, None], s_aa.shape)
-        s4 = jnp.broadcast_to(mm_c[:, None], s_aa.shape)
-        s5 = s_pp - s_aa
+        s4 = mm_c[:, None] + mm_m       # dist_consensus (idx_c + idx_m)
+        s5 = mm_poly                    # dist_unique (polymorphic idx)
     else:
         acgt_c, text_c, part_c, valid_c = (cons4[:, i] for i in range(4))
         s_aa, s_mm, s_vv = (mats[..., i] for i in range(3))
@@ -288,7 +313,8 @@ def assemble_scores(qd: QueryDeviceData, ref_codes, cons4, mats):
 def score_batch(qd: QueryDeviceData, ref_codes: jnp.ndarray):
     """(B, Q, 6) int32 six-score tensor + per-ref valid-site counts."""
     cons4, mats = site_partials(qd.acgt, qd.idx_c, qd.cons_c,
-                                qd.idx_mq, qd.q_sub, ref_codes)
+                                qd.idx_mq, qd.q_sub, ref_codes,
+                                qd.idx_poly, qd.q_poly)
     scores = assemble_scores(qd, ref_codes, cons4, mats)
     return scores, scores[..., 5 if not qd.acgt else 3][:, 0]
 
@@ -346,31 +372,36 @@ def select_topk(qd: QueryDeviceData, scores, idx, k):
     return out_scores, out_idx
 
 
-def batch_flags_and_idx(qd, state, scores, ok, base_idx):
+def batch_flags_and_idx(qd, state, scores, ok, base_idx, ref_idx=None):
     """is_best flags (would this ref enter any query's current top-k?)
-    and the per-row global database indices."""
+    and the per-row global database indices.  Pass `ref_idx` for a
+    compacted batch with explicit (non-contiguous) indices."""
     st_scores, _ = state
     cand_keys = _keys(qd, scores)                     # (B, Q, nk)
     cand_keys = jnp.where(ok[:, None, None], cand_keys, INT32_MIN)
     thr = _keys(qd, st_scores[:, qd.k - 1, :])        # (Q, nk)
     is_best = jnp.any(_lex_gt(cand_keys, thr[None, :, :]), axis=1) & ok
-    B = scores.shape[0]
-    batch_idx = base_idx + jnp.arange(B, dtype=jnp.int32)
-    batch_idx = jnp.where(ok, batch_idx, IDX_SENTINEL)
+    if ref_idx is None:
+        B = scores.shape[0]
+        ref_idx = base_idx + jnp.arange(B, dtype=jnp.int32)
+    batch_idx = jnp.where(ok, ref_idx, IDX_SENTINEL)
     return is_best, batch_idx
 
 
-def merge_topk(qd: QueryDeviceData, state, scores, ok, base_idx):
+def merge_topk(qd: QueryDeviceData, state, scores, ok, base_idx,
+               ref_idx=None):
     """Merge a scored batch into the running per-query top-k.
 
     state  — (scores (Q,k,6), idx (Q,k))
     scores — (B, Q, 6) int32 batch scores
     ok     — (B,) bool valid-row mask (padding/QC rejects False)
-    base_idx — scalar int32 global index of batch row 0
+    base_idx — scalar int32 global index of batch row 0 (or pass
+    ref_idx — explicit per-row indices for compacted batches)
     Returns (new_state, is_best (B,) bool).
     """
     st_scores, st_idx = state
-    is_best, batch_idx = batch_flags_and_idx(qd, state, scores, ok, base_idx)
+    is_best, batch_idx = batch_flags_and_idx(qd, state, scores, ok,
+                                             base_idx, ref_idx)
     all_scores = jnp.concatenate(
         [st_scores, jnp.transpose(scores, (1, 0, 2))], axis=1)
     all_idx = jnp.concatenate(
@@ -386,7 +417,8 @@ def merge_topk(qd: QueryDeviceData, state, scores, ok, base_idx):
 jax.tree_util.register_dataclass(
     QueryDeviceData,
     data_fields=["idx_c", "cons_c", "idx_mq", "q_sub", "amb_sites",
-                 "w_part", "w_text", "u_base", "q_pure_u", "idx_p",
+                 "w_part", "w_text", "idx_poly", "q_poly",
+                 "u_base", "q_pure_u", "idx_p",
                  "pure_p_q", "amb_tot_q"],
     meta_fields=["acgt", "n_query", "n_sites", "k", "pack_keys"],
 )
@@ -514,19 +546,6 @@ def scan_step_gather(qd: QueryDeviceData, state, ref_codes, ok, ref_idx):
     """Phase 2: like scan_step but for a compacted survivor batch with
     explicit (non-contiguous) global database indices."""
     scores, _ = score_batch(qd, ref_codes)
-    st_scores, st_idx = state
-    cand_keys = _keys(qd, scores)
-    cand_keys = jnp.where(ok[:, None, None], cand_keys, INT32_MIN)
-    thr = _keys(qd, st_scores[:, qd.k - 1, :])
-    is_best = jnp.any(_lex_gt(cand_keys, thr[None, :, :]), axis=1) & ok
-    batch_idx = jnp.where(ok, ref_idx, IDX_SENTINEL)
-
-    all_scores = jnp.concatenate(
-        [st_scores, jnp.transpose(scores, (1, 0, 2))], axis=1)
-    all_idx = jnp.concatenate(
-        [st_idx, jnp.broadcast_to(batch_idx[None, :],
-                                  (qd.n_query, scores.shape[0]))], axis=1)
-    new_scores, new_idx = select_topk(qd, all_scores, all_idx, qd.k)
-    return (new_scores, new_idx), is_best
+    return merge_topk(qd, state, scores, ok, jnp.int32(0), ref_idx=ref_idx)
 
 

@@ -48,10 +48,11 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
     has_amb = qd.amb_sites is not None
 
     def local_step(st_scores, st_idx, idx_c, cons_c, idx_mq, q_sub,
-                   amb, ref_codes, ok, base_idx):
+                   amb, poly, ref_codes, ok, base_idx):
         b_loc = ref_codes.shape[0]
-        cons4, mats = scan.site_partials(qd.acgt, idx_c, cons_c,
-                                         idx_mq, q_sub, ref_codes)
+        cons4, mats = scan.site_partials(
+            qd.acgt, idx_c, cons_c, idx_mq, q_sub, ref_codes,
+            poly[0] if qd.acgt else None, poly[1] if qd.acgt else None)
         cons4, mats = jax.lax.psum((cons4, mats), "site")
         # rebuild a local view so the big query arrays stay jit
         # arguments (not HLO constants; see QueryDeviceData docstring)
@@ -91,12 +92,14 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
         return new_scores, new_idx, is_best
 
     amb_spec = (P(), P(), P()) if has_amb else P()
+    poly_spec = (P("site"), P(None, "site")) if qd.acgt else P()
     mapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(),                     # state (replicated)
                   P("site"), P("site"),         # idx_c, cons_c
                   P("site"), P(None, "site"),   # idx_mq, q_sub
                   amb_spec,                     # amb correction tables
+                  poly_spec,                    # acgt polymorphic subset
                   P("db", None),                # ref rows over db
                   P("db"), P()),                # ok, base_idx
         out_specs=(P(), P(), P("db")),
@@ -104,12 +107,13 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
     )
 
     amb = (qd.amb_sites, qd.w_part, qd.w_text) if has_amb else ()
+    poly = (qd.idx_poly, qd.q_poly) if qd.acgt else ()
 
     @functools.partial(jax.jit, donate_argnums=0)
     def step(state, ref_codes, ok, base_idx):
         new_scores, new_idx, is_best = mapped(
             state[0], state[1], qd.idx_c, qd.cons_c, qd.idx_mq, qd.q_sub,
-            amb, ref_codes, ok, base_idx)
+            amb, poly, ref_codes, ok, base_idx)
         return (new_scores, new_idx), is_best
 
     return step

@@ -36,33 +36,6 @@ class Chronometer:
         return time.monotonic() - self.t0
 
 
-@dataclass
-class Meter:
-    """Throughput counter with throttled reporting."""
-
-    name: str
-    unit: str = "items"
-    interval: int = 10000
-    count: int = 0
-    _last_report: int = 0
-    _chrono: Chronometer = field(default_factory=Chronometer)
-
-    def add(self, n: int) -> bool:
-        """Returns True when a progress line is due."""
-        self.count += n
-        if self.count - self._last_report >= self.interval:
-            self._last_report = self.count
-            return True
-        return False
-
-    def rate(self) -> float:
-        return self.count / max(self._chrono.total(), 1e-9)
-
-    def line(self) -> str:
-        return (f"{self.count:,} {self.unit} processed, "
-                f"{self.rate():,.0f}/s, {self._chrono.total():.1f}s elapsed")
-
-
 @contextlib.contextmanager
 def maybe_profile():
     """jax.profiler trace when UVAIA_TPU_PROFILE is set to a directory."""
