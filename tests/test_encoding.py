@@ -85,3 +85,25 @@ def test_partial_weight():
     assert partial_weight(t, w) == 0.5            # utils.c:73 comment
     assert partial_weight(t, t) == 1.0
     assert partial_weight(0, t) == 0.0
+
+
+def test_acgt_six_scores_handcrafted():
+    """Pins the --acgt dist column split (nearest.c:443-477): score[4]
+    covers idx_c + idx_m mismatches, score[5] the polymorphic idx only."""
+    from uvaia_tpu.core.oracle import six_scores_acgt
+
+    #            0    1    2    3
+    # consensus  A    C    G    (T)
+    cons = np.array([1, 2, 4, 8], dtype=np.uint8)
+    query = np.array([1, 2, 4, 8], dtype=np.uint8)
+    # ref mismatches at site 0 (idx_c), site 1 (idx_m), site 3 (idx)
+    ref = np.array([2, 4, 4, 1], dtype=np.uint8)
+    idx_c = np.array([0])
+    idx_m = np.array([1, 2])
+    idx_p = np.array([3])
+    s = six_scores_acgt(ref, query, cons, idx_c, idx_m, idx_p,
+                        ref_valid_sites=4)
+    # matches: only site 2; valid acgt pairs: all 4
+    assert s[0] == 1 and s[1] == 4
+    assert s[4] == 2     # dist_consensus = mm(idx_c) + mm(idx_m) = 1+1
+    assert s[5] == 1     # dist_unique = mm(idx) = 1
