@@ -98,7 +98,8 @@ def test_exclude_self_and_reject(tmp_path, monkeypatch):
 
 
 @pytest.mark.parametrize("acgt", [False, True])
-def test_pruned_equals_dense(tmp_path, acgt, monkeypatch):
+@pytest.mark.parametrize("trim", [0, 17])
+def test_pruned_equals_dense(tmp_path, acgt, trim, monkeypatch):
     """The two-phase upper-bound prefilter is lossless: identical CSV."""
     monkeypatch.chdir(tmp_path)
     rng = np.random.default_rng(55)
@@ -109,10 +110,10 @@ def test_pruned_equals_dense(tmp_path, acgt, monkeypatch):
                 random_seqs(rng, nr, L, mut=0.05))
     dense = run_nearest(["db.fa"], "q.fa",
                         NearestConfig(nbest=k, pool=16, output="dense",
-                                      acgt=acgt, prune=False))
+                                      acgt=acgt, trim=trim, prune=False))
     pruned = run_nearest(["db.fa"], "q.fa",
                          NearestConfig(nbest=k, pool=16, output="pruned",
-                                       acgt=acgt, prune=True))
+                                       acgt=acgt, trim=trim, prune=True))
     np.testing.assert_array_equal(pruned.indices, dense.indices)
     np.testing.assert_array_equal(pruned.scores, dense.scores)
     with lzma.open("dense.csv.xz", "rt") as f:
