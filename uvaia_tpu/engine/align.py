@@ -88,9 +88,20 @@ def _qc(rec: FastaRecord, n: int, ambiguity: float, stats: AlignStats) -> bool:
     return True
 
 
+TB_BUDGET = 2 << 30     # traceback buffer cap (bytes): B * n * W
+
+
 def _align_group(ref_arr, recs, lo, width, out, stats, cfg):
     """Align one batch group; escalate band for rows that escape."""
     n = ref_arr.shape[0]
+    # the packed traceback is B*n*W bytes in HBM; split the group so a
+    # band escalation cannot blow device memory
+    max_rows = max(1, TB_BUDGET // max(n * width, 1))
+    if len(recs) > max_rows:
+        for start in range(0, len(recs), max_rows):
+            _align_group(ref_arr, recs[start:start + max_rows],
+                         lo, width, out, stats, cfg)
+        return
     m_pad = _round_up(max(len(r.seq) for r in recs), 256)
     arr = np.zeros((len(recs), m_pad), dtype=np.uint8)
     lens = np.zeros(len(recs), dtype=np.int32)
