@@ -84,3 +84,43 @@ def test_checkpoint_config_mismatch(tmp_path, monkeypatch):
                          checkpoint="c.ckpt")
     with pytest.raises(SystemExit, match="different run configuration"):
         run_nearest(["db.fa"], "q.fa", cfg2)
+
+
+def test_resume_python_reader_path(tmp_path, monkeypatch):
+    """skip_records must behave identically through the pure-Python
+    reader (bz2 / no native lib)."""
+    monkeypatch.setenv("UVAIA_TPU_NO_NATIVE", "1")
+    import uvaia_tpu.io.native as native
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_failed", False)
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(91)
+    L, nr, k = 350, 50, 4
+    write_fasta("q.fa", ["q0"], random_seqs(rng, 1, L))
+    write_fasta("db.fa", [f"r{i}" for i in range(nr)],
+                random_seqs(rng, nr, L))
+    ref = run_nearest(["db.fa"], "q.fa",
+                      NearestConfig(nbest=k, pool=16, output="full"))
+    import uvaia_tpu.engine.nearest as nearest_mod
+    count = {"n": 0}
+    orig = nearest_mod.scan.flush_survivors
+
+    def crashing(*a, **kw):
+        if count["n"] >= 1:
+            raise _Boom("x")
+        count["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(nearest_mod.scan, "flush_survivors", crashing)
+    with pytest.raises(_Boom):
+        run_nearest(["db.fa"], "q.fa",
+                    NearestConfig(nbest=k, pool=16, output="p",
+                                  checkpoint="c2.ckpt",
+                                  checkpoint_every=0.0))
+    monkeypatch.setattr(nearest_mod.scan, "flush_survivors", orig)
+    res = run_nearest(["db.fa"], "q.fa",
+                      NearestConfig(nbest=k, pool=16, output="p",
+                                    checkpoint="c2.ckpt",
+                                    checkpoint_every=1e9))
+    np.testing.assert_array_equal(res.indices, ref.indices)
+    np.testing.assert_array_equal(res.scores, ref.scores)
