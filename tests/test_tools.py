@@ -45,6 +45,109 @@ def test_ball_close_to_bruteforce(tmp_path, monkeypatch, acgt):
     assert res["kept"] == len(expect_names)
 
 
+def staged_ball_oracle(ref_codes, q_codes, idx_c, idx_m, idx, cons, dist,
+                       acgt):
+    """Direct numpy emulation of seq_ball_against_query_structure
+    (fastaseq.c:660-696) called with ball_radius = dist+1 (ball.c:250),
+    kept iff final mindist <= dist (ball.c:255) — including the C's
+    skipped-stage-3 quirk: with *min_dist == c_dist == d_cons on entry,
+    the per-query loop guard `(*min_dist + c_dist) >= ball_radius` never
+    fires when 2*d_cons <= dist, keeping the ref unconditionally."""
+    fn = pair_mismatch_acgt if acgt else pair_hamming_indelcheck
+    keep = []
+    for r in ref_codes:
+        d_cons = fn(cons, r, idx_c) + fn(cons, r, idx_m)
+        if 2 * d_cons <= dist:
+            keep.append(True)
+            continue
+        d_min = min((fn(q, r, idx) for q in q_codes), default=0)
+        keep.append(d_cons + d_min <= dist)
+    return keep
+
+
+@pytest.mark.parametrize("acgt", [False, True])
+def test_ball_multiquery_staged_semantics(tmp_path, monkeypatch, acgt):
+    """Q=4 queries sharing a consensus, refs pinned at every decision
+    boundary: d == dist (keep), d == dist+1 (drop), and small-consensus/
+    large-polymorphic refs that only the C's stage-3 shortcut keeps."""
+    monkeypatch.chdir(tmp_path)
+    L, dist = 400, 5
+    backbone = np.frombuffer(b"ACGT" * (L // 4), dtype=np.uint8).copy()
+    backbone[:30] = ord("A")   # deterministic region for crafted sites
+
+    def with_muts(base, muts):
+        s = base.copy()
+        for pos, ch in muts:
+            s[pos] = ord(ch)
+        return s
+
+    # polymorphic sites 0..11: q0,q1 = A (backbone), q2,q3 = C;
+    # unique-site conflicts at 20..23 so no query is redundant;
+    # q0 has N at 100..109 -> those sites fall in idx_m.
+    qs = []
+    for i in range(4):
+        muts = [(p, "C") for p in range(12)] if i >= 2 else []
+        muts += [(20 + i, "CGTC"[i])]   # backbone[:30] is all 'A'
+        q = with_muts(backbone, muts)
+        if i == 0:
+            q[100:110] = ord("N")
+        qs.append(q)
+    q_names = [f"q{i}" for i in range(4)]
+    write_fasta("q.fa", q_names, [q.tobytes().decode() for q in qs])
+
+    # consensus-site mutations (constant & gap-free in queries); mutate to
+    # the "next" base so the change is never a no-op
+    def cmut(j):
+        p = 200 + j
+        return (p, "CGTA"["ACGT".index(chr(backbone[p]))])
+
+    mmut = (105, "T")          # inside q0's N block -> idx_m site (base C)
+    # NB every query conflicts with the others at its unique site 20+i;
+    # refs meant to sit near q0/q2 must match that query's unique base too.
+    refs = {
+        # d_cons=0, min_q d_idx >= 12 -> only the C shortcut keeps it
+        "r_quirk": with_muts(backbone, [(p, "G") for p in range(12)]),
+        # d_cons=2 (2*2<=5) + huge polymorphic distance -> shortcut keeps
+        "r_short2": with_muts(backbone, [(p, "G") for p in range(12)]
+                              + [cmut(0), cmut(1)]),
+        # d_cons=3 (2*3>5), poly dist 2 to q0 -> total 5 == dist: keep
+        "r_edge_keep": with_muts(backbone, [(0, "G"), (1, "G"), (20, "C")]
+                                 + [cmut(j) for j in range(3)]),
+        # d_cons=3, poly dist 3 to q0 -> total 6 == dist+1: drop
+        "r_edge_drop": with_muts(backbone,
+                                 [(0, "G"), (1, "G"), (2, "G"), (20, "C")]
+                                 + [cmut(j) for j in range(3)]),
+        # d_cons=5 via idx_c(4)+idx_m(1), poly dist 0 to q0 -> 5: keep
+        "r_m_keep": with_muts(backbone, [(20, "C"), mmut]
+                              + [cmut(j) for j in range(4)]),
+        # same +1 more consensus mutation -> 6: drop
+        "r_m_drop": with_muts(backbone, [(20, "C"), mmut]
+                              + [cmut(j) for j in range(5)]),
+        # matches q2 at all poly sites, d_cons=4 -> 2*4>5, poly dist 0: keep
+        "r_q2": with_muts(backbone, [(p, "C") for p in range(12)]
+                          + [(22, "T")] + [cmut(j) for j in range(4)]),
+    }
+    names = list(refs)
+    write_fasta("db.fa", names, [r.tobytes().decode() for r in refs.values()])
+
+    res = run_ball(["db.fa"], "q.fa",
+                   BallConfig(distance=dist, acgt=acgt, pool=4, output="b"))
+    kept = {r.name for r in read_fasta_all("b.aln.xz")}
+
+    from uvaia_tpu.engine.query import build_query_pack
+    pack = build_query_pack("q.fa", acgt=acgt, always_exclude_redundant=True)
+    assert pack.n_query == 4, "crafted queries must all conflict"
+    expect = staged_ball_oracle([encode(r) for r in refs.values()],
+                                list(pack.codes),
+                                pack.idx_c, pack.idx_m, pack.idx,
+                                pack.consensus, dist, acgt)
+    assert kept == {n for n, k in zip(names, expect) if k}
+    # explicit pins for the decision boundaries
+    assert {"r_quirk", "r_short2", "r_edge_keep", "r_m_keep", "r_q2"} <= kept
+    assert {"r_edge_drop", "r_m_drop"}.isdisjoint(kept)
+    assert res["kept"] == len(kept)
+
+
 def test_cluster_dedup(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     rng = np.random.default_rng(31)

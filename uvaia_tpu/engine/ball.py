@@ -1,16 +1,24 @@
 """Radius search (the `uvaiaball` equivalent).
 
-Keeps every reference whose distance to ANY query sequence is within
-`distance` SNPs, streaming the database in device batches.  Mirrors
-src/ball.c:137-289 + the staged distance decomposition of
-`seq_ball_against_query_structure` (fastaseq.c:660-696):
+Keeps references close to the query set, streaming the database in
+device batches.  Mirrors src/ball.c:137-289 + the staged distance
+decomposition of `seq_ball_against_query_structure`
+(fastaseq.c:660-696).  With d_cons = d(ref, consensus | idx_c)
++ d(ref, consensus | idx_m) (stages 1+2) the reference's exact keep
+rule — reproduced here bit-for-bit — is:
 
-  keep  <=>  d(ref, consensus | idx_c) + d(ref, consensus | idx_m)
-             + min_q d(ref, q | idx)   <=  distance
+  keep  <=>  2 * d_cons <= distance
+             OR  d_cons + min_q d(ref, q | idx) <= distance
 
-computed densely on device (the truncated early exits of the C code
-only affect speed, not the keep/drop decision).  Redundant query
-sequences are always removed first (ball.c:190).
+The first disjunct is a quirk of the C: stage 3's loop guard
+`(*min_dist + c_dist) >= ball_radius` (fastaseq.c:674,691) is evaluated
+on entry with *min_dist == c_dist == d_cons, so whenever
+2*d_cons <= distance the per-query polymorphic stage is skipped
+entirely and the ref is kept regardless of per-query distances (with
+*min_dist left at the meaningless 2*d_cons).  We reproduce it for
+output parity; truncated early exits inside each stage only affect
+speed.  Redundant query sequences are always removed first
+(ball.c:190).
 
 Documented deviation: the reference-quality threshold follows the
 nearest convention, rejecting refs with fewer than (1-ref_ambiguity)*L
@@ -88,7 +96,9 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
         d_q = dist_ops.pair_mismatches(
             jnp.take(ref_codes, idx_d, axis=1), weights)
         mindist = d_cons + jnp.min(d_q, axis=1)
-        return ok & (mindist <= dist), mindist
+        # C keep rule incl. the skipped-stage-3 quirk (see module docstring)
+        keep = (2 * d_cons <= dist) | (mindist <= dist)
+        return ok & keep, mindist
 
     streamer = RefStreamer(ref_paths, L, cfg.pool,
                            ref_ambiguity=cfg.ref_ambiguity)
