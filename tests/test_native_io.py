@@ -52,3 +52,30 @@ def test_native_large_multiline(tmp_path, have_native):
 def test_native_open_failure(have_native):
     with pytest.raises(RuntimeError):
         list(native.read_fasta_native("/nonexistent/file.fa"))
+
+
+def _truncated(data: bytes) -> bytes:
+    """Drop the tail so the compressed stream ends mid-frame."""
+    return data[: int(len(data) * 0.6)]
+
+
+@pytest.mark.parametrize("codec", ["gz", "xz"])
+def test_native_truncated_file_is_an_error(tmp_path, codec, have_native):
+    """A corrupt/truncated compressed DB must raise, not silently drop
+    the tail genomes (matches the Python reader, which raises too)."""
+    comp = {"gz": gzip.compress, "xz": lzma.compress}[codec]
+    big = "".join(f">s{i}\n" + "ACGT" * 256 + "\n" for i in range(200))
+    path = tmp_path / f"trunc.fa.{codec}"
+    path.write_bytes(_truncated(comp(big.encode())))
+    with pytest.raises(RuntimeError):
+        list(native.read_fasta_native(path))
+
+
+@pytest.mark.parametrize("codec", ["gz", "xz"])
+def test_native_clean_eof_still_clean(tmp_path, codec, have_native):
+    """The truncation detection must not flag well-formed files."""
+    opener = {"gz": gzip.open, "xz": lzma.open}[codec]
+    path = tmp_path / f"ok.fa.{codec}"
+    with opener(path, "wt") as f:
+        f.write(CONTENT)
+    assert len(list(native.read_fasta_native(path))) == 2

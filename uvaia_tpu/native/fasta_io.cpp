@@ -51,6 +51,14 @@ struct GzSource : Source {
   ~GzSource() override { gzclose(f); }
   long read(uint8_t* buf, size_t n) override {
     int r = gzread(f, buf, static_cast<unsigned>(n));
+    if (r < 0) return -1;
+    if (r == 0) {
+      // distinguish clean EOF from a truncated/corrupt gzip stream:
+      // premature end reports Z_BUF_ERROR (or another error) here
+      int errnum = Z_OK;
+      gzerror(f, &errnum);
+      if (errnum != Z_OK && errnum != Z_STREAM_END) return -1;
+    }
     return r;
   }
 };
@@ -78,17 +86,28 @@ struct XzSource : Source {
     while (strm.avail_out > 0) {
       if (strm.avail_in == 0 && !eof_in) {
         size_t got = fread(in.data(), 1, in.size(), f);
-        if (got == 0) eof_in = true;
+        if (got == 0) {
+          if (ferror(f)) return -1;
+          eof_in = true;
+        }
         strm.next_in = in.data();
         strm.avail_in = got;
       }
+      size_t out_before = strm.avail_out;
       lzma_ret ret = lzma_code(&strm, eof_in ? LZMA_FINISH : LZMA_RUN);
       if (ret == LZMA_STREAM_END) {
         ended = true;
         break;
       }
       if (ret != LZMA_OK) return -1;
-      if (eof_in && strm.avail_in == 0 && strm.avail_out == n) break;
+      if (eof_in && strm.avail_in == 0 && strm.avail_out == out_before) {
+        // Input exhausted and LZMA_FINISH made no progress without
+        // reporting LZMA_STREAM_END: the file is truncated/corrupt.
+        // (liblzma only returns LZMA_BUF_ERROR after a SECOND
+        // no-progress call, so waiting for it would mislabel this as
+        // clean EOF and silently drop genomes from scan results.)
+        return -1;
+      }
     }
     return static_cast<long>(n - strm.avail_out);
   }
