@@ -125,8 +125,9 @@ def _align_group(ref_arr, recs, lo, width, out, stats, cfg):
         else:
             retry.append(i)
     if retry:
-        new_width = width * 4
-        if new_width > cfg.band * 4:
+        # escalate up to (never beyond) the configured cap
+        new_width = min(width * 4, cfg.band)
+        if new_width <= width:
             for i in retry:
                 if consistent[i]:
                     stats.uncertified += 1

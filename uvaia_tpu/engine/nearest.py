@@ -204,7 +204,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         resumed_written += writer.n_written
         writer.close()
         ckpt_mod.save(cfg.checkpoint, ckpt_mod.ScanCheckpoint(
-            version=1, records_read=prev_batch.records_read,
+            version=ckpt_mod._VERSION, records_read=prev_batch.records_read,
             base_idx=prev_batch.base_idx + prev_batch.n,
             n_invalid=prev_batch.n_invalid,
             same_name=prev_batch.same_name,

@@ -8,17 +8,24 @@ genomes can resume exactly where it stopped.  The .aln.xz dump stays
 valid across restarts because xz streams concatenate (the writer
 reopens in append mode, producing a multi-stream file every xz decoder
 accepts).
+
+Format: a ``.npz`` archive (arrays + one JSON metadata string), loaded
+with ``allow_pickle=False`` — resuming from a tampered checkpoint file
+can fail, but can never execute code.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
-import pickle
 import tempfile
+import zipfile
 from dataclasses import dataclass
 
 import numpy as np
+
+_VERSION = 2
 
 
 @dataclass
@@ -44,11 +51,20 @@ def config_key(**kwargs) -> str:
 
 def save(path: str, ckpt: ScanCheckpoint) -> None:
     """Atomic write (tmp + rename) so a crash never corrupts it."""
+    meta = dict(
+        version=_VERSION, records_read=ckpt.records_read,
+        base_idx=ckpt.base_idx, n_invalid=ckpt.n_invalid,
+        same_name=ckpt.same_name, n_written=ckpt.n_written,
+        names={str(k): v for k, v in ckpt.names.items()},
+        config_key=ckpt.config_key, dump_bytes=ckpt.dump_bytes)
+    buf = io.BytesIO()
+    np.savez(buf, state_scores=ckpt.state_scores, state_idx=ckpt.state_idx,
+             meta=np.asarray(json.dumps(meta)))
     d = os.path.dirname(os.path.abspath(path)) or "."
     fd, tmp = tempfile.mkstemp(dir=d, prefix=".ckpt.")
     try:
         with os.fdopen(fd, "wb") as f:
-            pickle.dump(ckpt, f, protocol=4)
+            f.write(buf.getvalue())
         os.replace(tmp, path)
     except BaseException:
         if os.path.exists(tmp):
@@ -59,8 +75,23 @@ def save(path: str, ckpt: ScanCheckpoint) -> None:
 def load(path: str) -> ScanCheckpoint | None:
     if not os.path.exists(path):
         return None
-    with open(path, "rb") as f:
-        ckpt = pickle.load(f)
-    if not isinstance(ckpt, ScanCheckpoint) or ckpt.version != 1:
-        raise SystemExit(f"unrecognised checkpoint file {path}")
-    return ckpt
+    try:
+        with np.load(path, allow_pickle=False) as z:
+            meta = json.loads(str(z["meta"]))
+            if meta.get("version") != _VERSION:
+                raise ValueError(f"version {meta.get('version')}")
+            return ScanCheckpoint(
+                version=meta["version"],
+                records_read=int(meta["records_read"]),
+                base_idx=int(meta["base_idx"]),
+                n_invalid=int(meta["n_invalid"]),
+                same_name=int(meta["same_name"]),
+                n_written=int(meta["n_written"]),
+                state_scores=z["state_scores"],
+                state_idx=z["state_idx"],
+                names={int(k): v for k, v in meta["names"].items()},
+                config_key=meta["config_key"],
+                dump_bytes=int(meta["dump_bytes"]))
+    except (KeyError, ValueError, OSError, zipfile.BadZipFile,
+            json.JSONDecodeError) as e:
+        raise SystemExit(f"unrecognised checkpoint file {path}: {e}")
