@@ -47,11 +47,73 @@ def test_sharded_equals_single(acgt, shape):
         ok = np.zeros(B, dtype=bool)
         batch[:n] = ref_codes[start:start + n]
         ok[:n] = True
-        st_s, fl_s = step(st_s, jnp.asarray(batch), jnp.asarray(ok),
-                          np.int32(start))
+        st_s, fl_s = step(st_s, jnp.asarray(scan.pack_codes(batch)),
+                          jnp.asarray(ok),
+                          jnp.asarray(start + np.arange(B, dtype=np.int32)))
         st_1, fl_1 = scan.scan_step(qd_1, st_1, jnp.asarray(batch),
                                     jnp.asarray(ok), np.int32(start))
         np.testing.assert_array_equal(np.asarray(fl_s), np.asarray(fl_1))
 
     np.testing.assert_array_equal(np.asarray(st_s[1]), np.asarray(st_1[1]))
     np.testing.assert_array_equal(np.asarray(st_s[0]), np.asarray(st_1[0]))
+
+
+@pytest.mark.parametrize("acgt", [False, True])
+def test_sharded_prune_mask_is_superset_and_exact(acgt):
+    """Sharded phase-1 mask == single-device phase-1 mask."""
+    import jax.numpy as jnp
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(23)
+    L, k, B = 520, 4, 16
+    pack = _build(rng, acgt, L=L)
+    refs = random_alignment(rng, B, L)
+    ref_codes = np.stack([encode(r) for r in refs])
+    m = pmesh.make_mesh(4, 2)
+    qd_s = scan.build_device_data(pack, k=k, site_shards=2)
+    qd_1 = scan.build_device_data(pack, k=k)
+    scan.build_prune_data(qd_s, pack)
+    scan.build_prune_data(qd_1, pack)
+    prune = pmesh.make_sharded_prune_step(qd_s, m)
+
+    # tighten the state first so the prefilter has real thresholds
+    st = scan.init_state(pack.n_query, k)
+    st, _ = scan.scan_step(qd_1, st, jnp.asarray(ref_codes[:B]),
+                           jnp.ones(B, bool), np.int32(0))
+    packed = jnp.asarray(scan.pack_codes(ref_codes))
+    ok = jnp.ones(B, bool)
+    got = np.asarray(prune((st[0], st[1]), packed, ok))
+    want = np.asarray(scan.prune_step(qd_1, st, jnp.asarray(ref_codes), ok))
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("prune", [False, True])
+def test_sharded_nearest_end_to_end_equals_single(tmp_path, monkeypatch,
+                                                  prune):
+    """run_nearest over an 8-device virtual mesh (incl. the pruned
+    two-phase path) produces the same CSV as the single-device scan."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import lzma
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+    from test_nearest import random_seqs, write_fasta
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(29)
+    L, nq, nr, k = 400, 6, 150, 5
+    write_fasta("q.fa", [f"q{i}" for i in range(nq)],
+                random_seqs(rng, nq, L))
+    write_fasta("db.fa", [f"r{i}" for i in range(nr)],
+                random_seqs(rng, nr, L))
+
+    run_nearest(["db.fa"], "q.fa",
+                NearestConfig(nbest=k, pool=32, output="single",
+                              prune=False))
+    run_nearest(["db.fa"], "q.fa",
+                NearestConfig(nbest=k, pool=32, output="shard",
+                              n_devices=8, site_shards=2, prune=prune))
+    single = lzma.open("single.csv.xz", "rb").read()
+    shard = lzma.open("shard.csv.xz", "rb").read()
+    assert single == shard

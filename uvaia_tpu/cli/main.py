@@ -47,6 +47,9 @@ def _add_nearest(sub):
                    help="prefix of output alignment and csv")
     p.add_argument("--devices", type=int, default=None,
                    help="shard the scan over this many devices")
+    p.add_argument("--site-shards", type=int, default=1,
+                   help="additionally shard the alignment-site axis over "
+                        "this many of the devices (devices = db x site)")
     p.add_argument("--checkpoint", default=None,
                    help="path for periodic scan checkpoints (resume-able)")
     p.add_argument("--checkpoint_every", type=float, default=60.0,
@@ -164,7 +167,8 @@ def _dispatch(args) -> int:
             query_ambiguity=args.query_ambiguity,
             ref_ambiguity=args.ref_ambiguity,
             pool=args.pool, output=args.output,
-            n_devices=args.devices, checkpoint=args.checkpoint,
+            n_devices=args.devices, site_shards=args.site_shards,
+            checkpoint=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
             prune=not args.no_prune)
         run_nearest(args.reference, args.fasta, cfg)

@@ -129,20 +129,30 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         log("Considering text match and partially ambiguous "
             "(excluding only gaps and Ns).")
 
-    if cfg.n_devices and cfg.n_devices > 1:
+    sharded = bool(cfg.n_devices and cfg.n_devices > 1)
+    if sharded:
         from ..parallel.mesh import make_mesh, make_sharded_scan_step
         n_db = cfg.n_devices // cfg.site_shards
         cfg.pool = -(-cfg.pool // n_db) * n_db   # round up to divide evenly
         qd = scan.build_device_data(pack, k=cfg.nbest,
                                     site_shards=cfg.site_shards)
         mesh = make_mesh(n_db, cfg.site_shards)
-        step_fn = make_sharded_scan_step(qd, mesh)
+        sh_step = make_sharded_scan_step(qd, mesh)
+
+        def step_fn(st, batch):
+            packed = scan.pack_codes(batch.codes)
+            ridx = batch.base_idx + np.arange(packed.shape[0],
+                                              dtype=np.int32)
+            return sh_step(st, jnp.asarray(packed), jnp.asarray(batch.ok),
+                           jnp.asarray(ridx))
         log(f"Sharded scan over mesh (db={n_db}, site={cfg.site_shards})")
     else:
         qd = scan.build_device_data(pack, k=cfg.nbest)
-        step_fn = lambda st, codes, ok, base: scan.scan_step_packed(
-            qd, st, jnp.asarray(scan.pack_codes(np.asarray(codes))),
-            ok, base)
+
+        def step_fn(st, batch):
+            return scan.scan_step_packed(
+                qd, st, jnp.asarray(scan.pack_codes(batch.codes)),
+                jnp.asarray(batch.ok), np.int32(batch.base_idx))
     state = scan.init_state(pack.n_query, cfg.nbest)
 
     # ---- checkpoint / resume -----------------------------------------
@@ -221,7 +231,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             names[batch.base_idx + int(i)] = batch.names[i]
             writer.write(batch.names[i], batch.seq(int(i)))
 
-    use_prune = cfg.prune and not (cfg.n_devices and cfg.n_devices > 1)
+    use_prune = cfg.prune
 
     def _progress(total):
         nonlocal last_print
@@ -234,7 +244,75 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                 f"poorly resolved. {rate:,.0f} genomes/sec. "
                 f"{time.time()-t1:.1f}s elapsed.")
 
-    if use_prune:
+    if use_prune and sharded:
+        # ---- sharded two-phase: prune data-parallel over 'db', then
+        # host-compact survivors into full pool-sized batches for the
+        # sharded scan step (explicit ref_idx).  Survivor rows are
+        # re-uploaded (packed, so half-width); the device-buffer
+        # zero-re-upload variant below is single-device only.
+        scan.build_prune_data(qd, pack)
+        from ..parallel.mesh import make_sharded_prune_step
+        prune_fn = make_sharded_prune_step(qd, mesh)
+        Lp = (pack.n_sites + 1) // 2
+        surv_rows: list[np.ndarray] = []     # packed survivor rows
+        surv_gidx: list[int] = []            # their global db indices
+        retained: dict[int, tuple[str, bytes]] = {}
+        n_surv = 0
+
+        def flush_p2_sharded():
+            nonlocal state, surv_rows, surv_gidx, retained
+            if not surv_gidx:
+                retained = {}
+                return
+            rows = np.concatenate(surv_rows, axis=0)
+            gidx = np.asarray(surv_gidx, dtype=np.int32)
+            for start in range(0, len(gidx), cfg.pool):
+                chunk = rows[start:start + cfg.pool]
+                cidx = gidx[start:start + cfg.pool]
+                n = chunk.shape[0]
+                ok = np.zeros(cfg.pool, dtype=bool)
+                ok[:n] = True
+                if n < cfg.pool:
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((cfg.pool - n, Lp), np.uint8)])
+                    cidx = np.concatenate(
+                        [cidx, np.zeros(cfg.pool - n, np.int32)])
+                state, flags = sh_step(state, jnp.asarray(chunk),
+                                       jnp.asarray(ok), jnp.asarray(cidx))
+                for slot in np.nonzero(np.asarray(flags)[:n])[0]:
+                    g = int(cidx[slot])
+                    nm, seq = retained[g]
+                    names[g] = nm
+                    writer.write(nm, seq)
+            surv_rows, surv_gidx, retained = [], [], {}
+
+        for batch in streamer:
+            packed = scan.pack_codes(batch.codes)
+            survive = prune_fn(state, jnp.asarray(packed),
+                               jnp.asarray(batch.ok))
+            sv = np.nonzero(np.asarray(survive)[: batch.n])[0]
+            if len(sv):
+                surv_rows.append(packed[sv])
+                for i in sv:
+                    g = batch.base_idx + int(i)
+                    surv_gidx.append(g)
+                    retained[g] = (batch.names[i], batch.seq(int(i)))
+                n_surv += len(sv)
+            if len(surv_gidx) >= cfg.pool:
+                flush_p2_sharded()
+            if cfg.checkpoint is not None and \
+                    time.time() - last_ckpt >= cfg.checkpoint_every:
+                flush_p2_sharded()
+                last_ckpt = time.time()
+                _save_ckpt(batch, (np.asarray(state[0]),
+                                   np.asarray(state[1])))
+            _progress(batch.base_idx + batch.n)
+        flush_p2_sharded()
+        total = streamer.stats.count - streamer.stats.n_invalid - \
+            streamer.stats.same_name
+        log(f"Prefilter skipped the exact scan for {total - n_surv} of "
+            f"{total} references (losslessly)")
+    elif use_prune:
         scan.build_prune_data(qd, pack)
         # ---- two-phase: packed upload, device-side survivor buffer.
         # Phase 1 prunes on-device; surviving rows are compacted into a
@@ -308,9 +386,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                         and time.time() - last_ckpt >= cfg.checkpoint_every)
             if ckpt_due:
                 state_host = (np.asarray(state[0]), np.asarray(state[1]))
-            state, flags_d = step_fn(
-                state, batch.codes, jnp.asarray(batch.ok),
-                np.int32(batch.base_idx))
+            state, flags_d = step_fn(state, batch)
             if pending is not None:
                 prev = pending[1]
                 _drain(pending)

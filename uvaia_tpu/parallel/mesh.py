@@ -16,6 +16,12 @@ Replicated: the top-k state, the query feature arrays on the db axis,
 and reference rows on the site axis (counters are reductions over
 sites, so the activation is replicated while the reduction is sharded —
 the standard "shard the contraction" layout).
+
+Feature parity with the single-chip path: reference batches arrive
+4-bit *packed* (halving H2D traffic; unpacked on device inside the
+shard_map body) and carry explicit per-row global indices, so the same
+step also scans compacted survivor batches from the lossless prune
+prefilter (``make_sharded_prune_step``).
 """
 
 from __future__ import annotations
@@ -40,15 +46,23 @@ def make_mesh(n_db: int, n_site: int = 1, devices=None) -> Mesh:
 
 
 def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
-    """Jitted (state, ref_codes, ok, base_idx) -> (state, is_best) over a
-    ('db','site') mesh.  Call with batch size divisible by mesh.shape['db']
-    and QueryDeviceData built with site_shards=mesh.shape['site']."""
+    """Jitted (state, packed, ok, ref_idx) -> (state, is_best) over a
+    ('db','site') mesh.
+
+    ``packed``  — (B, ceil(L/2)) uint8 4-bit-packed reference codes
+                  (scan.pack_codes); B divisible by mesh.shape['db'].
+    ``ref_idx`` — (B,) int32 global database index per row (contiguous
+                  batches pass base + arange; compacted pruned batches
+                  pass their gathered indices).
+    QueryDeviceData must be built with site_shards=mesh.shape['site'].
+    """
     n_db = mesh.shape["db"]
     k = qd.k
     has_amb = qd.amb_sites is not None
 
     def local_step(st_scores, st_idx, idx_c, cons_c, idx_mq, q_sub,
-                   amb, poly, ref_codes, ok, base_idx):
+                   amb, poly, packed, ok, ref_idx):
+        ref_codes = scan.unpack_codes(packed, qd.n_sites)
         b_loc = ref_codes.shape[0]
         cons4, mats = scan.site_partials(
             qd.acgt, idx_c, cons_c, idx_mq, q_sub, ref_codes,
@@ -65,11 +79,9 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
             w_text=amb[2] if has_amb else None)
         scores = scan.assemble_scores(qd_loc, ref_codes, cons4, mats)
 
-        me = jax.lax.axis_index("db")
-        local_base = base_idx + me * b_loc
         state = (st_scores, st_idx)
         is_best, batch_idx = scan.batch_flags_and_idx(
-            qd_loc, state, scores, ok, local_base)
+            qd_loc, state, scores, ok, jnp.int32(0), ref_idx=ref_idx)
 
         # local per-query top-k candidates (exact superset of the global)
         k_loc = min(k, b_loc)
@@ -100,8 +112,8 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
                   P("site"), P(None, "site"),   # idx_mq, q_sub
                   amb_spec,                     # amb correction tables
                   poly_spec,                    # acgt polymorphic subset
-                  P("db", None),                # ref rows over db
-                  P("db"), P()),                # ok, base_idx
+                  P("db", None),                # packed ref rows over db
+                  P("db"), P("db")),            # ok, ref_idx
         out_specs=(P(), P(), P("db")),
         check_vma=False,
     )
@@ -110,10 +122,47 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
     poly = (qd.idx_poly, qd.q_poly) if qd.acgt else ()
 
     @functools.partial(jax.jit, donate_argnums=0)
-    def step(state, ref_codes, ok, base_idx):
+    def step(state, packed, ok, ref_idx):
         new_scores, new_idx, is_best = mapped(
             state[0], state[1], qd.idx_c, qd.cons_c, qd.idx_mq, qd.q_sub,
-            amb, poly, ref_codes, ok, base_idx)
+            amb, poly, packed, ok, ref_idx)
         return (new_scores, new_idx), is_best
+
+    return step
+
+
+def make_sharded_prune_step(qd: scan.QueryDeviceData, mesh: Mesh):
+    """Jitted (state, packed, ok) -> survive (B,) bool — the lossless
+    phase-1 prefilter (scan.prune_step) data-parallel over the 'db'
+    axis.  The prefilter arrays (scan.build_prune_data) are replicated:
+    they are O(Q*L) int8, small next to the scoring matmuls, and the
+    bound is a whole-row computation that does not shard by sites.
+    Must be called after scan.build_prune_data(qd, pack)."""
+
+    def local(st_scores, st_idx, u_base, q_pure_u, idx_p, pure_p_q,
+              amb_tot_q, packed, ok):
+        ref_codes = scan.unpack_codes(packed, qd.n_sites)
+        qd_loc = scan.QueryDeviceData(
+            acgt=qd.acgt, n_query=qd.n_query, n_sites=qd.n_sites,
+            k=qd.k, pack_keys=qd.pack_keys,
+            idx_c=None, cons_c=None, idx_mq=None, q_sub=None,
+            amb_sites=None, w_part=None, w_text=None,
+            u_base=u_base, q_pure_u=q_pure_u, idx_p=idx_p,
+            pure_p_q=pure_p_q, amb_tot_q=amb_tot_q)
+        return scan.prune_step(qd_loc, (st_scores, st_idx), ref_codes, ok)
+
+    mapped = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(),                     # state (replicated)
+                  P(), P(), P(), P(), P(),      # prefilter arrays
+                  P("db", None), P("db")),      # packed rows, ok
+        out_specs=P("db"),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state, packed, ok):
+        return mapped(state[0], state[1], qd.u_base, qd.q_pure_u,
+                      qd.idx_p, qd.pure_p_q, qd.amb_tot_q, packed, ok)
 
     return step
