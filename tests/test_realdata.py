@@ -1,0 +1,112 @@
+"""BASELINE config-1 behavioural gate on the bundled real data.
+
+``uvaia nearest`` top-k=8 with --exclude_self over the 9 185-genome
+SARS-CoV-2 database (/root/reference/data/03.unique_acgt.aln.xz,
+data/README.md:1-8) with the manuscript's 1 000-name query subset
+(04.sample_1_1k.names, data/README.md:17-20).  The ranked CSV must be
+byte-identical — pinned by SHA256 — across the dense, pruned,
+sharded-virtual-mesh and crash-resumed execution paths.
+
+Each run takes ~5-10 min on one CPU core; the tests are opt-in:
+
+    python -m pytest -m realdata tests/test_realdata.py
+"""
+
+import hashlib
+import lzma
+import os
+
+import numpy as np
+import pytest
+
+from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+from uvaia_tpu.io.fasta import read_fasta
+
+DATA = "/root/reference/data"
+DB = f"{DATA}/03.unique_acgt.aln.xz"
+NAMES = f"{DATA}/04.sample_1_1k.names"
+
+# SHA256 of the decompressed gate CSV (8 001 lines: header + 1000 x 8),
+# produced by: nbest=8, exclude_self=True, full (non-acgt) mode, trim=0.
+GOLDEN_CSV_SHA256 = \
+    "99c10323024f1002a69b0f5c51f331b618a76b6ff2f67946a9e685fb657eeba1"
+
+pytestmark = [
+    pytest.mark.realdata,
+    pytest.mark.skipif(not os.path.exists(DB),
+                       reason="bundled reference data not present"),
+]
+
+
+@pytest.fixture(scope="session")
+def q1k(tmp_path_factory):
+    """The 1 000-sequence query subset extracted from the database."""
+    names = set(open(NAMES).read().split())
+    path = tmp_path_factory.mktemp("realdata") / "q1k.fa"
+    n = 0
+    with open(path, "w") as f:
+        for rec in read_fasta(DB):
+            if rec.name in names:
+                f.write(f">{rec.name}\n{rec.seq.decode()}\n")
+                n += 1
+    assert n == 1000
+    return str(path)
+
+
+def _csv_sha(prefix: str) -> str:
+    csv = lzma.open(prefix + ".csv.xz", "rb").read()
+    assert csv.count(b"\n") == 8001
+    return hashlib.sha256(csv).hexdigest()
+
+
+def _cfg(out: str, **kw) -> NearestConfig:
+    return NearestConfig(nbest=8, exclude_self=True, output=out, **kw)
+
+
+def test_gate_pruned(q1k, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run_nearest([DB], q1k, _cfg("gate"))
+    assert _csv_sha("gate") == GOLDEN_CSV_SHA256
+
+
+def test_gate_dense(q1k, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run_nearest([DB], q1k, _cfg("gate", prune=False))
+    assert _csv_sha("gate") == GOLDEN_CSV_SHA256
+
+
+def test_gate_sharded_virtual_mesh(q1k, tmp_path, monkeypatch):
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    monkeypatch.chdir(tmp_path)
+    run_nearest([DB], q1k, _cfg("gate", n_devices=8, site_shards=2))
+    assert _csv_sha("gate") == GOLDEN_CSV_SHA256
+
+
+def test_gate_resumed(q1k, tmp_path, monkeypatch):
+    """Crash mid-scan at a checkpoint boundary, resume, same CSV."""
+    monkeypatch.chdir(tmp_path)
+    import uvaia_tpu.engine.nearest as nearest_mod
+
+    class _Boom(RuntimeError):
+        pass
+
+    count = {"n": 0}
+    orig = nearest_mod.scan.flush_survivors
+
+    def crashing(*a, **kw):
+        if count["n"] >= 1:
+            raise _Boom("simulated crash")
+        count["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(nearest_mod.scan, "flush_survivors", crashing)
+    with pytest.raises(_Boom):
+        run_nearest([DB], q1k, _cfg("gate", checkpoint="scan.ckpt",
+                                    checkpoint_every=0.0))
+    monkeypatch.setattr(nearest_mod.scan, "flush_survivors", orig)
+    assert os.path.exists("scan.ckpt")
+    run_nearest([DB], q1k, _cfg("gate", checkpoint="scan.ckpt",
+                                checkpoint_every=1e9))
+    assert _csv_sha("gate") == GOLDEN_CSV_SHA256
