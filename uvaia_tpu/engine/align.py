@@ -19,6 +19,7 @@ import sys
 import time
 from dataclasses import dataclass
 
+import jax.numpy as jnp
 import numpy as np
 
 from ..core.encoding import encode, composition
@@ -91,8 +92,26 @@ def _qc(rec: FastaRecord, n: int, ambiguity: float, stats: AlignStats) -> bool:
 TB_BUDGET = 2 << 30     # traceback buffer cap (bytes): B * n * W
 
 
+def _pack_rows(recs, b_mult: int = 64):
+    """(arr (B_pad, m_pad) uint8, lens (B_pad,) int32) with the batch
+    axis padded to a multiple of b_mult (duplicating row 0) and m_pad
+    quantised — so repeated calls hit a handful of compiled shapes."""
+    B = len(recs)
+    B_pad = _round_up(B, b_mult)
+    m_pad = _round_up(max(len(r.seq) for r in recs), 256)
+    arr = np.zeros((B_pad, m_pad), dtype=np.uint8)
+    lens = np.zeros(B_pad, dtype=np.int32)
+    for b, r in enumerate(recs):
+        arr[b, :len(r.seq)] = np.frombuffer(r.seq, dtype=np.uint8)
+        lens[b] = len(r.seq)
+    arr[B:] = arr[0]
+    lens[B:] = lens[0]
+    return arr, lens
+
+
 def _align_group(ref_arr, recs, lo, width, out, stats, cfg):
-    """Align one batch group; escalate band for rows that escape."""
+    """Align one batch group (forward + traceback); escalate band for
+    rows that escape."""
     n = ref_arr.shape[0]
     # the packed traceback is B*n*W bytes in HBM; split the group so a
     # band escalation cannot blow device memory
@@ -102,12 +121,7 @@ def _align_group(ref_arr, recs, lo, width, out, stats, cfg):
             _align_group(ref_arr, recs[start:start + max_rows],
                          lo, width, out, stats, cfg)
         return
-    m_pad = _round_up(max(len(r.seq) for r in recs), 256)
-    arr = np.zeros((len(recs), m_pad), dtype=np.uint8)
-    lens = np.zeros(len(recs), dtype=np.int32)
-    for b, r in enumerate(recs):
-        arr[b, :len(r.seq)] = np.frombuffer(r.seq, dtype=np.uint8)
-        lens[b] = len(r.seq)
+    arr, lens = _pack_rows(recs)
     aligned, score, ok, consistent, wander = gotoh.align_batch(
         ref_arr, arr, lens, lo, width)
 
@@ -142,6 +156,57 @@ def _align_group(ref_arr, recs, lo, width, out, stats, cfg):
                      new_lo, new_width, out, stats, cfg)
 
 
+def _align_hybrid(ref_arr, recs, lo, width, out, stats, cfg):
+    """Two-pass aligner: a cheap score-only forward finds each row's
+    optimal cost s*, which bounds the optimal path's diagonal wander to
+    s*/(2*gap_ext)+1 — so a second (traceback-emitting) pass can run in
+    the minimal band that provably contains the global optimum.  The
+    reference's WFA-Adapt reduction (align.c:309) serves the same goal
+    heuristically; here the band choice is certified.
+
+    Escalation: rows whose pass-1 certificate fails (banded score not
+    provably optimal) re-run pass 1 at 4x width up to cfg.band; rows
+    uncertifiable at the cap go through _align_group's accept/skip.
+    """
+    n = ref_arr.shape[0]
+    if len(recs) <= 8 or width >= cfg.band:
+        return _align_group(ref_arr, recs, lo, width, out, stats, cfg)
+    arr, lens = _pack_rows(recs)
+    score, edge_min = gotoh.gotoh_score(
+        jnp.asarray(ref_arr), jnp.asarray(arr),
+        jnp.asarray(lens, dtype=jnp.int32), lo, width)
+    B = len(recs)
+    score = np.asarray(score).astype(np.int64)[:B]
+    edge_min = np.asarray(edge_min).astype(np.int64)[:B]
+    d = lens[:B].astype(np.int64) - n
+    e2 = 2 * gotoh.GAP_EXT
+    wander = score // e2 + 1
+    covered = ((np.minimum(0, d) - wander >= lo)
+               & (np.maximum(0, d) + wander <= lo + width - 1))
+    certified = ((score < (1 << 27))
+                 & ((score < edge_min + e2) | covered))
+
+    bad = [recs[i] for i in np.nonzero(~certified)[0]]
+    if bad:
+        new_width = min(width * 4, cfg.band)
+        new_lo = lo - (new_width - width) // 2
+        if new_width > width:
+            _align_hybrid(ref_arr, bad, new_lo, new_width, out, stats, cfg)
+        else:
+            _align_group(ref_arr, bad, lo, width, out, stats, cfg)
+
+    # pass 2: bucket certified rows by their minimal certified band
+    buckets: dict[tuple[int, int], list] = {}
+    for i in np.nonzero(certified)[0]:
+        lo2 = int(np.minimum(0, d[i]) - wander[i])
+        hi2 = int(np.maximum(0, d[i]) + wander[i])
+        lo2 = -_round_up(-lo2, 32)
+        w2 = _round_up(hi2 - lo2 + 1, 64) + 1
+        buckets.setdefault((lo2, w2), []).append(recs[i])
+    for (lo2, w2), brecs in buckets.items():
+        _align_group(ref_arr, brecs, lo2, w2, out, stats, cfg)
+
+
 def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
     from ..utils.jaxcache import enable as _cache
     _cache()
@@ -174,7 +239,7 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
         for recs in groups.values():
             lo, width = _choose_band(n, [len(r.seq) for r in recs],
                                      cfg.slack)
-            _align_group(ref_arr, recs, lo, width, out, stats, cfg)
+            _align_hybrid(ref_arr, recs, lo, width, out, stats, cfg)
         for r in batch:
             seq = out.get(id(r))
             if seq is None:

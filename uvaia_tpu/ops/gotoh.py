@@ -40,99 +40,160 @@ MISMATCH = 4
 GAP_OPEN = 6
 GAP_EXT = 2
 OE = GAP_OPEN + GAP_EXT
+UNROLL = 8       # DP rows / traceback steps per lax.scan iteration; at
+                 # L=30k the per-iteration dispatch overhead dominates a
+                 # (B, W) row's VPU work, so amortise it 8x
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4))
-def gotoh_forward(ref: jnp.ndarray, q: jnp.ndarray, qlen: jnp.ndarray,
-                  lo: int, width: int):
-    """Forward DP.
+def _row_kernel(ref, qp, qlen, lo, W, n, h_prev, x_prev, edge_min, i,
+                emit_tb: bool):
+    """One banded Gotoh row (shared by the tb-emitting and score-only
+    forwards).  Rows with i > n are masked to a no-op so the scan can
+    run over UNROLL-padded row counts."""
+    B = qp.shape[0]
+    e = jnp.int32(GAP_EXT)
+    oe = jnp.int32(OE)
+    slots = jnp.arange(W, dtype=jnp.int32)
+    j = i + lo + slots                       # (W,) col per slot
+    jv = (j >= 0) & (j[None, :] <= qlen[:, None])
 
-    ref  — (n,) uint8 reference bytes
-    q    — (B, m_pad) uint8 query bytes (left-aligned, zero padded)
-    qlen — (B,) int32 true query lengths
-    lo   — diagonal offset of band slot 0 (d = j - i in [lo, lo+width))
-    Returns (tb (n, B, W) uint8, score (B,) int32, t_end (B,) int32).
-    """
+    # query chars for this row's band window: q[j-1]
+    start = i + lo - 1 + (W + 1)
+    qwin = jax.lax.dynamic_slice(qp, (0, start), (B, W))
+    refc = ref[jnp.clip(i - 1, 0, n - 1)]
+    sub = jnp.where(qwin == refc, 0, MISMATCH).astype(jnp.int32)
+    sub = jnp.where((j[None, :] >= 1) & (j[None, :] <= qlen[:, None]),
+                    sub, INF)
+
+    m_row = h_prev + sub                     # diagonal: same slot
+
+    shift = lambda a: jnp.concatenate(
+        [a[:, 1:], jnp.full((B, 1), INF)], axis=1)
+    x_open = shift(h_prev) + oe
+    x_ext = shift(x_prev) + e
+    x_row = jnp.minimum(x_open, x_ext)
+    x_from_ext = x_ext <= x_open             # prefer extend on ties
+
+    g_row = jnp.minimum(m_row, x_row)
+    # y (query-consuming gap) via prefix cummin within the row:
+    #   Y[t] = oe + (t-1-s)*e + min_{s<t} G[s]  (shift-by-one cummin)
+    a = g_row - slots[None, :] * e
+    c = jax.lax.cummin(a, axis=1)
+    y_row = jnp.concatenate(
+        [jnp.full((B, 1), INF),
+         oe + (slots[1:] - 1)[None, :] * e + c[:, :-1]], axis=1)
+    y_row = jnp.minimum(y_row, INF)
+
+    h_row = jnp.minimum(g_row, y_row)
+    h_row = jnp.where(jv, h_row, INF)
+    h_row = jnp.minimum(h_row, INF)
+    x_row = jnp.where(jv, x_row, INF)
+    x_row = jnp.minimum(x_row, INF)
+
+    tb_row = None
+    if emit_tb:
+        y_open_direct = jnp.concatenate(
+            [jnp.full((B, 1), INF), g_row[:, :-1] + oe], axis=1)
+        y_from_ext = y_row < y_open_direct   # prefer open on ties
+        g_from_x = x_row < m_row             # argmin within G (M vs X)
+        src = jnp.where(y_row < g_row, 2,
+                        g_from_x.astype(jnp.int32)).astype(jnp.uint8)
+        tb_row = (src | (x_from_ext.astype(jnp.uint8) << 2)
+                  | (y_from_ext.astype(jnp.uint8) << 3)
+                  | (g_from_x.astype(jnp.uint8) << 4))
+
+    # running minimum over the band-edge diagonals: any path that
+    # ever leaves the band must cross one of them (sound optimality
+    # certificate, see band edge check in align_batch)
+    new_edge = jnp.minimum(edge_min,
+                           jnp.minimum(h_row[:, 0], h_row[:, W - 1]))
+    live = i <= n
+    h_row = jnp.where(live, h_row, h_prev)
+    x_row = jnp.where(live, x_row, x_prev)
+    new_edge = jnp.where(live, new_edge, edge_min)
+    return h_row, x_row, new_edge, tb_row
+
+
+def _forward_setup(ref, q, qlen, lo, width):
     n = ref.shape[0]
     B, m_pad = q.shape
     W = width
+    n_pad = -(-n // UNROLL) * UNROLL
     e = jnp.int32(GAP_EXT)
-    oe = jnp.int32(OE)
-
     # left-pad queries so the per-row W-window slice is always in-bounds
     qp = jnp.concatenate(
         [jnp.zeros((B, W + 1), jnp.uint8), q,
-         jnp.zeros((B, W + n + 1), jnp.uint8)], axis=1)
-
+         jnp.zeros((B, W + n_pad + 1), jnp.uint8)], axis=1)
     slots = jnp.arange(W, dtype=jnp.int32)
-
     # row 0: j = slot + lo ; H = gap cost of j insertions
     j0 = slots + lo
     h0 = jnp.where(j0 == 0, 0, jnp.where(j0 > 0, GAP_OPEN + e * j0, INF))
     h0 = jnp.where(j0 > qlen[:, None], INF, h0[None, :] * jnp.ones(
         (B, 1), jnp.int32))
     x0 = jnp.full((B, W), INF)
-
-    def row(carry, i):
-        h_prev, x_prev, edge_min = carry
-        j = i + lo + slots                       # (W,) col per slot
-        jv = (j >= 0) & (j[None, :] <= qlen[:, None])
-
-        # query chars for this row's band window: q[j-1]
-        start = i + lo - 1 + (W + 1)
-        qwin = jax.lax.dynamic_slice(qp, (0, start), (B, W))
-        sub = jnp.where(qwin == ref[i - 1], 0, MISMATCH).astype(jnp.int32)
-        sub = jnp.where((j[None, :] >= 1) & (j[None, :] <= qlen[:, None]),
-                        sub, INF)
-
-        m_row = h_prev + sub                     # diagonal: same slot
-
-        shift = lambda a: jnp.concatenate(
-            [a[:, 1:], jnp.full((B, 1), INF)], axis=1)
-        x_open = shift(h_prev) + oe
-        x_ext = shift(x_prev) + e
-        x_row = jnp.minimum(x_open, x_ext)
-        x_from_ext = x_ext <= x_open             # prefer extend on ties
-
-        g_row = jnp.minimum(m_row, x_row)
-        # y (query-consuming gap) via prefix cummin within the row:
-        #   Y[t] = oe + (t-1-s)*e + min_{s<t} G[s]  (shift-by-one cummin)
-        a = g_row - slots[None, :] * e
-        c = jax.lax.cummin(a, axis=1)
-        y_row = jnp.concatenate(
-            [jnp.full((B, 1), INF),
-             oe + (slots[1:] - 1)[None, :] * e + c[:, :-1]], axis=1)
-        y_row = jnp.minimum(y_row, INF)
-        y_open_direct = jnp.concatenate(
-            [jnp.full((B, 1), INF), g_row[:, :-1] + oe], axis=1)
-        y_from_ext = y_row < y_open_direct       # prefer open on ties
-
-        h_row = jnp.minimum(g_row, y_row)
-        h_row = jnp.where(jv, h_row, INF)
-        h_row = jnp.minimum(h_row, INF)
-        x_row = jnp.where(jv, x_row, INF)
-
-        g_from_x = x_row < m_row                 # argmin within G (M vs X)
-        src = jnp.where(y_row < g_row, 2,
-                        g_from_x.astype(jnp.int32)).astype(jnp.uint8)
-        tb_row = (src | (x_from_ext.astype(jnp.uint8) << 2)
-                  | (y_from_ext.astype(jnp.uint8) << 3)
-                  | (g_from_x.astype(jnp.uint8) << 4))
-        # running minimum over the band-edge diagonals: any path that
-        # ever leaves the band must cross one of them (sound optimality
-        # certificate, see band edge check in align_batch)
-        edge_min = jnp.minimum(edge_min,
-                               jnp.minimum(h_row[:, 0], h_row[:, W - 1]))
-        return (h_row, jnp.minimum(x_row, INF), edge_min), tb_row
-
     edge0 = jnp.minimum(h0[:, 0], h0[:, W - 1])
-    (h_fin, _, edge_min), tb = jax.lax.scan(
-        row, (h0, x0, edge0), jnp.arange(1, n + 1, dtype=jnp.int32))
+    rows = jnp.arange(1, n_pad + 1, dtype=jnp.int32).reshape(-1, UNROLL)
+    return n, n_pad, qp, h0, x0, edge0, rows
 
+
+def _final_score(h_fin, qlen, lo, n, W):
+    B = qlen.shape[0]
     t_end = qlen - n - lo
     score = h_fin[jnp.arange(B), jnp.clip(t_end, 0, W - 1)]
     score = jnp.where((t_end >= 0) & (t_end < W), score, INF)
+    return score, t_end
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def gotoh_forward(ref: jnp.ndarray, q: jnp.ndarray, qlen: jnp.ndarray,
+                  lo: int, width: int):
+    """Forward DP with packed traceback emission.
+
+    ref  — (n,) uint8 reference bytes
+    q    — (B, m_pad) uint8 query bytes (left-aligned, zero padded)
+    qlen — (B,) int32 true query lengths
+    lo   — diagonal offset of band slot 0 (d = j - i in [lo, lo+width))
+    Returns (tb (n, B, W) uint8, score (B,), t_end (B,), edge_min (B,)).
+    """
+    n, n_pad, qp, h0, x0, edge0, rows = _forward_setup(
+        ref, q, qlen, lo, width)
+    B = q.shape[0]
+    W = width
+
+    def chunk(carry, ivec):
+        h, x, em = carry
+        tbs = []
+        for u in range(UNROLL):
+            h, x, em, tb_row = _row_kernel(
+                ref, qp, qlen, lo, W, n, h, x, em, ivec[u], emit_tb=True)
+            tbs.append(tb_row)
+        return (h, x, em), jnp.stack(tbs)
+
+    (h_fin, _, edge_min), tb = jax.lax.scan(chunk, (h0, x0, edge0), rows)
+    tb = tb.reshape(n_pad, B, W)[:n]
+    score, t_end = _final_score(h_fin, qlen, lo, n, W)
     return tb, score, t_end, edge_min
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def gotoh_score(ref: jnp.ndarray, q: jnp.ndarray, qlen: jnp.ndarray,
+                lo: int, width: int):
+    """Score-only forward (no traceback buffer): the cheap first pass
+    of the two-pass aligner.  Returns (score (B,), edge_min (B,))."""
+    n, n_pad, qp, h0, x0, edge0, rows = _forward_setup(
+        ref, q, qlen, lo, width)
+    W = width
+
+    def chunk(carry, ivec):
+        h, x, em = carry
+        for u in range(UNROLL):
+            h, x, em, _ = _row_kernel(
+                ref, qp, qlen, lo, W, n, h, x, em, ivec[u], emit_tb=False)
+        return (h, x, em), None
+
+    (h_fin, _, edge_min), _ = jax.lax.scan(chunk, (h0, x0, edge0), rows)
+    score, _ = _final_score(h_fin, qlen, lo, n, W)
+    return score, edge_min
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
@@ -214,8 +275,15 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
     edge0 = jnp.zeros((B,), dtype=bool)
     cost0 = jnp.zeros((B,), dtype=jnp.int32)
     steps = n + m_pad + 2
+
+    def chunk(carry, _):
+        for _u in range(UNROLL):
+            carry, _n = step(carry, None)
+        return carry, None
+
     (i_f, t_f, _, out, edge, cost), _ = jax.lax.scan(
-        step, (i0, t_end, mat0, out0, edge0, cost0), None, length=steps)
+        chunk, (i0, t_end, mat0, out0, edge0, cost0), None,
+        length=-(-steps // UNROLL))
     done = (i_f == 0) & ((i_f + t_f + lo) == 0)
     return out[:, :n], done, edge, cost
 
