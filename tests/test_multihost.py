@@ -1,0 +1,113 @@
+"""Two local processes + DCN-style merge == single-process scan."""
+
+import lzma
+import socket
+import subprocess
+import sys
+import textwrap
+from pathlib import Path
+
+import numpy as np
+
+from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+from uvaia_tpu.parallel.multihost import assign_files, merge_and_write
+
+from test_nearest import random_seqs, write_fasta
+
+REPO = str(Path(__file__).resolve().parent.parent)
+
+
+def test_assign_files_contiguous(tmp_path):
+    paths = []
+    for i, size in enumerate([100, 5, 5, 100, 40]):
+        p = tmp_path / f"f{i}"
+        p.write_bytes(b"x" * size)
+        paths.append(str(p))
+    parts = [assign_files(paths, 3, pid) for pid in range(3)]
+    assert sum(parts, []) == paths            # contiguous + complete
+    assert all(parts)                          # nobody idle here
+
+
+def test_two_process_merge_equals_single(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(55)
+    L, nq, k = 300, 4, 6
+    write_fasta("q.fa", [f"q{i}" for i in range(nq)],
+                random_seqs(rng, nq, L))
+    db_files = []
+    base = 0
+    for f in range(3):
+        nr = [40, 25, 35][f]
+        write_fasta(f"db{f}.fa", [f"r{base + i}" for i in range(nr)],
+                    random_seqs(rng, nr, L))
+        db_files.append(f"db{f}.fa")
+        base += nr
+
+    # ground truth: single-process scan over the full file list
+    run_nearest(db_files, "q.fa",
+                NearestConfig(nbest=k, pool=16, output="single"))
+    single = lzma.open("single.csv.xz", "rb").read()
+
+    # two coordinated processes, contiguous file ranges, DCN merge
+    port = socket.socket().getsockname()[1] or 0
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {REPO!r})
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from uvaia_tpu.engine.nearest import NearestConfig
+        from uvaia_tpu.parallel.multihost import run_nearest_multihost
+        pid = int(sys.argv[1])
+        cfg = NearestConfig(nbest={k}, pool=16, output="mh")
+        run_nearest_multihost({db_files!r}, "q.fa", cfg, 2, pid,
+                              coordinator="localhost:{port}")
+    """)
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(pid)],
+                              cwd=tmp_path, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode()[-2000:]
+
+    merged = lzma.open("mh.csv.xz", "rb").read()
+    assert merged == single
+
+    # per-host dumps jointly cover every reference named in the CSV
+    from uvaia_tpu.io.fasta import read_fasta_all
+    dumped = {r.name for h in range(2)
+              for r in read_fasta_all(f"mh.h{h}.aln.xz")}
+    csv_refs = {l.split(",")[1]
+                for l in merged.decode().strip().split("\n")[1:]}
+    assert csv_refs <= dumped
+
+
+def test_merge_and_write_single_host_roundtrip(tmp_path, monkeypatch):
+    """merge_and_write over one host's state reproduces write_csv."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(66)
+    L, nq, nr, k = 250, 3, 30, 4
+    write_fasta("q.fa", [f"q{i}" for i in range(nq)],
+                random_seqs(rng, nq, L))
+    write_fasta("db.fa", [f"r{i}" for i in range(nr)],
+                random_seqs(rng, nr, L))
+    res = run_nearest(["db.fa"], "q.fa",
+                      NearestConfig(nbest=k, pool=16, output="direct"))
+    from uvaia_tpu.parallel import multihost as mh
+    names = np.zeros((nq, k, mh.NAME_W), dtype=np.uint8)
+    for qi in range(nq):
+        for slot in range(k):
+            ri = int(res.indices[qi, slot])
+            if ri == 2**31 - 1:
+                continue
+            b = res.names[ri].encode()[:mh.NAME_W]
+            names[qi, slot, :len(b)] = np.frombuffer(b, dtype=np.uint8)
+    merge_and_write(res.pack, res.scores.astype(np.int32)[None],
+                    res.indices.astype(np.int32)[None], names[None],
+                    "merged.csv.xz")
+    assert (lzma.open("merged.csv.xz", "rb").read()
+            == lzma.open("direct.csv.xz", "rb").read())

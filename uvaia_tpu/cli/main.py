@@ -50,6 +50,14 @@ def _add_nearest(sub):
     p.add_argument("--site-shards", type=int, default=1,
                    help="additionally shard the alignment-site axis over "
                         "this many of the devices (devices = db x site)")
+    p.add_argument("--num-hosts", type=int, default=1,
+                   help="multi-host scan: total number of host processes "
+                        "(each scans a contiguous file range; top-k merged "
+                        "over DCN at end of scan)")
+    p.add_argument("--host-id", type=int, default=0,
+                   help="this process's id in [0, num-hosts)")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address host:port")
     p.add_argument("--checkpoint", default=None,
                    help="path for periodic scan checkpoints (resume-able)")
     p.add_argument("--checkpoint_every", type=float, default=60.0,
@@ -171,7 +179,13 @@ def _dispatch(args) -> int:
             checkpoint=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
             prune=not args.no_prune)
-        run_nearest(args.reference, args.fasta, cfg)
+        if args.num_hosts > 1:
+            from ..parallel.multihost import run_nearest_multihost
+            run_nearest_multihost(args.reference, args.fasta, cfg,
+                                  args.num_hosts, args.host_id,
+                                  coordinator=args.coordinator)
+        else:
+            run_nearest(args.reference, args.fasta, cfg)
         return 0
     if args.cmd == "align":
         from ..engine.align import AlignConfig, run_align
