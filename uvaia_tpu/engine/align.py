@@ -66,6 +66,7 @@ class AlignStats:
     failed_band: int = 0
     uncertified: int = 0     # emitted but optimality not provable
                              # within the band cap (WFA-Adapt parity)
+    n_diag: int = 0          # rows emitted via the diagonal fast path
 
 
 def _qc(rec: FastaRecord, n: int, ambiguity: float, stats: AlignStats) -> bool:
@@ -89,7 +90,8 @@ def _qc(rec: FastaRecord, n: int, ambiguity: float, stats: AlignStats) -> bool:
     return True
 
 
-TB_BUDGET = 2 << 30     # traceback buffer cap (bytes): B * n * W
+TB_BUDGET = 6 << 30     # traceback buffer cap (bytes): B * n * W
+E_DIFF = 1024           # sparse D2H: max (pos, char) diffs per row
 
 
 def _pack_rows(recs, b_mult: int = 64):
@@ -109,33 +111,82 @@ def _pack_rows(recs, b_mult: int = 64):
     return arr, lens
 
 
-def _align_group(ref_arr, recs, lo, width, out, stats, cfg):
-    """Align one batch group (forward + traceback); escalate band for
-    rows that escape."""
-    n = ref_arr.shape[0]
-    # the packed traceback is B*n*W bytes in HBM; split the group so a
-    # band escalation cannot blow device memory
-    max_rows = max(1, TB_BUDGET // max(n * width, 1))
-    if len(recs) > max_rows:
-        for start in range(0, len(recs), max_rows):
-            _align_group(ref_arr, recs[start:start + max_rows],
-                         lo, width, out, stats, cfg)
-        return
+@dataclass
+class _DeviceBatch:
+    """One flush's query rows, uploaded to HBM exactly once; groups and
+    pass-2 buckets take device-side row gathers instead of re-uploading
+    (H2D is the scarce resource on remote-attached transports)."""
+    ref_arr: np.ndarray        # (n,) host reference bytes
+    ref_d: object              # device copy
+    lens: np.ndarray           # (B_all,) host query lengths
+    arr_d: object              # (B_all, m_pad) device query bytes
+    lens_d: object
+
+
+def _make_device_batch(ref_arr, recs) -> _DeviceBatch:
     arr, lens = _pack_rows(recs)
-    aligned, score, ok, consistent, wander = gotoh.align_batch(
-        ref_arr, arr, lens, lo, width)
+    return _DeviceBatch(ref_arr=ref_arr, ref_d=jnp.asarray(ref_arr),
+                        lens=lens, arr_d=jnp.asarray(arr),
+                        lens_d=jnp.asarray(lens))
+
+
+def _pad_idx(db: _DeviceBatch, idxs: list[int]):
+    """Row-index vector padded to a 64-multiple (+ its host lens)."""
+    B_pad = _round_up(len(idxs), 64)
+    idx = np.full(B_pad, idxs[0], dtype=np.int32)
+    idx[:len(idxs)] = idxs
+    return jnp.asarray(idx), db.lens[idx]
+
+
+def _dispatch_group(db: _DeviceBatch, items, lo, width):
+    """Queue one group's aligner program (async).  Splits so the
+    packed traceback temp (B*n*W bytes in HBM) stays under budget.
+    Returns a list of pending (items, lens, meta_dev, aligned_dev, lo,
+    width) tuples."""
+    n = db.ref_arr.shape[0]
+    max_rows = max(1, TB_BUDGET // max(n * width, 1))
+    if max_rows > 64:
+        max_rows -= max_rows % 64     # keep split-chunk shapes canonical
+    pending = []
+    for start in range(0, len(items), max_rows):
+        part = items[start:start + max_rows]
+        idx_d, lens = _pad_idx(db, [i for _, i in part])
+        meta_d, aligned_d = gotoh.align_rows(
+            db.ref_d, db.arr_d, db.lens_d, idx_d, lo, width, E_DIFF)
+        pending.append((part, lens, meta_d, aligned_d, lo, width))
+    return pending
+
+
+def _collect_group(db: _DeviceBatch, handle, out, stats, cfg):
+    """Fetch one pending group's fused output buffer and emit rows;
+    escalate band (synchronously — rare) for rows that escape."""
+    items, lens, meta_d, aligned_d, lo, width = handle
+    ref_arr = db.ref_arr
+    n = ref_arr.shape[0]
+    recs = [r for r, _ in items]
+    (score, edge_min, done, walk_cost, count, pos,
+     chars) = gotoh.unpack_meta(np.asarray(meta_d), E_DIFF)
+    ok, consistent, wander = gotoh.certify(
+        score, edge_min, done, walk_cost, lens, n, lo, width)
+
+    def row_bytes(i):
+        if count[i] <= E_DIFF:
+            row = ref_arr.copy()
+            row[pos[i, :count[i]]] = chars[i, :count[i]]
+            return row.tobytes()
+        return np.asarray(aligned_d[i]).tobytes()
 
     retry = []
     for i in range(len(recs)):
         if ok[i]:
-            out[id(recs[i])] = aligned[i].tobytes()
+            out[id(recs[i])] = row_bytes(i)
         elif consistent[i] and 2 * wander[i] + abs(len(recs[i].seq) - n) \
                 > cfg.band:
             # certifying this row would need a band beyond the cap
             # (high-cost, typically N-heavy sequences); accept the
             # consistent banded alignment, as WFA-Adapt would
             stats.uncertified += 1
-            out[id(recs[i])] = aligned[i].tobytes()
+            out[id(recs[i])] = row_bytes(i)
         else:
             retry.append(i)
     if retry:
@@ -145,66 +196,103 @@ def _align_group(ref_arr, recs, lo, width, out, stats, cfg):
             for i in retry:
                 if consistent[i]:
                     stats.uncertified += 1
-                    out[id(recs[i])] = aligned[i].tobytes()
+                    out[id(recs[i])] = row_bytes(i)
                 else:
                     log(f"Sequence {recs[i].name}: no alignment within "
                         f"band {width}; skipped")
                     stats.failed_band += 1
             return
         new_lo = lo - (new_width - width) // 2
-        _align_group(ref_arr, [recs[i] for i in retry],
+        _align_group(db, [items[i] for i in retry],
                      new_lo, new_width, out, stats, cfg)
 
 
-def _align_hybrid(ref_arr, recs, lo, width, out, stats, cfg):
-    """Two-pass aligner: a cheap score-only forward finds each row's
-    optimal cost s*, which bounds the optimal path's diagonal wander to
-    s*/(2*gap_ext)+1 — so a second (traceback-emitting) pass can run in
-    the minimal band that provably contains the global optimum.  The
-    reference's WFA-Adapt reduction (align.c:309) serves the same goal
-    heuristically; here the band choice is certified.
+def _align_group(db: _DeviceBatch, items, lo, width, out, stats, cfg):
+    """Synchronous dispatch + collect (escalations, small groups)."""
+    for handle in _dispatch_group(db, items, lo, width):
+        _collect_group(db, handle, out, stats, cfg)
 
-    Escalation: rows whose pass-1 certificate fails (banded score not
-    provably optimal) re-run pass 1 at 4x width up to cfg.band; rows
-    uncertifiable at the cap go through _align_group's accept/skip.
+
+def _band_levels(band: int) -> list[int]:
+    """Canonical zero-centred band half-widths: 64, 128, ... capped by
+    the --band budget.  A handful of fixed shapes keeps the number of
+    compiled pass-2 kernels (and per-flush dispatches) tiny."""
+    levels = []
+    h = 64
+    while h * 2 + 1 <= max(band, 129):
+        levels.append(h)
+        h *= 2
+    return levels or [64]
+
+
+def _score_pass(db: _DeviceBatch, items, lo, width, cfg, buckets,
+                cap_rows, out=None, stats=None):
+    """Pass 1 (score-only forward): route each row to a canonical
+    pass-2 band bucket.  The banded score s_band upper-bounds the true
+    optimum s*, and any optimal path's diagonal wander is bounded by
+    s*/(2*gap_ext)+1 <= s_band/(2*gap_ext)+1 — so a zero-centred band
+    of half-width wander+|d| provably contains the global optimum (the
+    certified version of WFA-Adapt's reduction, align.c:309).  No
+    certification of s_band itself is needed here: soundness of the
+    bucket only needs an UPPER bound, and pass 2 re-verifies its own
+    optimality certificates.  s_band is always finite because the
+    structural band covers every row's end diagonal.
+
+    Additionally, edge-certified rows (s_band provably optimal and
+    strictly inside this band — the wander bound is loose for
+    mismatch-heavy rows, whose N mismatches inflate s* but do not move
+    diagonals) may use this band's extent instead, whichever is
+    smaller.  Rows needing more than the largest canonical band go to
+    `cap_rows` for _align_group's accept/skip handling at the cap.
     """
+    ref_arr = db.ref_arr
     n = ref_arr.shape[0]
-    if len(recs) <= 8 or width >= cfg.band:
-        return _align_group(ref_arr, recs, lo, width, out, stats, cfg)
-    arr, lens = _pack_rows(recs)
-    score, edge_min = gotoh.gotoh_score(
-        jnp.asarray(ref_arr), jnp.asarray(arr),
-        jnp.asarray(lens, dtype=jnp.int32), lo, width)
+    recs = [r for r, _ in items]
+    idx_d, lens = _pad_idx(db, [i for _, i in items])
     B = len(recs)
-    score = np.asarray(score).astype(np.int64)[:B]
-    edge_min = np.asarray(edge_min).astype(np.int64)[:B]
+    # one dispatch + one transfer
+    both = np.asarray(gotoh.score_rows(db.ref_d, db.arr_d, db.lens_d,
+                                       idx_d, lo, width))
+    score = both[:B, 0].astype(np.int64)
+    edge_min = both[:B, 1].astype(np.int64)
     d = lens[:B].astype(np.int64) - n
     e2 = 2 * gotoh.GAP_EXT
     wander = score // e2 + 1
-    covered = ((np.minimum(0, d) - wander >= lo)
-               & (np.maximum(0, d) + wander <= lo + width - 1))
-    certified = ((score < (1 << 27))
-                 & ((score < edge_min + e2) | covered))
+    edge_cert = score < edge_min + e2
 
-    bad = [recs[i] for i in np.nonzero(~certified)[0]]
-    if bad:
-        new_width = min(width * 4, cfg.band)
-        new_lo = lo - (new_width - width) // 2
-        if new_width > width:
-            _align_hybrid(ref_arr, bad, new_lo, new_width, out, stats, cfg)
+    # diagonal fast path: a same-length row whose certified optimum
+    # equals the gap-free (all-M) path's cost can emit the query bytes
+    # directly — the diagonal path IS an optimal alignment — skipping
+    # pass 2's DP, traceback and device->host transfer entirely.  For
+    # SNP-only genomes (the common case in reference-based viral
+    # alignment) this short-circuits everything after pass 1.
+    diag_done = np.zeros(B, dtype=bool)
+    if out is not None:
+        for i in range(B):
+            if d[i] != 0 or not edge_cert[i] or score[i] >= (1 << 27):
+                continue
+            q = np.frombuffer(recs[i].seq, dtype=np.uint8)
+            h0 = gotoh.MISMATCH * int(np.count_nonzero(q != ref_arr))
+            if h0 == score[i]:
+                out[id(recs[i])] = recs[i].seq
+                diag_done[i] = True
+        if stats is not None:
+            stats.n_diag += int(diag_done.sum())
+
+    levels = _band_levels(cfg.band)
+    need = wander + np.abs(d)
+    h_band = max(-(lo + 1), lo + width - 2)
+    need = np.where(edge_cert & (score < (1 << 27)),
+                    np.minimum(need, h_band), need)
+    for i in range(B):
+        if diag_done[i]:
+            continue
+        for h in levels:
+            if need[i] <= h:
+                buckets.setdefault(h, []).append(items[i])
+                break
         else:
-            _align_group(ref_arr, bad, lo, width, out, stats, cfg)
-
-    # pass 2: bucket certified rows by their minimal certified band
-    buckets: dict[tuple[int, int], list] = {}
-    for i in np.nonzero(certified)[0]:
-        lo2 = int(np.minimum(0, d[i]) - wander[i])
-        hi2 = int(np.maximum(0, d[i]) + wander[i])
-        lo2 = -_round_up(-lo2, 32)
-        w2 = _round_up(hi2 - lo2 + 1, 64) + 1
-        buckets.setdefault((lo2, w2), []).append(recs[i])
-    for (lo2, w2), brecs in buckets.items():
-        _align_group(ref_arr, brecs, lo2, w2, out, stats, cfg)
+            cap_rows.append(items[i])
 
 
 def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
@@ -221,7 +309,7 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
 
     writer = None
     if not cfg.to_stdout:
-        writer = FastaWriter(cfg.prefix + ".aln.xz")
+        writer = FastaWriter(cfg.prefix + ".aln.xz", preset=1)
         log(f"Sequences will be compressed and saved into file "
             f"{writer.path}.")
 
@@ -232,14 +320,33 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
         if not batch:
             return
         out: dict[int, bytes] = {}
-        # bucket by length offset so narrow bands stay narrow
-        groups: dict[int, list[FastaRecord]] = {}
-        for r in batch:
-            groups.setdefault((len(r.seq) - n) // 64, []).append(r)
-        for recs in groups.values():
-            lo, width = _choose_band(n, [len(r.seq) for r in recs],
+        db = _make_device_batch(ref_arr, batch)   # single H2D upload
+        # bucket by length offset so pass-1 bands stay narrow
+        groups: dict[int, list] = {}
+        for bi, r in enumerate(batch):
+            groups.setdefault((len(r.seq) - n) // 64, []).append((r, bi))
+        buckets: dict[int, list] = {}
+        cap_rows: list = []
+        for items in groups.values():
+            lo, width = _choose_band(n, [len(r.seq) for r, _ in items],
                                      cfg.slack)
-            _align_hybrid(ref_arr, recs, lo, width, out, stats, cfg)
+            if len(items) <= 4 or width >= cfg.band:
+                # tiny group / structurally capped: skip the score pass
+                _align_group(db, items, lo, width, out, stats, cfg)
+            else:
+                _score_pass(db, items, lo, width, cfg, buckets,
+                            cap_rows, out=out, stats=stats)
+        # pass 2: canonical zero-centred bands, shared across groups;
+        # dispatch ALL buckets first (async), then fetch — device
+        # compute overlaps the per-group transfer latency
+        if cap_rows:
+            buckets.setdefault(max(_band_levels(cfg.band)),
+                               []).extend(cap_rows)
+        pending = []
+        for h, bitems in sorted(buckets.items()):
+            pending += _dispatch_group(db, bitems, -h, 2 * h + 1)
+        for handle in pending:
+            _collect_group(db, handle, out, stats, cfg)
         for r in batch:
             seq = out.get(id(r))
             if seq is None:

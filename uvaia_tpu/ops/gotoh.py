@@ -274,18 +274,139 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
     out0 = jnp.full((B, n + 1), GAP, dtype=jnp.uint8)
     edge0 = jnp.zeros((B,), dtype=bool)
     cost0 = jnp.zeros((B,), dtype=jnp.int32)
-    steps = n + m_pad + 2
 
-    def chunk(carry, _):
+    # the walk is gather-latency-bound, so trip count matters: run a
+    # while_loop that exits as soon as every row reaches the origin
+    # (path length ~ n + insertions, typically half the static bound);
+    # the step cap guarantees termination on a corrupt traceback (such
+    # rows surface as done=False)
+    max_chunks = -(-(n + m_pad + 2) // UNROLL)
+
+    def cond(carry):
+        k, (i, t, *_rest) = carry
+        return (k < max_chunks) & jnp.any((i > 0) | ((i + t + lo) > 0))
+
+    def chunk(carry):
+        k, inner = carry
         for _u in range(UNROLL):
-            carry, _n = step(carry, None)
-        return carry, None
+            inner, _n = step(inner, None)
+        return k + 1, inner
 
-    (i_f, t_f, _, out, edge, cost), _ = jax.lax.scan(
-        chunk, (i0, t_end, mat0, out0, edge0, cost0), None,
-        length=-(-steps // UNROLL))
+    _, (i_f, t_f, _, out, edge, cost) = jax.lax.while_loop(
+        cond, chunk, (jnp.int32(0), (i0, t_end, mat0, out0, edge0, cost0)))
     done = (i_f == 0) & ((i_f + t_f + lo) == 0)
     return out[:, :n], done, edge, cost
+
+
+def certify(score, edge_min, done, walk_cost, qlens, n, lo, width):
+    """Host-side optimality certificates for a banded result.
+
+    Certificate 1 (edge): any path that ever leaves the band crosses an
+    edge diagonal (diagonals change by 1 per gap char) and then needs
+    >= one gap char out and one back, costing 2*GAP_EXT beyond the edge
+    cell's DP value.  If the banded score beats that, no out-of-band
+    path can win.  ("The in-band optimum does not touch the edge" is
+    NOT sound — a cheaper path may lie entirely outside the band.)
+
+    Certificate 2 (wander): a path of cost c wanders at most c/(2e)
+    diagonals beyond the [0, d_end] hull (out + back costs >= 2e per
+    diagonal), so a band covering that hull +/- c/(2e) provably
+    contains the global optimum.
+
+    Returns (ok, consistent, wander) as numpy arrays.
+    """
+    score = np.asarray(score)
+    gamma = np.asarray(edge_min).astype(np.int64) + 2 * GAP_EXT
+    d_end = np.asarray(qlens).astype(np.int64) - n
+    wander = score.astype(np.int64) // (2 * GAP_EXT) + 1
+    covered = ((np.minimum(0, d_end) - wander >= lo)
+               & (np.maximum(0, d_end) + wander <= lo + width - 1))
+    consistent = (np.asarray(done) & (score < (1 << 27))
+                  & (np.asarray(walk_cost) == score))
+    ok = consistent & ((score < gamma) | covered)
+    return ok, consistent, wander
+
+
+@functools.partial(jax.jit, static_argnums=2)
+def diff_encode(aligned: jnp.ndarray, ref: jnp.ndarray, E: int):
+    """Sparse device->host encoding of ref-projected rows.
+
+    A projected row differs from the reference at SNP/N/deletion sites
+    only — typically a few hundred of 30k positions — so shipping
+    (position, char) pairs beats shipping the row: (B, E)*5 bytes vs
+    (B, n).  Returns (count (B,), pos (B, E) int32 ascending with n as
+    filler, chars (B, E) uint8).  Rows with count > E must be fetched
+    densely by the caller.
+    """
+    n = ref.shape[0]
+    diff = aligned != ref[None, :]
+    pos = jnp.where(diff,
+                    jax.lax.broadcasted_iota(jnp.int32, aligned.shape, 1),
+                    jnp.int32(n))
+    pos = jax.lax.sort(pos, dimension=1)[:, :E]
+    if pos.shape[1] < E:                     # short references: pad
+        pad = jnp.full((pos.shape[0], E - pos.shape[1]), n, jnp.int32)
+        pos = jnp.concatenate([pos, pad], axis=1)
+    chars = jnp.take_along_axis(aligned, jnp.clip(pos, 0, n - 1), axis=1)
+    return diff.sum(axis=1).astype(jnp.int32), pos, chars
+
+
+@functools.partial(jax.jit, static_argnums=6)
+def pack_outputs(aligned, ref, score, edge_min, done, walk_cost, E: int):
+    """Fuse every host-bound per-row output of a group into ONE int32
+    buffer (B, 5+E+E/4) so a group costs a single device->host transfer
+    (fixed transfer latency dominates on remote-attached transports).
+
+    Columns: [score, edge_min, done, walk_cost, diff_count,
+    pos_0..pos_{E-1}, chars packed 4-per-int32] (pos/chars as in
+    diff_encode)."""
+    count, pos, chars = diff_encode(aligned, ref, E)
+    c = chars.astype(jnp.int32).reshape(chars.shape[0], E // 4, 4)
+    chars_packed = (c[..., 0] | (c[..., 1] << 8) | (c[..., 2] << 16)
+                    | (c[..., 3] << 24))
+    return jnp.concatenate(
+        [score[:, None].astype(jnp.int32),
+         edge_min[:, None].astype(jnp.int32),
+         done[:, None].astype(jnp.int32),
+         walk_cost[:, None].astype(jnp.int32),
+         count[:, None], pos, chars_packed], axis=1)
+
+
+def unpack_meta(meta: np.ndarray, E: int):
+    """Host-side inverse of pack_outputs: (score, edge_min, done,
+    walk_cost, count, pos (B,E), chars (B,E))."""
+    chars = meta[:, 5 + E:].astype(np.uint32)
+    chars = np.stack([(chars >> s) & 0xFF for s in (0, 8, 16, 24)],
+                     axis=-1).reshape(meta.shape[0], E).astype(np.uint8)
+    return (meta[:, 0], meta[:, 1], meta[:, 2].astype(bool), meta[:, 3],
+            meta[:, 4], meta[:, 5:5 + E], chars)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def align_rows(ref, arr_all, lens_all, idx, lo: int, width: int, E: int):
+    """One-dispatch group aligner: device-side row gather + forward +
+    traceback + fused output packing.  A single jit call per group
+    matters on remote-attached transports where every dispatch pays a
+    round trip.  Returns (meta, aligned) — fetch meta (small, single
+    buffer); `aligned` stays on device for dense fallback rows."""
+    arr = jnp.take(arr_all, idx, axis=0)
+    lens = jnp.take(lens_all, idx, axis=0)
+    tb, score, t_end, edge_min = gotoh_forward(ref, arr, lens, lo, width)
+    aligned, done, edge, walk_cost = gotoh_traceback(
+        tb, ref, arr, t_end, lo, ref.shape[0])
+    meta = pack_outputs(aligned, ref, score, edge_min, done,
+                        walk_cost, E)
+    return meta, aligned
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def score_rows(ref, arr_all, lens_all, idx, lo: int, width: int):
+    """One-dispatch score pass: device-side row gather + score-only
+    forward, outputs fused into a single (B, 2) [score, edge_min]."""
+    arr = jnp.take(arr_all, idx, axis=0)
+    lens = jnp.take(lens_all, idx, axis=0)
+    score, edge_min = gotoh_score(ref, arr, lens, lo, width)
+    return jnp.stack([score, edge_min], axis=1)
 
 
 def align_batch(ref: np.ndarray, queries: np.ndarray, qlens: np.ndarray,
@@ -297,24 +418,6 @@ def align_batch(ref: np.ndarray, queries: np.ndarray, qlens: np.ndarray,
         jnp.asarray(qlens, dtype=jnp.int32), lo, width)
     aligned, done, edge, walk_cost = gotoh_traceback(
         tb, jnp.asarray(ref), jnp.asarray(queries), t_end, lo, ref.shape[0])
-    score = np.asarray(score)
-    # sound optimality certificate: any path that ever leaves the band
-    # crosses an edge diagonal (diagonals change by 1 per gap char) and
-    # then needs >= one gap char out and one back, costing 2*GAP_EXT
-    # beyond the edge cell's DP value.  If the banded score beats that,
-    # no out-of-band path can win.  ("The in-band optimum does not
-    # touch the edge" is NOT sound — a cheaper path may lie entirely
-    # outside the band.)
-    gamma = np.asarray(edge_min).astype(np.int64) + 2 * GAP_EXT
-    # second certificate: a path of cost c wanders at most c/(2e)
-    # diagonals beyond the [0, d_end] hull (out + back costs >= 2e per
-    # diagonal), so a band covering that hull +/- c/(2e) provably
-    # contains the global optimum
-    d_end = qlens.astype(np.int64) - ref.shape[0]
-    wander = score.astype(np.int64) // (2 * GAP_EXT) + 1
-    covered = ((np.minimum(0, d_end) - wander >= lo)
-               & (np.maximum(0, d_end) + wander <= lo + width - 1))
-    consistent = (np.asarray(done) & (score < (1 << 27))
-                  & (np.asarray(walk_cost) == score))
-    ok = consistent & ((score < gamma) | covered)
-    return np.asarray(aligned), score, ok, consistent, wander
+    ok, consistent, wander = certify(score, edge_min, done, walk_cost,
+                                     qlens, ref.shape[0], lo, width)
+    return np.asarray(aligned), np.asarray(score), ok, consistent, wander
