@@ -1,11 +1,22 @@
 """Benchmark: database scan throughput (genomes/sec/chip) at top-k=50.
 
-Measures the steady-state device rate of the nearest-neighbour scan on
-SARS-CoV-2-scale synthetic data (L=29903, IUPAC-realistic composition),
-matching BASELINE.json config 3.  vs_baseline is against the driver's
-north-star target of 100_000 genomes/sec/chip.
+The HEADLINE metric is the per-chip scan rate (device-resident batch,
+BASELINE.json config 3 shape: L=29903, IUPAC-realistic composition);
+vs_baseline is against the driver's north-star of 100_000
+genomes/sec/chip — a chip-compute target.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extra keys in the same JSON line keep the whole picture honest:
+  streamed_genomes_per_sec — every timed step packs a DISTINCT host
+      batch (scan.pack_codes) and uploads it before scoring.  On this
+      dev environment the device is reached through a remote tunnel
+      (h2d_mb_per_sec ~30; a locally attached chip does ~10-100 GB/s),
+      so this measures the tunnel, not the chip — reported so the gap
+      is visible, not hidden.
+  h2d_mb_per_sec           — measured upload bandwidth of the transport
+  align_seqs_per_sec       — two-pass banded-Gotoh aligner end-to-end
+      on 30kb queries, xz output included (skip with BENCH_ALIGN=0)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
@@ -32,16 +43,109 @@ def make_data(rng, n, L, n_frac=0.02, amb_frac=0.0005, mut=0.002):
     return seqs
 
 
-def main():
-    import sys as _s; _s.path.insert(0, __file__.rsplit('/', 1)[0])
-    from uvaia_tpu.utils.jaxcache import enable as _cache
-    _cache()
-    t_setup = time.time()
+def bench_scan(L, Q, B, K, STEPS):
     import jax
     import jax.numpy as jnp
     from uvaia_tpu.core.encoding import ENCODE_LUT
     from uvaia_tpu.engine.query import QueryPack
     from uvaia_tpu.ops import scan
+
+    t_setup = time.time()
+    rng = np.random.default_rng(0)
+    queries = make_data(rng, Q, L)
+    pack = QueryPack(names=[f"q{i}" for i in range(Q)],
+                     codes=ENCODE_LUT[queries], acgt=False, trim=0)
+    pack.create_indices()
+    qd = scan.build_device_data(pack, k=K)
+
+    NB = 8                                   # distinct host batches
+    host_codes = [ENCODE_LUT[make_data(rng, B, L)] for _ in range(NB)]
+    ok = jnp.ones(B, dtype=bool)
+    state = scan.init_state(Q, K)
+
+    # compile + warmup; materialise to host (block_until_ready is not a
+    # reliable barrier on every backend transport)
+    ref_codes0 = jnp.asarray(host_codes[0])
+    packed0 = jnp.asarray(scan.pack_codes(host_codes[0]))
+    state, flags = scan.scan_step(qd, state, ref_codes0, ok, np.int32(0))
+    state, flags = scan.scan_step_packed(qd, state, packed0, ok,
+                                         np.int32(0))
+    _ = np.asarray(state[0])
+    print(f"# setup+compile {time.time()-t_setup:.1f}s "
+          f"(L={L} Q={Q} B={B} K={K}, S={int(qd.idx_mq.shape[0])}, "
+          f"device={jax.devices()[0]})", file=sys.stderr)
+
+    # device-resident kernel rate (the compute ceiling)
+    t0 = time.time()
+    for i in range(STEPS):
+        state, flags = scan.scan_step(qd, state, ref_codes0, ok,
+                                      np.int32((i + 1) * B))
+    _ = np.asarray(state[0])
+    _ = np.asarray(flags)
+    kernel_rate = STEPS * B / (time.time() - t0)
+
+    # H2D bandwidth probe (distinct pre-packed buffers)
+    pre_packed = [scan.pack_codes(c) for c in host_codes]
+    nbytes = pre_packed[0].nbytes
+    t0 = time.time()
+    devs = [jax.device_put(pre_packed[i % NB]) for i in range(4)]
+    _ = [np.asarray(d[0, :8]) for d in devs]
+    h2d = 4 * nbytes / (time.time() - t0) / 1e6
+
+    # STREAMED rate: pack + upload a distinct batch every step
+    state = scan.init_state(Q, K)
+    t0 = time.time()
+    for i in range(STEPS):
+        packed = scan.pack_codes(host_codes[i % NB])
+        state, flags = scan.scan_step_packed(qd, state,
+                                             jnp.asarray(packed), ok,
+                                             np.int32((i + 1) * B))
+    _ = np.asarray(state[0])
+    _ = np.asarray(flags)
+    streamed_rate = STEPS * B / (time.time() - t0)
+    return streamed_rate, kernel_rate, h2d
+
+
+def bench_align(L, STEPS=1):
+    """Two-pass aligner rate on 30kb queries (warm, end-to-end through
+    run_align incl. xz output)."""
+    import tempfile
+    from uvaia_tpu.engine.align import AlignConfig, run_align
+
+    rng = np.random.default_rng(1)
+    n = L
+    ref = bytes(bytearray(b"ACGT"[i] for i in rng.integers(0, 4, n)))
+    NQ = int(os.environ.get("BENCH_ALIGN_NQ", 256))
+    with tempfile.TemporaryDirectory() as d:
+        with open(f"{d}/ref.fa", "w") as f:
+            f.write(">ref\n" + ref.decode() + "\n")
+        with open(f"{d}/q.fa", "w") as f:
+            for b in range(NQ):
+                q = bytearray(ref)
+                for _ in range(int(rng.integers(5, 60))):
+                    q[rng.integers(0, len(q))] = b"ACGT"[rng.integers(0, 4)]
+                p = int(rng.integers(0, len(q) - 20))
+                ln = int(rng.integers(1, 12))
+                if rng.random() < 0.5:
+                    del q[p:p + ln]
+                else:
+                    q[p:p] = bytes(bytearray(
+                        b"ACGT"[i] for i in rng.integers(0, 4, ln)))
+                f.write(f">q{b}\n{bytes(q).decode()}\n")
+        run_align(f"{d}/ref.fa", [f"{d}/q.fa"],
+                  AlignConfig(output=f"{d}/warm"))      # compile+warm
+        t0 = time.time()
+        stats = run_align(f"{d}/ref.fa", [f"{d}/q.fa"],
+                          AlignConfig(output=f"{d}/out"))
+        dt = time.time() - t0
+        assert stats.n_output == NQ
+    return NQ / dt
+
+
+def main():
+    sys.path.insert(0, __file__.rsplit('/', 1)[0])
+    from uvaia_tpu.utils.jaxcache import enable as _cache
+    _cache()
 
     L = int(os.environ.get("BENCH_L", 29903))
     Q = int(os.environ.get("BENCH_Q", 64))
@@ -49,45 +153,22 @@ def main():
     K = int(os.environ.get("BENCH_K", 50))
     STEPS = int(os.environ.get("BENCH_STEPS", 20))
 
-    rng = np.random.default_rng(0)
-    queries = make_data(rng, Q, L)
-    codes = ENCODE_LUT[queries]
-    pack = QueryPack(names=[f"q{i}" for i in range(Q)], codes=codes,
-                     acgt=False, trim=0)
-    pack.create_indices()
-    qd = scan.build_device_data(pack, k=K)
-
-    refs = make_data(rng, B, L)
-    ref_codes = jnp.asarray(ENCODE_LUT[refs])
-    ok = jnp.ones(B, dtype=bool)
-    state = scan.init_state(Q, K)
-
-    # compile + warmup; materialise to host (block_until_ready is not a
-    # reliable barrier on every backend transport)
-    state, flags = scan.scan_step(qd, state, ref_codes, ok, np.int32(0))
-    _ = np.asarray(state[0])
-    print(f"# setup+compile {time.time()-t_setup:.1f}s "
-          f"(L={L} Q={Q} B={B} K={K}, S={int(qd.idx_mq.shape[0])}, "
-          f"device={jax.devices()[0]})", file=sys.stderr)
-
-    def run(steps):
-        nonlocal state
-        t0 = time.time()
-        for i in range(steps):
-            state, flags = scan.scan_step(qd, state, ref_codes, ok,
-                                          np.int32((i + 1) * B))
-        _ = np.asarray(state[0])
-        _ = np.asarray(flags)
-        return time.time() - t0
-
-    dt = run(STEPS)
-    rate = STEPS * B / dt
+    streamed, kernel, h2d = bench_scan(L, Q, B, K, STEPS)
+    extra = {}
+    if os.environ.get("BENCH_ALIGN", "1") != "0":
+        try:
+            extra["align_seqs_per_sec"] = round(bench_align(L), 1)
+        except Exception as e:                      # noqa: BLE001
+            print(f"# align bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"nearest_scan_genomes_per_sec_per_chip_L{L}_Q{Q}_k{K}",
-        "value": round(rate, 1),
+        "value": round(kernel, 1),
         "unit": "genomes/sec/chip",
-        "vs_baseline": round(rate / 100_000.0, 4),
+        "vs_baseline": round(kernel / 100_000.0, 4),
+        "streamed_genomes_per_sec": round(streamed, 1),
+        "h2d_mb_per_sec": round(h2d, 1),
+        **extra,
     }))
 
 
