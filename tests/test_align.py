@@ -118,3 +118,26 @@ def test_hybrid_two_pass_path_vs_oracle(tmp_path, monkeypatch):
     assert ok.all()
     for b in (0, 7, 23):
         assert score[b] == oracle_score(ref, qs[b])
+
+
+def test_uncertified_sidecar(tmp_path, monkeypatch):
+    """Rows accepted without an optimality certificate are named in
+    <prefix>.uncertified.txt for auditing (the reference's WFA-Adapt
+    silently accepts the same class)."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(13)
+    n = 400
+    ref = rand_dna(rng, n)
+    with open("ref.fa", "w") as f:
+        f.write(f">r\n{ref.decode()}\n")
+    # N-heavy same-length query: mismatch cost 800 beats any gap route,
+    # but certifying that needs a band far beyond the tiny cap
+    q = b"N" * 200 + ref[200:]
+    with open("q.fa", "w") as f:
+        f.write(f">nheavy\n{q.decode()}\n>clean\n{ref.decode()}\n")
+    stats = run_align("ref.fa", ["q.fa"], AlignConfig(output="u",
+                                                      band=64))
+    assert stats.n_output == 2
+    assert stats.uncertified == 1
+    names = open("u.uncertified.txt").read().split()
+    assert names == ["nheavy"]

@@ -67,6 +67,13 @@ class AlignStats:
     uncertified: int = 0     # emitted but optimality not provable
                              # within the band cap (WFA-Adapt parity)
     n_diag: int = 0          # rows emitted via the diagonal fast path
+    uncertified_names: list = None   # their names, for the audit sidecar
+
+    def mark_uncertified(self, name: str) -> None:
+        self.uncertified += 1
+        if self.uncertified_names is None:
+            self.uncertified_names = []
+        self.uncertified_names.append(name)
 
 
 def _qc(rec: FastaRecord, n: int, ambiguity: float, stats: AlignStats) -> bool:
@@ -185,7 +192,7 @@ def _collect_group(db: _DeviceBatch, handle, out, stats, cfg):
             # certifying this row would need a band beyond the cap
             # (high-cost, typically N-heavy sequences); accept the
             # consistent banded alignment, as WFA-Adapt would
-            stats.uncertified += 1
+            stats.mark_uncertified(recs[i].name)
             out[id(recs[i])] = row_bytes(i)
         else:
             retry.append(i)
@@ -195,7 +202,7 @@ def _collect_group(db: _DeviceBatch, handle, out, stats, cfg):
         if new_width <= width:
             for i in retry:
                 if consistent[i]:
-                    stats.uncertified += 1
+                    stats.mark_uncertified(recs[i].name)
                     out[id(recs[i])] = row_bytes(i)
                 else:
                     log(f"Sequence {recs[i].name}: no alignment within "
@@ -378,6 +385,15 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
     if writer is not None:
         writer.close()
         log(f"Saved {stats.n_output} sequences to file {writer.path}")
+    if stats.uncertified_names:
+        # audit sidecar: rows accepted without an optimality certificate
+        # (the reference's WFA-Adapt accepts the same class silently)
+        side = cfg.prefix + ".uncertified.txt"
+        with open(side, "w") as fh:
+            fh.write("\n".join(stats.uncertified_names) + "\n")
+        log(f"Wrote {stats.uncertified} uncertified sequence names to "
+            f"{side} (alignments emitted, optimality not provable "
+            f"within --band)")
     log(f"Total: {stats.count} read, {stats.n_output} aligned, "
         f"{stats.rejected_length} wrong length, "
         f"{stats.rejected_ambiguity} too ambiguous, "

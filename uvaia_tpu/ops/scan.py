@@ -195,11 +195,15 @@ def _pure(codes: jnp.ndarray) -> jnp.ndarray:
 
 
 def _use_pallas() -> bool:
-    """Opt-in fused Pallas scoring kernel (ops/pallas_score.py): set
-    UVAIA_TPU_PALLAS=1 on a TPU backend.  Results are bit-identical;
-    the kernel avoids materialising feature planes in HBM."""
+    """Fused Pallas scoring kernel (ops/pallas_score.py): DEFAULT on a
+    TPU backend, opt out with UVAIA_TPU_PALLAS=0.  Results are
+    bit-identical to the XLA path (tested); the kernel avoids
+    materialising the int8 feature planes in HBM and measured
+    660-707k vs 638k genomes/s/chip (1.07x) at the bench shape
+    (L=29903, Q=64, B=4096, k=50) on v5e.  Non-TPU backends always use
+    the XLA path (Pallas-for-CPU is interpret-mode only)."""
     import os
-    return (os.environ.get("UVAIA_TPU_PALLAS") == "1"
+    return (os.environ.get("UVAIA_TPU_PALLAS", "1") != "0"
             and jax.default_backend() == "tpu")
 
 
