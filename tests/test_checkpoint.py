@@ -33,7 +33,7 @@ def test_resume_matches_single_run(tmp_path, monkeypatch, prune):
     # interrupted run: checkpoint every batch, crash after a few steps
     import uvaia_tpu.engine.nearest as nearest_mod
     count = {"n": 0}
-    target = "flush_survivors" if prune else "scan_step_packed"
+    target = "flush_survivors" if prune else "scan_step_delta"
     orig_step = getattr(nearest_mod.scan, target)
 
     def crashing_step(*a, **kw):

@@ -39,3 +39,26 @@ def test_pallas_tile_divisibility_error():
         pallas_score.pair_counter_mats(
             jnp.zeros((10, 128), jnp.uint8), jnp.zeros((4, 128), jnp.uint8),
             bt=8, qt=4, st=128, interpret=True)
+
+
+def test_pallas_delta_reconstruction_matches_encode():
+    """MXU one-hot reconstruction (interpret mode) inverts delta_encode,
+    including sentinel padding and masked (empty) rows."""
+    import jax.numpy as jnp
+    from uvaia_tpu.ops import pallas_recon, scan
+
+    rng = np.random.default_rng(9)
+    B, L = 16, 700
+    base = rng.integers(0, 16, L).astype(np.uint8)
+    codes = np.tile(base, (B, 1))
+    mut = rng.random((B, L)) < 0.06
+    codes[mut] = rng.integers(0, 16, mut.sum()).astype(np.uint8)
+    ok = np.ones(B, bool)
+    ok[3] = False
+    pos, val = scan.delta_encode(codes, ok, base)
+    rec = np.asarray(pallas_recon.reconstruct_image(
+        jnp.asarray(pos), jnp.asarray(val), jnp.asarray(base), L,
+        interpret=True))
+    np.testing.assert_array_equal(rec[ok], codes[ok])
+    # masked rows rebuild as the base (their scores are masked downstream)
+    np.testing.assert_array_equal(rec[3], base)

@@ -106,3 +106,109 @@ def test_pack_unpack_roundtrip():
         packed = scan.pack_codes(codes)
         out = np.asarray(scan.unpack_codes(jnp.asarray(packed), L))
         np.testing.assert_array_equal(out, codes)
+
+
+# ----------------------------------------------------------------------
+# sparse-delta uploads
+
+def _delta_numpy_ref(codes, ok, base):
+    """Straight-line reference for delta_encode's output contract."""
+    B, L = codes.shape
+    diff = (codes != base[None, :]) & ok[:, None]
+    counts = diff.sum(axis=1)
+    E = next(b for b in scan.DELTA_BUCKETS if b >= counts.max())
+    pos = np.broadcast_to(
+        np.arange(L, L + E, dtype=np.uint16)[None, :], (B, E)).copy()
+    val = np.zeros((B, E), dtype=np.uint8)
+    rows, cols = np.nonzero(diff)
+    slot = np.arange(len(rows)) - np.repeat(np.cumsum(counts) - counts,
+                                            counts)
+    pos[rows, slot] = cols
+    val[rows, slot] = codes[rows, cols]
+    return pos, val
+
+
+@pytest.mark.parametrize("use_native", [True, False])
+def test_delta_encode_matches_reference(use_native, monkeypatch):
+    if not use_native:
+        monkeypatch.setattr(scan, "_delta_lib", lambda: None)
+    elif scan._delta_lib() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    B, L = 37, 700
+    base = rng.integers(0, 16, L).astype(np.uint8)
+    codes = np.tile(base, (B, 1))
+    mut = rng.random((B, L)) < 0.05
+    codes[mut] = rng.integers(0, 16, mut.sum()).astype(np.uint8)
+    ok = np.ones(B, bool)
+    ok[4] = False
+    pos, val = scan.delta_encode(codes, ok, base)
+    rpos, rval = _delta_numpy_ref(codes, ok, base)
+    np.testing.assert_array_equal(pos, rpos)
+    np.testing.assert_array_equal(val, rval)
+
+
+def test_delta_encode_overflow_returns_none():
+    rng = np.random.default_rng(4)
+    B, L = 4, 9000
+    base = rng.integers(0, 16, L).astype(np.uint8)
+    codes = rng.integers(0, 16, (B, L)).astype(np.uint8)  # ~94% diff
+    assert scan.delta_encode(codes, np.ones(B, bool), base) is None
+
+
+def test_scan_step_delta_equals_dense():
+    """Delta upload path == dense scan_step, bit for bit (top-k state,
+    indices, is_best flags), including masked and heavily-gapped rows."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(5)
+    L, Q, B, k = 700, 5, 24, 4
+    pack = make_pack(rng, n_query=Q, L=L)
+    qd = scan.build_device_data(pack, k=k)
+    base = np.asarray(qd.delta_base)
+
+    refs = random_alignment(rng, B, L, mut=0.1)
+    ref_codes = np.stack([encode(r) for r in refs])
+    ok = np.ones(B, bool)
+    ok[-2:] = False
+    ref_codes[-2:] = 0
+
+    enc = scan.delta_encode(ref_codes, ok, base)
+    assert enc is not None
+    st = scan.init_state(Q, k)
+    s_dense, f_dense = scan.scan_step(qd, st, jnp.asarray(ref_codes),
+                                      jnp.asarray(ok), np.int32(3))
+    st = scan.init_state(Q, k)
+    s_delta, f_delta = scan.scan_step_delta(
+        qd, st, jnp.asarray(enc[0]), jnp.asarray(enc[1]),
+        jnp.asarray(ok), np.int32(3))
+    np.testing.assert_array_equal(np.asarray(s_dense[0]),
+                                  np.asarray(s_delta[0]))
+    np.testing.assert_array_equal(np.asarray(s_dense[1]),
+                                  np.asarray(s_delta[1]))
+    np.testing.assert_array_equal(np.asarray(f_dense), np.asarray(f_delta))
+
+
+def test_prune_and_hold_delta_equals_packed():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(6)
+    L, Q, B, k = 500, 4, 16, 3
+    pack = make_pack(rng, n_query=Q, L=L)
+    qd = scan.build_device_data(pack, k=k)
+    scan.build_prune_data(qd, pack)
+    base = np.asarray(qd.delta_base)
+    refs = random_alignment(rng, B, L, mut=0.08)
+    ref_codes = np.stack([encode(r) for r in refs])
+    ok = np.ones(B, bool)
+
+    # seed a non-trivial threshold state first
+    st = scan.init_state(Q, k)
+    st, _ = scan.scan_step(qd, st, jnp.asarray(ref_codes),
+                           jnp.asarray(ok), np.int32(0))
+
+    enc = scan.delta_encode(ref_codes, ok, base)
+    sv_d, codes_d = scan.prune_and_hold_delta(
+        qd, st, jnp.asarray(enc[0]), jnp.asarray(enc[1]), jnp.asarray(ok))
+    sv_p, codes_p = scan.prune_and_hold(
+        qd, st, jnp.asarray(scan.pack_codes(ref_codes)), jnp.asarray(ok))
+    np.testing.assert_array_equal(np.asarray(sv_d), np.asarray(sv_p))
+    np.testing.assert_array_equal(np.asarray(codes_d), np.asarray(codes_p))

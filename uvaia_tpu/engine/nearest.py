@@ -148,8 +148,17 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         log(f"Sharded scan over mesh (db={n_db}, site={cfg.site_shards})")
     else:
         qd = scan.build_device_data(pack, k=cfg.nbest)
+        delta_base = np.asarray(qd.delta_base)
 
         def step_fn(st, batch):
+            # sparse-delta upload when the batch is close to the query
+            # majority (the realistic case: ~10-50x fewer H2D bytes);
+            # 4-bit packed upload otherwise — bit-identical either way
+            enc = scan.delta_encode(batch.codes, batch.ok, delta_base)
+            if enc is not None:
+                return scan.scan_step_delta(
+                    qd, st, jnp.asarray(enc[0]), jnp.asarray(enc[1]),
+                    jnp.asarray(batch.ok), np.int32(batch.base_idx))
             return scan.scan_step_packed(
                 qd, st, jnp.asarray(scan.pack_codes(batch.codes)),
                 jnp.asarray(batch.ok), np.int32(batch.base_idx))
@@ -346,10 +355,17 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             retained = {}
             buf_n = jnp.int32(0)
 
+        delta_base = np.asarray(qd.delta_base)
         for batch in streamer:
-            packed = scan.pack_codes(batch.codes)
-            survive, codes_d = scan.prune_and_hold(
-                qd, state, jnp.asarray(packed), jnp.asarray(batch.ok))
+            enc = scan.delta_encode(batch.codes, batch.ok, delta_base)
+            if enc is not None:
+                survive, codes_d = scan.prune_and_hold_delta(
+                    qd, state, jnp.asarray(enc[0]), jnp.asarray(enc[1]),
+                    jnp.asarray(batch.ok))
+            else:
+                survive, codes_d = scan.prune_and_hold(
+                    qd, state, jnp.asarray(scan.pack_codes(batch.codes)),
+                    jnp.asarray(batch.ok))
             buf, buf_idx, buf_n = scan.accumulate_survivors(
                 buf, buf_idx, buf_n, codes_d, survive,
                 np.int32(batch.base_idx))

@@ -324,4 +324,85 @@ long ufa_next_batch(void* handle, uint8_t* seqbuf, uint8_t* codebuf,
   return k;
 }
 
+// Sparse-delta encoder for the TPU upload path (ops/scan.delta_encode):
+// diff each (B, L) code row against `base` and write (position, code)
+// pairs.  Two passes: (1) an XOR-over-uint64 count scan (the common
+// all-equal stretch costs 1/8th of a byte loop), after which the row
+// stride E is chosen as the smallest entry of `buckets` holding the
+// fattest row; (2) extraction into pos/val with row stride E, slots
+// past a row's diff count sentinel-filled with pos = L + slot (unique
+// ascending, dropped on device) and val = 0.  Rows with ok=0 encode as
+// empty.  Returns E, or -1 when a row overflows buckets[nbuckets-1]
+// (caller falls back to the dense packed upload).  pos/val must hold
+// nrows * buckets[nbuckets-1] entries.  This runs per batch on the
+// host, in series with H2D, so it must track memory bandwidth.
+// Extraction: ONE scan of the batch; diffs land in a stride-`ecap`
+// scratch (no sentinel fill here — that happens in the repack once the
+// per-batch bucket width is known).  The ctz walk over the XOR word
+// touches only differing bytes, so the scan runs at memcmp-like speed
+// over the (dominant) all-equal stretches.  Returns the max per-row
+// diff count, or -1 when a row overflows ecap.
+long ufa_delta_extract(const uint8_t* codes, long nrows, long stride,
+                       const uint8_t* base, const uint8_t* ok, long ecap,
+                       uint16_t* pos, uint8_t* val, long* counts) {
+  long maxc = 0;
+  long words = stride / 8;
+  for (long r = 0; r < nrows; r++) {
+    const uint8_t* row = codes + r * stride;
+    uint16_t* prow = pos + r * ecap;
+    uint8_t* vrow = val + r * ecap;
+    long c = 0;
+    if (ok == nullptr || ok[r]) {
+      for (long w = 0; w < words; w++) {
+        uint64_t a, b;
+        memcpy(&a, row + w * 8, 8);
+        memcpy(&b, base + w * 8, 8);
+        uint64_t x = a ^ b;
+        long i0 = w * 8;
+        while (x) {  // little-endian: ctz finds the lowest-index byte
+          long bidx = __builtin_ctzll(x) >> 3;
+          if (c == ecap) return -1;
+          prow[c] = static_cast<uint16_t>(i0 + bidx);
+          vrow[c] = row[i0 + bidx];
+          c++;
+          x &= ~(0xFFULL << (bidx * 8));
+        }
+      }
+      for (long i = words * 8; i < stride; i++) {
+        if (row[i] != base[i]) {
+          if (c == ecap) return -1;
+          prow[c] = static_cast<uint16_t>(i);
+          vrow[c] = row[i];
+          c++;
+        }
+      }
+    }
+    counts[r] = c;
+    if (c > maxc) maxc = c;
+  }
+  return maxc;
+}
+
+// Repack the stride-`ecap` scratch into tight (nrows, e_out) outputs,
+// sentinel-filling slots past each row's count with pos = sent_base +
+// slot (unique ascending, dropped by the device rebuild) and val = 0.
+void ufa_delta_repack(const uint16_t* pos_in, const uint8_t* val_in,
+                      long nrows, long ecap, const long* counts,
+                      long e_out, long sent_base,
+                      uint16_t* pos_out, uint8_t* val_out) {
+  for (long r = 0; r < nrows; r++) {
+    long c = counts[r];
+    memcpy(pos_out + r * e_out, pos_in + r * ecap,
+           static_cast<size_t>(c) * sizeof(uint16_t));
+    memcpy(val_out + r * e_out, val_in + r * ecap,
+           static_cast<size_t>(c));
+    uint16_t* prow = pos_out + r * e_out;
+    uint8_t* vrow = val_out + r * e_out;
+    for (long s = c; s < e_out; s++) {
+      prow[s] = static_cast<uint16_t>(sent_base + s);
+      vrow[s] = 0;
+    }
+  }
+}
+
 }  // extern "C"

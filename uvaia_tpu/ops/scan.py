@@ -90,6 +90,9 @@ class QueryDeviceData:
     idx_p: jnp.ndarray | None = None     # (P,) acgt-segregating sites
     pure_p_q: jnp.ndarray | None = None  # (Q,) pure count over P
     amb_tot_q: jnp.ndarray | None = None  # (Q,) ambiguity codes in window
+    # sparse-delta uploads: per-site majority query code, the base the
+    # host diffs database rows against (see delta_encode)
+    delta_base: jnp.ndarray | None = None  # (L,) uint8
 
 
 def build_device_data(pack: QueryPack, k: int,
@@ -141,8 +144,22 @@ def build_device_data(pack: QueryPack, k: int,
         w_text=None if w_text is None else jnp.asarray(w_text),
         idx_poly=None if idx_poly is None else jnp.asarray(idx_poly),
         q_poly=None if q_poly is None else jnp.asarray(q_poly),
+        delta_base=jnp.asarray(majority_code(pack.codes)),
     )
     return qd
+
+
+def majority_code(codes: np.ndarray) -> np.ndarray:
+    """(Q, L) -> (L,) most frequent code per site (the delta base).
+
+    Database rows are expected to be close to the queries, so the
+    per-site query majority minimises the expected diff count of
+    delta_encode.  Any fixed vector is *correct* (reconstruction is
+    exact); this one just keeps the uploads small."""
+    counts = np.zeros((16, codes.shape[1]), dtype=np.int32)
+    for c in range(16):
+        counts[c] = (codes == c).sum(axis=0)
+    return counts.argmax(axis=0).astype(np.uint8)
 
 
 def build_prune_data(qd: QueryDeviceData, pack: QueryPack) -> None:
@@ -423,7 +440,7 @@ jax.tree_util.register_dataclass(
     data_fields=["idx_c", "cons_c", "idx_mq", "q_sub", "amb_sites",
                  "w_part", "w_text", "idx_poly", "q_poly",
                  "u_base", "q_pure_u", "idx_p",
-                 "pure_p_q", "amb_tot_q"],
+                 "pure_p_q", "amb_tot_q", "delta_base"],
     meta_fields=["acgt", "n_query", "n_sites", "k", "pack_keys"],
 )
 
@@ -447,6 +464,123 @@ def unpack_codes(packed: jnp.ndarray, n_sites: int) -> jnp.ndarray:
     return both[:, :n_sites]
 
 
+# ----------------------------------------------------------------------
+# sparse-delta uploads: most database genomes differ from the query
+# majority at only ~10^2 of ~3*10^4 sites (SNPs + masked runs), so a
+# (position, code) diff list at 3 bytes/site is ~10-50x smaller than the
+# 4-bit packed row.  H2D is the streaming bottleneck (bench.py
+# h2d_mb_per_sec); the exact codes are rebuilt on device by one scatter.
+
+DELTA_BUCKETS = (128, 256, 512, 1024, 2048, 4096)
+
+
+def _delta_lib():
+    """Native encoder (fasta_io.cpp:ufa_delta_extract/repack), or None."""
+    from ..io import native
+    lib = native.get_lib()
+    if lib is not None and not getattr(lib, "_delta_configured", False):
+        import ctypes
+        lib.ufa_delta_extract.restype = ctypes.c_long
+        lib.ufa_delta_extract.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.ufa_delta_repack.restype = None
+        lib.ufa_delta_repack.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_void_p, ctypes.c_void_p]
+        lib._delta_configured = True
+    return lib
+
+
+_delta_scratch: dict = {}    # B -> (pos, val, counts); single-consumer
+
+
+def delta_encode(codes: np.ndarray, ok: np.ndarray, base: np.ndarray):
+    """Host-side: diff (B, L) uint8 rows against `base`.
+
+    Returns (pos (B, E) uint16, val (B, E) uint8) with E the smallest
+    bucket holding the fattest row, or None when a row exceeds the
+    largest bucket (caller falls back to the 4-bit packed upload —
+    beyond ~L/8 diffs the delta stops paying).  Padding slots carry
+    pos = L + slot so the device-side rebuild drops them (unique,
+    ascending, out of range).  Rows with ok=False encode as empty
+    (their scores are masked downstream).
+
+    The diff scan runs in the native library when available (a numpy
+    nonzero over (B, L) costs ~0.7s/batch — 25x the C++ XOR scan)."""
+    B, L = codes.shape
+    cap = DELTA_BUCKETS[-1]
+    lib = _delta_lib()
+    if lib is not None and L + cap < 2**16:
+        import ctypes
+        if B not in _delta_scratch:
+            _delta_scratch[B] = (np.empty((B, cap), dtype=np.uint16),
+                                 np.empty((B, cap), dtype=np.uint8),
+                                 np.empty(B, dtype=np.int64))
+        spos, sval, counts = _delta_scratch[B]
+        codes = np.ascontiguousarray(codes)
+        base_c = np.ascontiguousarray(base)
+        okb = np.ascontiguousarray(ok.astype(np.uint8))
+        top = lib.ufa_delta_extract(
+            codes.ctypes.data_as(ctypes.c_void_p), B, L,
+            base_c.ctypes.data_as(ctypes.c_void_p),
+            okb.ctypes.data_as(ctypes.c_void_p), cap,
+            spos.ctypes.data_as(ctypes.c_void_p),
+            sval.ctypes.data_as(ctypes.c_void_p),
+            counts.ctypes.data_as(ctypes.c_void_p))
+        if top < 0:
+            return None
+        E = next(b for b in DELTA_BUCKETS if b >= top)
+        pos = np.empty((B, E), dtype=np.uint16)
+        val = np.empty((B, E), dtype=np.uint8)
+        lib.ufa_delta_repack(
+            spos.ctypes.data_as(ctypes.c_void_p),
+            sval.ctypes.data_as(ctypes.c_void_p), B, cap,
+            counts.ctypes.data_as(ctypes.c_void_p), E, L,
+            pos.ctypes.data_as(ctypes.c_void_p),
+            val.ctypes.data_as(ctypes.c_void_p))
+        return pos, val
+    diff = codes != base[None, :]
+    if not ok.all():
+        diff &= ok[:, None]
+    counts = diff.sum(axis=1)
+    top = int(counts.max()) if B else 0
+    E = next((b for b in DELTA_BUCKETS if b >= top), None)
+    if E is None:
+        return None
+    pdt = np.uint16 if L + E < 2**16 else np.uint32
+    pos = np.broadcast_to(
+        np.arange(L, L + E, dtype=pdt)[None, :], (B, E)).copy()
+    val = np.zeros((B, E), dtype=np.uint8)
+    rows, cols = np.nonzero(diff)
+    slot = np.arange(len(rows)) - np.repeat(np.cumsum(counts) - counts,
+                                            counts)
+    pos[rows, slot] = cols
+    val[rows, slot] = codes[rows, cols]
+    return pos, val
+
+
+def reconstruct_delta(base: jnp.ndarray, pos: jnp.ndarray,
+                      val: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of delta_encode: (B, L) uint8 codes.
+
+    On TPU the rebuild runs as a one-hot-factorised MXU matmul (see
+    ops/pallas_recon.py) — XLA scatter at this scale is ~100x slower
+    on TPU and miscompiles at batch size (drops updates; measured on
+    v5e).  Elsewhere a plain scatter is used."""
+    if jax.default_backend() == "tpu":
+        from . import pallas_recon
+        return pallas_recon.reconstruct_image(pos, val, base,
+                                              int(base.shape[0]))
+    B, E = pos.shape
+    codes = jnp.broadcast_to(base[None, :], (B, base.shape[0]))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (B, E), 0)
+    return codes.at[rows, pos.astype(jnp.int32)].set(
+        val, mode="drop", unique_indices=True, indices_are_sorted=True)
+
+
 @functools.partial(jax.jit, donate_argnums=1)
 def scan_step(qd: QueryDeviceData, state, ref_codes, ok, base_idx):
     """One database batch: score + merge. Returns (state, is_best)."""
@@ -461,11 +595,25 @@ def scan_step_packed(qd: QueryDeviceData, state, packed, ok, base_idx):
     return merge_topk(qd, state, scores, ok, base_idx)
 
 
+@functools.partial(jax.jit, donate_argnums=1)
+def scan_step_delta(qd: QueryDeviceData, state, pos, val, ok, base_idx):
+    """scan_step on a sparse-delta upload (see delta_encode)."""
+    scores, _ = score_batch(qd, reconstruct_delta(qd.delta_base, pos, val))
+    return merge_topk(qd, state, scores, ok, base_idx)
+
+
 @jax.jit
 def prune_and_hold(qd: QueryDeviceData, state, packed, ok):
     """Phase 1 on packed codes; returns (survive mask, unpacked codes
     left on device so phase 2 never re-uploads)."""
     ref_codes = unpack_codes(packed, qd.n_sites)
+    return prune_step(qd, state, ref_codes, ok), ref_codes
+
+
+@jax.jit
+def prune_and_hold_delta(qd: QueryDeviceData, state, pos, val, ok):
+    """prune_and_hold on a sparse-delta upload."""
+    ref_codes = reconstruct_delta(qd.delta_base, pos, val)
     return prune_step(qd, state, ref_codes, ok), ref_codes
 
 
