@@ -117,3 +117,43 @@ def test_sharded_nearest_end_to_end_equals_single(tmp_path, monkeypatch,
     single = lzma.open("single.csv.xz", "rb").read()
     shard = lzma.open("shard.csv.xz", "rb").read()
     assert single == shard
+
+
+@pytest.mark.parametrize("shape", [(8, 1), (4, 2)])
+def test_sharded_delta_equals_single(shape):
+    """Sparse-delta sharded step == dense single-chip, bit for bit."""
+    import jax
+    import jax.numpy as jnp
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(23)
+    L, k, B = 520, 4, 16
+    pack = _build(rng, False, L=L)
+    refs = random_alignment(rng, 40, L)
+    ref_codes = np.stack([encode(r) for r in refs])
+
+    n_db, n_site = shape
+    m = pmesh.make_mesh(n_db, n_site)
+    qd_s = scan.build_device_data(pack, k=k, site_shards=n_site)
+    qd_1 = scan.build_device_data(pack, k=k)
+    step_d = pmesh.make_sharded_scan_step(qd_s, m, delta=True)
+    base = np.asarray(qd_s.delta_base)
+
+    st_s = scan.init_state(pack.n_query, k)
+    st_1 = scan.init_state(pack.n_query, k)
+    for start in range(0, 48, B):
+        batch = np.zeros((B, L), dtype=np.uint8)
+        n = max(0, min(B, 40 - start))
+        ok = np.zeros(B, dtype=bool)
+        batch[:n] = ref_codes[start:start + n]
+        ok[:n] = True
+        pos, val = scan.delta_encode(batch, ok, base)
+        st_s, fl_s = step_d(st_s, jnp.asarray(pos), jnp.asarray(val),
+                            jnp.asarray(ok),
+                            jnp.asarray(start + np.arange(B, dtype=np.int32)))
+        st_1, fl_1 = scan.scan_step(qd_1, st_1, jnp.asarray(batch),
+                                    jnp.asarray(ok), np.int32(start))
+        np.testing.assert_array_equal(np.asarray(fl_s), np.asarray(fl_1))
+
+    np.testing.assert_array_equal(np.asarray(st_s[1]), np.asarray(st_1[1]))
+    np.testing.assert_array_equal(np.asarray(st_s[0]), np.asarray(st_1[0]))

@@ -86,11 +86,12 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
     weights = jnp.asarray(_pad_to(
         dist_ops.mismatch_weights(q_sub, cfg.acgt), 8, axis=1))
 
-    from ..ops.scan import pack_codes, unpack_codes
+    from ..ops.scan import (delta_encode, majority_code, pack_codes,
+                            reconstruct_delta, unpack_codes)
+    delta_base = majority_code(pack.codes)
+    delta_base_d = jnp.asarray(delta_base)
 
-    @jax.jit
-    def step(packed, ok):
-        ref_codes = unpack_codes(packed, L)
+    def keep_rule(ref_codes, ok):
         d_cons = dist_ops.cons_mismatches(ref_codes, cons_sites_d,
                                           cons_codes_d, cfg.acgt)
         d_q = dist_ops.pair_mismatches(
@@ -99,6 +100,14 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
         # C keep rule incl. the skipped-stage-3 quirk (see module docstring)
         keep = (2 * d_cons <= dist) | (mindist <= dist)
         return ok & keep, mindist
+
+    @jax.jit
+    def step(packed, ok):
+        return keep_rule(unpack_codes(packed, L), ok)
+
+    @jax.jit
+    def step_delta(pos, val, ok):
+        return keep_rule(reconstruct_delta(delta_base_d, pos, val), ok)
 
     streamer = RefStreamer(ref_paths, L, cfg.pool,
                            ref_ambiguity=cfg.ref_ambiguity)
@@ -114,8 +123,13 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
             writer.write(batch.names[i], batch.seq(int(i)))
 
     for batch in streamer:
-        keep, _ = step(jnp.asarray(pack_codes(batch.codes)),
-                       jnp.asarray(batch.ok))
+        enc = delta_encode(batch.codes, batch.ok, delta_base)
+        if enc is not None:   # sparse-delta upload (see ops/scan)
+            keep, _ = step_delta(jnp.asarray(enc[0]), jnp.asarray(enc[1]),
+                                 jnp.asarray(batch.ok))
+        else:
+            keep, _ = step(jnp.asarray(pack_codes(batch.codes)),
+                           jnp.asarray(batch.ok))
         if pending is not None:
             drain(pending)
         pending = (keep, batch)

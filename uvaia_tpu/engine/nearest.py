@@ -138,11 +138,19 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                                     site_shards=cfg.site_shards)
         mesh = make_mesh(n_db, cfg.site_shards)
         sh_step = make_sharded_scan_step(qd, mesh)
+        sh_step_delta = make_sharded_scan_step(qd, mesh, delta=True)
+        delta_base = np.asarray(qd.delta_base)
 
         def step_fn(st, batch):
-            packed = scan.pack_codes(batch.codes)
-            ridx = batch.base_idx + np.arange(packed.shape[0],
+            ridx = batch.base_idx + np.arange(batch.codes.shape[0],
                                               dtype=np.int32)
+            enc = scan.delta_encode(batch.codes, batch.ok, delta_base)
+            if enc is not None:    # sparse-delta upload (see ops/scan)
+                return sh_step_delta(st, jnp.asarray(enc[0]),
+                                     jnp.asarray(enc[1]),
+                                     jnp.asarray(batch.ok),
+                                     jnp.asarray(ridx))
+            packed = scan.pack_codes(batch.codes)
             return sh_step(st, jnp.asarray(packed), jnp.asarray(batch.ok),
                            jnp.asarray(ridx))
         log(f"Sharded scan over mesh (db={n_db}, site={cfg.site_shards})")
@@ -262,6 +270,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         scan.build_prune_data(qd, pack)
         from ..parallel.mesh import make_sharded_prune_step
         prune_fn = make_sharded_prune_step(qd, mesh)
+        prune_fn_delta = make_sharded_prune_step(qd, mesh, delta=True)
         Lp = (pack.n_sites + 1) // 2
         surv_rows: list[np.ndarray] = []     # packed survivor rows
         surv_gidx: list[int] = []            # their global db indices
@@ -296,12 +305,18 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             surv_rows, surv_gidx, retained = [], [], {}
 
         for batch in streamer:
-            packed = scan.pack_codes(batch.codes)
-            survive = prune_fn(state, jnp.asarray(packed),
-                               jnp.asarray(batch.ok))
+            enc = scan.delta_encode(batch.codes, batch.ok, delta_base)
+            if enc is not None:    # sparse-delta upload (see ops/scan)
+                survive = prune_fn_delta(state, jnp.asarray(enc[0]),
+                                         jnp.asarray(enc[1]),
+                                         jnp.asarray(batch.ok))
+            else:
+                survive = prune_fn(state,
+                                   jnp.asarray(scan.pack_codes(batch.codes)),
+                                   jnp.asarray(batch.ok))
             sv = np.nonzero(np.asarray(survive)[: batch.n])[0]
             if len(sv):
-                surv_rows.append(packed[sv])
+                surv_rows.append(scan.pack_codes(batch.codes[sv]))
                 for i in sv:
                     g = batch.base_idx + int(i)
                     surv_gidx.append(g)

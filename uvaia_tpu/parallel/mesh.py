@@ -45,12 +45,17 @@ def make_mesh(n_db: int, n_site: int = 1, devices=None) -> Mesh:
     return Mesh(dev, ("db", "site"))
 
 
-def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
-    """Jitted (state, packed, ok, ref_idx) -> (state, is_best) over a
+def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh,
+                           delta: bool = False):
+    """Jitted (state, payload, ok, ref_idx) -> (state, is_best) over a
     ('db','site') mesh.
 
-    ``packed``  — (B, ceil(L/2)) uint8 4-bit-packed reference codes
-                  (scan.pack_codes); B divisible by mesh.shape['db'].
+    ``payload`` — the reference batch upload, sharded over 'db':
+                  default a (B, ceil(L/2)) uint8 4-bit-packed matrix
+                  (scan.pack_codes); with ``delta=True`` a (pos, val)
+                  sparse-diff pair from scan.delta_encode, rebuilt on
+                  each device against the replicated qd.delta_base.
+                  B divisible by mesh.shape['db'].
     ``ref_idx`` — (B,) int32 global database index per row (contiguous
                   batches pass base + arange; compacted pruned batches
                   pass their gathered indices).
@@ -61,8 +66,12 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
     has_amb = qd.amb_sites is not None
 
     def local_step(st_scores, st_idx, idx_c, cons_c, idx_mq, q_sub,
-                   amb, poly, packed, ok, ref_idx):
-        ref_codes = scan.unpack_codes(packed, qd.n_sites)
+                   amb, poly, payload, ok, ref_idx):
+        if delta:
+            pos, val, dbase = payload
+            ref_codes = scan.reconstruct_delta(dbase, pos, val)
+        else:
+            ref_codes = scan.unpack_codes(payload, qd.n_sites)
         b_loc = ref_codes.shape[0]
         cons4, mats = scan.site_partials(
             qd.acgt, idx_c, cons_c, idx_mq, q_sub, ref_codes,
@@ -105,6 +114,8 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
 
     amb_spec = (P(), P(), P()) if has_amb else P()
     poly_spec = (P("site"), P(None, "site")) if qd.acgt else P()
+    payload_spec = ((P("db", None), P("db", None), P()) if delta
+                    else P("db", None))
     mapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(),                     # state (replicated)
@@ -112,7 +123,7 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
                   P("site"), P(None, "site"),   # idx_mq, q_sub
                   amb_spec,                     # amb correction tables
                   poly_spec,                    # acgt polymorphic subset
-                  P("db", None),                # packed ref rows over db
+                  payload_spec,                 # ref batch over db
                   P("db"), P("db")),            # ok, ref_idx
         out_specs=(P(), P(), P("db")),
         check_vma=False,
@@ -121,27 +132,42 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh):
     amb = (qd.amb_sites, qd.w_part, qd.w_text) if has_amb else ()
     poly = (qd.idx_poly, qd.q_poly) if qd.acgt else ()
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def step(state, packed, ok, ref_idx):
-        new_scores, new_idx, is_best = mapped(
-            state[0], state[1], qd.idx_c, qd.cons_c, qd.idx_mq, qd.q_sub,
-            amb, poly, packed, ok, ref_idx)
-        return (new_scores, new_idx), is_best
+    if delta:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(state, pos, val, ok, ref_idx):
+            new_scores, new_idx, is_best = mapped(
+                state[0], state[1], qd.idx_c, qd.cons_c, qd.idx_mq,
+                qd.q_sub, amb, poly, (pos, val, qd.delta_base), ok,
+                ref_idx)
+            return (new_scores, new_idx), is_best
+    else:
+        @functools.partial(jax.jit, donate_argnums=0)
+        def step(state, packed, ok, ref_idx):
+            new_scores, new_idx, is_best = mapped(
+                state[0], state[1], qd.idx_c, qd.cons_c, qd.idx_mq,
+                qd.q_sub, amb, poly, packed, ok, ref_idx)
+            return (new_scores, new_idx), is_best
 
     return step
 
 
-def make_sharded_prune_step(qd: scan.QueryDeviceData, mesh: Mesh):
-    """Jitted (state, packed, ok) -> survive (B,) bool — the lossless
+def make_sharded_prune_step(qd: scan.QueryDeviceData, mesh: Mesh,
+                            delta: bool = False):
+    """Jitted (state, payload, ok) -> survive (B,) bool — the lossless
     phase-1 prefilter (scan.prune_step) data-parallel over the 'db'
     axis.  The prefilter arrays (scan.build_prune_data) are replicated:
     they are O(Q*L) int8, small next to the scoring matmuls, and the
     bound is a whole-row computation that does not shard by sites.
-    Must be called after scan.build_prune_data(qd, pack)."""
+    Must be called after scan.build_prune_data(qd, pack).  With
+    ``delta=True`` the payload is a (pos, val) sparse-diff pair."""
 
     def local(st_scores, st_idx, u_base, q_pure_u, idx_p, pure_p_q,
-              amb_tot_q, packed, ok):
-        ref_codes = scan.unpack_codes(packed, qd.n_sites)
+              amb_tot_q, payload, ok):
+        if delta:
+            pos, val, dbase = payload
+            ref_codes = scan.reconstruct_delta(dbase, pos, val)
+        else:
+            ref_codes = scan.unpack_codes(payload, qd.n_sites)
         qd_loc = scan.QueryDeviceData(
             acgt=qd.acgt, n_query=qd.n_query, n_sites=qd.n_sites,
             k=qd.k, pack_keys=qd.pack_keys,
@@ -151,18 +177,27 @@ def make_sharded_prune_step(qd: scan.QueryDeviceData, mesh: Mesh):
             pure_p_q=pure_p_q, amb_tot_q=amb_tot_q)
         return scan.prune_step(qd_loc, (st_scores, st_idx), ref_codes, ok)
 
+    payload_spec = ((P("db", None), P("db", None), P()) if delta
+                    else P("db", None))
     mapped = jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(), P(),                     # state (replicated)
                   P(), P(), P(), P(), P(),      # prefilter arrays
-                  P("db", None), P("db")),      # packed rows, ok
+                  payload_spec, P("db")),       # ref batch, ok
         out_specs=P("db"),
         check_vma=False,
     )
 
-    @jax.jit
-    def step(state, packed, ok):
-        return mapped(state[0], state[1], qd.u_base, qd.q_pure_u,
-                      qd.idx_p, qd.pure_p_q, qd.amb_tot_q, packed, ok)
+    if delta:
+        @jax.jit
+        def step(state, pos, val, ok):
+            return mapped(state[0], state[1], qd.u_base, qd.q_pure_u,
+                          qd.idx_p, qd.pure_p_q, qd.amb_tot_q,
+                          (pos, val, qd.delta_base), ok)
+    else:
+        @jax.jit
+        def step(state, packed, ok):
+            return mapped(state[0], state[1], qd.u_base, qd.q_pure_u,
+                          qd.idx_p, qd.pure_p_q, qd.amb_tot_q, packed, ok)
 
     return step
