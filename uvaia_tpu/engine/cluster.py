@@ -102,15 +102,21 @@ class MedoidIndex:
     """Device-resident medoid code matrix + exact mismatch distances."""
 
     def __init__(self, L: int, capacity: int, trim: int,
-                 initial_tier: int = 1024):
+                 initial_tier: int = 1024,
+                 delta_base: np.ndarray | None = None):
         import jax.numpy as jnp
         self.jnp = jnp
         self.L = L
         self.trim = trim
         self.capacity = capacity
         self.n = 0
-        # store sized in power-of-two tiers: distance kernels only ever
-        # see the current tier, and grow recompiles are O(log) many
+        self._assign = None
+        self._delta_base_d = (None if delta_base is None
+                              else jnp.asarray(delta_base))
+        # store sized in x4 tiers: distance kernels only ever see the
+        # current tier, and each grow step costs one recompile (remote
+        # compiles are ~20-40s, so fewer/larger tiers win over tighter
+        # memory)
         self.tier = initial_tier
         self._codes = jnp.zeros((self.tier, L), dtype=jnp.uint8)
 
@@ -143,37 +149,76 @@ class MedoidIndex:
             return dot(vb, vm) - dot(mb, mm)        # valid - text_matches
 
         import jax as _jax
+        self._dist_expr = dists
         self._dists = _jax.jit(dists)
         self._append = _jax.jit(
             lambda store, rows, at: _jax.lax.dynamic_update_slice(
                 store, rows, (at, 0)), donate_argnums=0)
 
-    def distances(self, batch_codes) -> np.ndarray:
-        """(B, n) exact mismatch counts vs current medoids."""
-        if self.n == 0:
-            return np.zeros((batch_codes.shape[0], 0), dtype=np.int32)
-        d = self._dists(self.jnp.asarray(batch_codes), self._codes)
-        return np.asarray(d)[:, : self.n]
+    def assign(self, codes: np.ndarray, ok: np.ndarray, distance: int,
+               delta_base: np.ndarray):
+        """Fused batch step: one (delta-encoded) upload, and only O(B)
+        + O(B^2) bool leaves the device — never the (B, M) distance
+        matrix (57MB per batch at M=14k medoids measured; the D2H
+        download was the wall of the v1 design).
 
-    def pairwise(self, batch_codes) -> np.ndarray:
-        d = self._dists(self.jnp.asarray(batch_codes),
-                        self.jnp.asarray(batch_codes))
-        return np.asarray(d)
+        Returns (first_hit (B,) int32 — lowest medoid index within
+        `distance`, -1 if none; self_mask (B, B) bool — within-batch
+        pairs within `distance`)."""
+        import jax
+        jnp = self.jnp
+        if self._assign is None:
+            def assign_fn(dist, pos, val, packed, use_delta, store, n_med):
+                from ..ops import scan as scan_ops
+                if use_delta:
+                    codes_d = scan_ops.reconstruct_delta(
+                        self._delta_base_d, pos, val)
+                else:
+                    codes_d = scan_ops.unpack_codes(packed, self.L)
+                d_med = self._dist_expr(codes_d, store)     # (B, tier)
+                col = jax.lax.broadcasted_iota(jnp.int32, d_med.shape, 1)
+                hit = (d_med <= dist) & (col < n_med)
+                first = jnp.where(hit.any(axis=1),
+                                  jnp.argmax(hit, axis=1), -1)
+                d_self = self._dist_expr(codes_d, codes_d)
+                return first.astype(jnp.int32), d_self <= dist
+            self._assign = jax.jit(assign_fn,
+                                   static_argnames=("use_delta",))
+        from ..ops import scan as scan_ops
+        enc = scan_ops.delta_encode(codes, ok, delta_base)
+        dummy = jnp.zeros((1, 1), jnp.uint8)
+        if enc is not None:
+            first, mask = self._assign(
+                np.int32(distance), jnp.asarray(enc[0]),
+                jnp.asarray(enc[1]), dummy, True,
+                self._codes, np.int32(self.n))
+        else:
+            first, mask = self._assign(
+                np.int32(distance), dummy, dummy,
+                jnp.asarray(scan_ops.pack_codes(codes)), False,
+                self._codes, np.int32(self.n))
+        return np.asarray(first), np.asarray(mask)
 
-    def dists_vs(self, rows: np.ndarray, codes: np.ndarray) -> np.ndarray:
-        """(len(rows), len(codes)) exact mismatches between arbitrary
-        code matrices (used by the blocked final merge)."""
-        d = self._dists(self.jnp.asarray(rows), self.jnp.asarray(codes))
-        return np.asarray(d)
+    def close_vs(self, rows: np.ndarray, codes, distance: int) -> np.ndarray:
+        """(len(rows), len(codes)) bool: exact mismatch distance within
+        `distance` (used by the blocked final merge; only the boolean
+        mask leaves the device — 4x less D2H than the int32 matrix)."""
+        import jax
+        if not hasattr(self, "_close"):
+            self._close = jax.jit(
+                lambda r, c, d: self._dist_expr(r, c) <= d)
+        m = self._close(self.jnp.asarray(rows), codes, np.int32(distance))
+        return np.asarray(m)
 
     def append(self, rows: np.ndarray) -> None:
         if self.n + rows.shape[0] > self.capacity:
             raise SystemExit("cluster: medoid capacity exceeded; raise "
                              "--medoid-capacity")
         while self.n + rows.shape[0] > self.tier:
-            self.tier *= 2
-            self._codes = self.jnp.concatenate(
-                [self._codes, self.jnp.zeros_like(self._codes)], axis=0)
+            pad = self.jnp.zeros((3 * self.tier, self.L),
+                                 dtype=self.jnp.uint8)
+            self.tier *= 4
+            self._codes = self.jnp.concatenate([self._codes, pad], axis=0)
         self._codes = self._append(self._codes, self.jnp.asarray(rows),
                                    self.n)
         self.n += rows.shape[0]
@@ -214,32 +259,33 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
     window[trim:L - trim if trim else L] = True
     log(f"Clustering with distance {cfg.distance}, reference of {L} sites")
 
-    index = MedoidIndex(L, cfg.medoid_capacity, trim)
+    index = MedoidIndex(L, cfg.medoid_capacity, trim,
+                        delta_base=ref_codes)
     clusters: list[Cluster] = []
-    count = 0
     last_print = 0
 
-    def process(names, seqs):
-        codes = np.stack([encode(s) for s in seqs])
-        non_n, dist_ref, first = _seq_stats(codes, ref_codes, window,
+    def process(batch):
+        codes = batch.codes
+        n = batch.n
+        non_n, dist_ref, first = _seq_stats(codes[:n], ref_codes, window,
                                             cfg.snps)  # first = snp tuples
-        d_med = index.distances(codes)               # (B, M) exact
-        d_self = index.pairwise(codes)               # (B, B)
+        # fused device step: first-hit medoid + within-batch proximity
+        # mask (one delta upload, O(B)+O(B^2 bool) download — never the
+        # (B, M) distance matrix)
+        d_first, d_self = index.assign(codes, batch.ok, cfg.distance,
+                                       ref_codes)
         new_rows: list[int] = []                     # batch rows that
         new_cl: list[int] = []                       # ...opened clusters
-        for b in range(len(names)):
-            target = -1
-            if d_med.shape[1]:
-                hits = np.nonzero(d_med[b] <= cfg.distance)[0]
-                if len(hits):
-                    target = int(hits[0])
+        for b in range(n):
+            target = int(d_first[b])
             if target < 0:
                 for nb, ci in zip(new_rows, new_cl):  # chain within batch
-                    if d_self[b, nb] <= cfg.distance:
+                    if d_self[b, nb]:
                         target = ci
                         break
             if target < 0:
-                clusters.append(Cluster(names[b], seqs[b], int(non_n[b]),
+                clusters.append(Cluster(batch.names[b], batch.seq(b),
+                                        int(non_n[b]),
                                         int(dist_ref[b]), first[b]))
                 new_rows.append(b)
                 new_cl.append(len(clusters) - 1)
@@ -247,7 +293,7 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
                 cl = clusters[target]
                 if non_n[b] > cl.non_n:              # new, more-resolved medoid
                     cl.neighbours.append(cl.name)
-                    cl.name, cl.seq = names[b], seqs[b]
+                    cl.name, cl.seq = batch.names[b], batch.seq(b)
                     cl.non_n = int(non_n[b])
                     cl.dist_ref = int(dist_ref[b])
                     cl.snp_pos = first[b]
@@ -256,32 +302,21 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
                     else:                            # opened this batch
                         new_rows[new_cl.index(target)] = b
                 else:
-                    cl.neighbours.append(names[b])
+                    cl.neighbours.append(batch.names[b])
         if new_rows:
             index.append(codes[new_rows])
 
-    names: list[str] = []
-    seqs: list[bytes] = []
-    for path in fasta_paths:
-        for rec in read_fasta(path):
-            count += 1
-            if len(rec.seq) != L:
-                raise SystemExit(
-                    f"cluster: sequence {rec.name} has {len(rec.seq)} "
-                    f"sites, reference has {L}; sequences must be aligned")
-            names.append(rec.name)
-            seqs.append(rec.seq)
-            if len(names) >= cfg.pool:
-                process(names, seqs)
-                names, seqs = [], []
-            if count - last_print >= cfg.print_interval:
-                last_print = count
-                log(f"{count} sequences analysed in total; "
-                    f"{len(clusters)} clusters; "
-                    f"{time.time()-t0:.3f} secs elapsed")
-        log(f"Finished reading file {path}; cumulative {count} sequences")
-    if names:
-        process(names, seqs)
+    from .stream import RefStreamer
+    streamer = RefStreamer(fasta_paths, L, cfg.pool, ref_ambiguity=1.0)
+    for batch in streamer:
+        process(batch)
+        count = batch.base_idx + batch.n
+        if count - last_print >= cfg.print_interval:
+            last_print = count
+            log(f"{count} sequences analysed in total; "
+                f"{len(clusters)} clusters; "
+                f"{time.time()-t0:.3f} secs elapsed")
+    count = streamer.stats.count
 
     # final all-pairs medoid merge (replaces cluster.c:219-230 reduction)
     merged = _merge_clusters(index, clusters, cfg.distance)
@@ -323,8 +358,8 @@ def _merge_clusters(index: MedoidIndex, clusters: list[Cluster],
 
     for start in range(0, M, block):
         rows = codes[start:start + block]
-        d = index.dists_vs(rows, codes_d)        # (b, M)
-        ii, jj = np.nonzero(d <= distance)
+        close = index.close_vs(rows, codes_d, distance)   # (b, M) bool
+        ii, jj = np.nonzero(close)
         for i, j in zip(ii.tolist(), jj.tolist()):
             gi = start + i
             if j <= gi:
