@@ -85,7 +85,7 @@ def bench_scan(L, Q, B, K, STEPS):
                                          np.int32(0))
     _ = np.asarray(state[0])
     print(f"# setup+compile {time.time()-t_setup:.1f}s "
-          f"(L={L} Q={Q} B={B} K={K}, S={int(qd.idx_mq.shape[0])}, "
+          f"(L={L} Q={Q} B={B} K={K}, W={int(qd.q_full.shape[1])}, "
           f"device={jax.devices()[0]})", file=sys.stderr)
 
     # device-resident kernel rate (the compute ceiling)

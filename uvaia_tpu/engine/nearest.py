@@ -341,10 +341,10 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         # ---- two-phase: packed upload, device-side survivor buffer.
         # Phase 1 prunes on-device; surviving rows are compacted into a
         # device buffer (no re-upload) and phase 2 flushes it when full.
-        L = pack.n_sites
+        W = int(qd.q_full.shape[1])     # device-side padded site width
         cap = 2 * cfg.pool
         flush_at = min(cap - cfg.pool, max(512, cfg.pool // 4))
-        buf = jnp.zeros((cap, L), dtype=jnp.uint8)
+        buf = jnp.zeros((cap, W), dtype=jnp.uint8)
         buf_idx = jnp.full((cap,), scan.IDX_SENTINEL, dtype=jnp.int32)
         buf_n = jnp.int32(0)
         # host copies of only the SURVIVOR rows (name + raw sequence),

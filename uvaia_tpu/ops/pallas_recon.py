@@ -51,18 +51,23 @@ def _kernel(hi_max, rb, keys_ref, base_ref, out_ref):
         out_ref[pl.ds(r * hi_max, hi_max), :] = img.astype(jnp.uint8)
 
 
-@functools.partial(jax.jit, static_argnames=("n_sites", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("n_sites", "out_width", "interpret"))
 def reconstruct_image(pos: jnp.ndarray, val: jnp.ndarray,
                       base: jnp.ndarray, n_sites: int,
+                      out_width: int | None = None,
                       interpret: bool = False) -> jnp.ndarray:
-    """(B, n_sites) uint8 codes from per-row sorted unique diffs.
+    """(B, out_width) uint8 codes from per-row sorted unique diffs.
 
     pos (B, E) integer site positions (>= n_sites means padding),
     val (B, E) uint8 codes (0 at padding), base (n_sites,) uint8.
+    out_width defaults to n_sites; columns past n_sites are zero, so
+    asking for the natural 128-padded width avoids a slice copy.
     """
     B, E = pos.shape
     hi_max = -(-n_sites // 128)
     l_pad = hi_max * 128
+    w = n_sites if out_width is None else out_width
     rb = 8 if B % 8 == 0 else 1
     keys = (pos.astype(jnp.int32) << 4) | val.astype(jnp.int32)
     base_pad = jnp.pad(base, (0, l_pad - n_sites)).reshape(hi_max, 128)
@@ -77,4 +82,9 @@ def reconstruct_image(pos: jnp.ndarray, val: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B * hi_max, 128), jnp.uint8),
         interpret=interpret,
     )(keys, base_pad)
-    return img.reshape(B, l_pad)[:, :n_sites]
+    img = img.reshape(B, l_pad)
+    if w == l_pad:
+        return img
+    if w < l_pad:
+        return img[:, :w]
+    return jnp.pad(img, ((0, 0), (0, w - l_pad)))

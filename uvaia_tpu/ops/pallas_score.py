@@ -71,6 +71,68 @@ def _kernel(r_ref, q_ref, aa_ref, mm_ref, vv_ref):
     vv_ref[...] += s_vv
 
 
+def _kernel_full(r_ref, q_ref, cons_ref, aa_ref, mm_ref, vv_ref, c_ref):
+    """_kernel + the five consensus-stage counters, so the reference
+    codes are read from HBM exactly once per (i, k) tile:
+      c[:, 0] acgt_c   — text match at a pure-consensus site
+      c[:, 1] text_c   — code equality (both valid)
+      c[:, 2] part_c   — mask intersection
+      c[:, 3] valid_c  — both nonzero
+      c[:, 4] valid    — ref nonzero (per-ref valid site count)
+    The consensus counters are query-independent: only the j == 0
+    program accumulates them."""
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        aa_ref[...] = jnp.zeros_like(aa_ref)
+        mm_ref[...] = jnp.zeros_like(mm_ref)
+        vv_ref[...] = jnp.zeros_like(vv_ref)
+
+    @pl.when((k == 0) & (j == 0))
+    def _():
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    rc = r_ref[...].astype(jnp.int32)
+    qc = q_ref[...].astype(jnp.int32)
+    ra, rm, rv = _features(rc)
+    qa, qm, qv = _features(qc)
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x.astype(jnp.int8), y.astype(jnp.int8),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    s_aa = dot(ra[0], qa[0])
+    s_mm = dot(rm[0], qm[0])
+    for b in range(1, 4):
+        s_aa += dot(ra[b], qa[b])
+        s_mm += dot(rm[b], qm[b])
+    s_vv = dot(rv, qv)
+
+    aa_ref[...] += s_aa
+    mm_ref[...] += s_mm
+    vv_ref[...] += s_vv
+
+    @pl.when(j == 0)
+    def _():
+        cons = cons_ref[...].astype(jnp.int32)        # (1, st)
+        cpop = (((cons >> 0) & 1) + ((cons >> 1) & 1)
+                + ((cons >> 2) & 1) + ((cons >> 3) & 1))
+        v_rc = ((rc != 0) & (cons != 0)).astype(jnp.int32)
+        eq = ((rc == cons).astype(jnp.int32)) * v_rc
+        acgt_c = jnp.sum(eq * (cpop == 1), axis=1)
+        text_c = jnp.sum(eq, axis=1)
+        part_c = jnp.sum(((rc & cons) != 0).astype(jnp.int32), axis=1)
+        valid_c = jnp.sum(v_rc, axis=1)
+        valid = jnp.sum((rc != 0).astype(jnp.int32), axis=1)
+        upd = jnp.stack([acgt_c, text_c, part_c, valid_c, valid,
+                         valid * 0, valid * 0, valid * 0], axis=-1)
+        c_ref[...] += upd
+
+
 @functools.partial(jax.jit, static_argnames=("bt", "qt", "st", "interpret"))
 def pair_counter_mats(ref_sub: jnp.ndarray, q_sub: jnp.ndarray,
                       bt: int = 256, qt: int = 128, st: int = 512,
@@ -116,3 +178,56 @@ def mats_via_pallas(ref_sub: jnp.ndarray, q_sub: jnp.ndarray) -> jnp.ndarray:
     q = jnp.pad(q_sub, ((0, pad(Q, qt)), (0, pad(S, st))))
     mats = pair_counter_mats(r, q, bt=bt, qt=qt, st=st)
     return mats[:B, :Q]
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "qt", "st", "interpret"))
+def _pair_counter_full(ref_codes, q_full, cons_full,
+                       bt: int, qt: int, st: int, interpret: bool = False):
+    B, S = ref_codes.shape
+    Q = q_full.shape[0]
+    grid = (B // bt, Q // qt, S // st)
+    out_spec = pl.BlockSpec((bt, qt), lambda i, j, k: (i, j))
+    aa, mm, vv, cons = pl.pallas_call(
+        _kernel_full,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, st), lambda i, j, k: (i, k)),
+            pl.BlockSpec((qt, st), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, st), lambda i, j, k: (0, k)),
+        ],
+        out_specs=(out_spec, out_spec, out_spec,
+                   pl.BlockSpec((bt, 8), lambda i, j, k: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 8), jnp.int32)),
+        interpret=interpret,
+    )(ref_codes, q_full, cons_full[None, :])
+    return jnp.stack([aa, mm, vv], axis=-1), cons[:, :5]
+
+
+def mats_and_cons_via_pallas(ref_codes: jnp.ndarray, q_full: jnp.ndarray,
+                             cons_full: jnp.ndarray,
+                             interpret: bool = False):
+    """Fused full-mode scoring pass: per-query counter matmuls AND the
+    five consensus-stage counters in one HBM read of the reference
+    codes.  Returns (mats (B, Q, 3), cons5 (B, 5)).  The site width of
+    ref_codes, q_full and cons_full must already agree (site_partials
+    guarantees this; zero columns count nothing)."""
+    B, S = ref_codes.shape
+    Q = q_full.shape[0]
+    # measured on v5e at the bench shape (B=4096, Q=64, S=29952):
+    # (512, 64, 1024) = 2.92ms vs (256, 128, 512) = 3.36ms; larger
+    # tiles fail to compile (VMEM).  qt widens with Q to cut r-block
+    # revisit traffic across query tiles.
+    bt, st = 512, 1024
+    qt = 64 if Q <= 64 else 128
+    pad = lambda n, m: (-n) % m
+    r = jnp.pad(ref_codes, ((0, pad(B, bt)), (0, pad(S, st))))
+    q = jnp.pad(q_full, ((0, pad(Q, qt)), (0, pad(S, st))))
+    c = jnp.pad(cons_full, (0, pad(S, st)))
+    mats, cons5 = _pair_counter_full(r, q, c, bt=min(bt, r.shape[0]),
+                                     qt=min(qt, q.shape[0]),
+                                     st=min(st, r.shape[1]),
+                                     interpret=interpret)
+    return mats[:B, :Q], cons5[:B]

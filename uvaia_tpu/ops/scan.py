@@ -61,6 +61,14 @@ def _pad_to(x: np.ndarray, mult: int, axis: int = 0, value=0) -> np.ndarray:
 class QueryDeviceData:
     """Device-resident per-run query data.
 
+    Site-class restrictions are realised by ZEROING the query-side
+    arrays outside each class (a zero code has no pure/mask/valid
+    feature, so it contributes nothing to any counter) instead of
+    gathering site subsets: (B, S) gathers at scan scale ran at ~40GB/s
+    on TPU (2.2ms/batch) while the extra matmul columns are nearly free
+    on the MXU — and full-length operands shard cleanly over a 'site'
+    mesh axis with no index plumbing.
+
     Registered as a jax pytree (arrays are jit *arguments*, the scalar
     config is static metadata) — embedding the query arrays as closure
     constants would inline them into the HLO, which breaks compilation
@@ -71,18 +79,17 @@ class QueryDeviceData:
     n_sites: int
     k: int
     pack_keys: bool            # six scores fit 3 packed int32 keys
-    idx_c: jnp.ndarray         # (Lc,) int32 (padded, pad -> cons 0)
-    cons_c: jnp.ndarray        # (Lc,) uint8 consensus codes at idx_c
-    idx_mq: jnp.ndarray        # (S,) int32 (padded)
-    q_sub: jnp.ndarray         # (Q, S) uint8 query codes at idx_mq
+    cons_full: jnp.ndarray     # (W,) uint8 consensus, 0 outside idx_c
+    q_full: jnp.ndarray        # (Q, W) uint8 query codes, 0 outside
+                               # idx_mq (W = n_sites padded to the site
+                               # tile: zero columns score zero)
     amb_sites: jnp.ndarray | None  # (A,) int32 global site indices
     w_part: jnp.ndarray | None     # (Q, A, 16) int8 partial-match corr
     w_text: jnp.ndarray | None     # (Q, A, 16) int8 text-match corr
     # --acgt mode only: the polymorphic subset separated out, because
     # score[5] (dist_unique) counts mismatches over idx alone while
     # score[4] (dist_consensus) covers idx_c + idx_m (nearest.c:443-477)
-    idx_poly: jnp.ndarray | None = None   # (P,) int32
-    q_poly: jnp.ndarray | None = None     # (Q, P) uint8
+    q_poly: jnp.ndarray | None = None     # (Q, W) uint8, 0 outside idx
     # phase-1 prefilter data (built on demand, see build_prune_data):
     u_base: jnp.ndarray | None = None    # (L,) uint8 unanimous base code,
                                          # 0 at segregating/out-of-window
@@ -97,17 +104,25 @@ class QueryDeviceData:
 
 def build_device_data(pack: QueryPack, k: int,
                       site_shards: int = 1) -> QueryDeviceData:
-    """Prepare static device arrays.  `site_shards` pads the site-indexed
-    arrays so they divide evenly over a 'site' mesh axis."""
-    mult = 128 * site_shards
+    """Prepare static device arrays.  `site_shards` pads the site axis
+    so it divides evenly over a 'site' mesh axis.  The width multiple
+    matches the Pallas site tile (1024) so the scoring kernel never
+    re-pads the 122MB reference batch."""
+    mult = 1024 * site_shards
+    L = pack.n_sites
+    W = -(-L // mult) * mult
+
     idx_mq = pack.idx_mq.astype(np.int32)
-    q_sub = pack.codes[:, idx_mq]
+    q_full = np.zeros((pack.n_query, W), dtype=np.uint8)
+    q_full[:, idx_mq] = pack.codes[:, idx_mq]
 
     idx_c = pack.idx_c.astype(np.int32)
-    cons_c = pack.consensus[idx_c]
+    cons_full = np.zeros(W, dtype=np.uint8)
+    cons_full[idx_c] = pack.consensus[idx_c]
 
     amb_sites = w_part = w_text = None
     if not pack.acgt:
+        q_sub = pack.codes[:, idx_mq]
         amb_cols = np.nonzero((IS_AMBIG[q_sub] != 0).any(axis=0))[0]
         if len(amb_cols):
             sites = _pad_to(idx_mq[amb_cols], 8)      # pad repeats site 0
@@ -123,30 +138,38 @@ def build_device_data(pack: QueryPack, k: int,
             w_text = eq_amb.astype(np.int8)
             amb_sites = sites
 
-    idx_poly = q_poly = None
+    q_poly = None
     if pack.acgt:
         ip = pack.idx.astype(np.int32)
-        idx_poly = _pad_to(ip, mult)
-        q_poly = _pad_to(pack.codes[:, ip], mult, axis=1)
+        q_poly = np.zeros((pack.n_query, W), dtype=np.uint8)
+        q_poly[:, ip] = pack.codes[:, ip]
 
     qd = QueryDeviceData(
         acgt=pack.acgt,
         n_query=pack.n_query,
-        n_sites=pack.n_sites,
+        n_sites=L,
         k=k,
-        pack_keys=pack.n_sites < 2**15,
-        idx_c=jnp.asarray(_pad_to(idx_c, mult)),
-        cons_c=jnp.asarray(_pad_to(cons_c, mult)),
-        idx_mq=jnp.asarray(_pad_to(idx_mq, mult)),
-        q_sub=jnp.asarray(_pad_to(q_sub, mult, axis=1)),
+        pack_keys=L < 2**15,
+        cons_full=jnp.asarray(cons_full),
+        q_full=jnp.asarray(q_full),
         amb_sites=None if amb_sites is None else jnp.asarray(amb_sites),
         w_part=None if w_part is None else jnp.asarray(w_part),
         w_text=None if w_text is None else jnp.asarray(w_text),
-        idx_poly=None if idx_poly is None else jnp.asarray(idx_poly),
         q_poly=None if q_poly is None else jnp.asarray(q_poly),
         delta_base=jnp.asarray(majority_code(pack.codes)),
     )
     return qd
+
+
+def _to_width(ref_codes: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Zero-pad (or slice) the site axis to width `w`; zero columns
+    contribute nothing to any counter."""
+    L = ref_codes.shape[1]
+    if L == w:
+        return ref_codes
+    if L > w:
+        return ref_codes[:, :w]
+    return jnp.pad(ref_codes, ((0, 0), (0, w - L)))
 
 
 def majority_code(codes: np.ndarray) -> np.ndarray:
@@ -172,6 +195,7 @@ def build_prune_data(qd: QueryDeviceData, pack: QueryPack) -> None:
     """
     from ..core.encoding import IS_PURE
     Q, L = pack.codes.shape
+    W = int(qd.q_full.shape[1])     # prune refs arrive width-padded
     t = pack.trim
     window = np.zeros(L, dtype=bool)
     window[t:L - t if t else L] = True
@@ -189,8 +213,8 @@ def build_prune_data(qd: QueryDeviceData, pack: QueryPack) -> None:
     pure_p_q = pure[:, idx_p].sum(axis=1).astype(np.int32)
     amb = ((pack.codes != 0) & (IS_PURE[pack.codes] == 0)
            & window[None, :])
-    qd.u_base = jnp.asarray(u_base)
-    qd.q_pure_u = jnp.asarray(q_pure_u)
+    qd.u_base = jnp.asarray(np.pad(u_base, (0, W - L)))
+    qd.q_pure_u = jnp.asarray(np.pad(q_pure_u, ((0, 0), (0, W - L))))
     qd.idx_p = jnp.asarray(_pad_to(idx_p, 8))
     qd.pure_p_q = jnp.asarray(pure_p_q)
     qd.amb_tot_q = jnp.asarray(amb.sum(axis=1).astype(np.int32))
@@ -236,42 +260,52 @@ def _imm(a, b):
 # ----------------------------------------------------------------------
 # scoring, split into (a) site-summable partials and (b) assembly
 
-def site_partials(acgt: bool, idx_c, cons_c, idx_mq, q_sub, ref_codes,
-                  idx_poly=None, q_poly=None):
-    """Counter contributions that sum over sites.
+def site_partials(acgt: bool, cons_full, q_full, ref_codes, q_poly=None):
+    """Counter contributions that sum over sites — gather-free: the
+    reference rows are used full-width against zero-masked query-side
+    operands (see QueryDeviceData docstring).
 
-    Returns (cons (B, 4) int32, mats (B, Q, 3|4) int32); --acgt mode
+    ``ref_codes`` must be padded to cons_full's width (scan._to_width).
+    Returns (cons (B, 5) int32, mats (B, Q, 3|4) int32); --acgt mode
     uses cons[:, :2] and a 4-wide mats whose last two slots are the
     polymorphic-subset pair counts (needed for the reference's s4/s5
-    split, nearest.c:443-477).  Under a 'site' mesh axis these are the
-    psum-reducible partials.
+    split, nearest.c:443-477).  cons[:, 4] is the per-ref valid-site
+    count.  Under a 'site' mesh axis these are the psum-reducible
+    partials.
     """
-    rc = jnp.take(ref_codes, idx_c, axis=1)           # (B, Lc)
-    cons = cons_c[None, :]
-    rs = jnp.take(ref_codes, idx_mq, axis=1)          # (B, S)
+    rc = ref_codes                                    # (B, W)
+    cons = cons_full[None, :]
 
     if acgt:
+        valid_sites = jnp.sum((rc != 0).astype(jnp.int32), axis=1)
         both = (_pure(rc) & _pure(cons)).astype(jnp.int32)
         mm_c = jnp.sum(both * (rc != cons), axis=1)
         va_c = jnp.sum(both, axis=1)
-        cons4 = jnp.stack([mm_c, va_c, va_c * 0, va_c * 0], axis=-1)
+        cons5 = jnp.stack([mm_c, va_c, va_c * 0, va_c * 0, valid_sites],
+                          axis=-1)
 
-        p_r = _pure(rs)
-        a_r = _bits(rs) * p_r[..., None]
-        p_q = _pure(q_sub)
-        a_q = _bits(q_sub) * p_q[..., None]
+        p_r = _pure(rc)
+        a_r = _bits(rc) * p_r[..., None]
+        p_q = _pure(q_full)
+        a_q = _bits(q_full) * p_q[..., None]
         s_pp = _imm(p_r, p_q)
         s_aa = _imm(a_r, a_q)
-        rp = jnp.take(ref_codes, idx_poly, axis=1)    # (B, P)
-        pp_r = _pure(rp)
-        ap_r = _bits(rp) * pp_r[..., None]
         pp_q = _pure(q_poly)
         ap_q = _bits(q_poly) * pp_q[..., None]
-        s_pp_p = _imm(pp_r, pp_q)
-        s_aa_p = _imm(ap_r, ap_q)
+        s_pp_p = _imm(p_r, pp_q)
+        s_aa_p = _imm(a_r, ap_q)
         mats = jnp.stack([s_pp, s_aa, s_pp_p, s_aa_p], axis=-1)
-        return cons4, mats
+        return cons5, mats
 
+    if _use_pallas():
+        # fused kernel: per-query matmuls + consensus counters in one
+        # HBM pass over the reference codes
+        from . import pallas_score
+        mats, cons5 = pallas_score.mats_and_cons_via_pallas(
+            rc, q_full, cons_full)
+        return cons5, mats
+
+    valid_sites = jnp.sum((rc != 0).astype(jnp.int32), axis=1)
     v_rc = (rc != 0) & (cons != 0)
     eq_c = (rc == cons) & v_rc
     pure_cons = _pure(cons) != 0
@@ -279,29 +313,29 @@ def site_partials(acgt: bool, idx_c, cons_c, idx_mq, q_sub, ref_codes,
     text_c = jnp.sum(eq_c.astype(jnp.int32), axis=1)
     part_c = jnp.sum(((rc & cons) != 0).astype(jnp.int32), axis=1)
     valid_c = jnp.sum(v_rc.astype(jnp.int32), axis=1)
-    cons4 = jnp.stack([acgt_c, text_c, part_c, valid_c], axis=-1)
-
-    if _use_pallas():
-        from . import pallas_score
-        mats = pallas_score.mats_via_pallas(rs, q_sub)
-        return cons4, mats
-    a_r = _bits(rs) * _pure(rs)[..., None]
-    m_r = _bits(rs)
-    v_r = (rs != 0).astype(jnp.int8)
-    a_q = _bits(q_sub) * _pure(q_sub)[..., None]
-    m_q = _bits(q_sub)
-    v_q = (q_sub != 0).astype(jnp.int8)
+    cons5 = jnp.stack([acgt_c, text_c, part_c, valid_c, valid_sites],
+                      axis=-1)
+    a_r = _bits(rc) * _pure(rc)[..., None]
+    m_r = _bits(rc)
+    v_r = (rc != 0).astype(jnp.int8)
+    a_q = _bits(q_full) * _pure(q_full)[..., None]
+    m_q = _bits(q_full)
+    v_q = (q_full != 0).astype(jnp.int8)
     mats = jnp.stack([_imm(a_r, a_q), _imm(m_r, m_q), _imm(v_r, v_q)],
                      axis=-1)
-    return cons4, mats
+    return cons5, mats
 
 
-def assemble_scores(qd: QueryDeviceData, ref_codes, cons4, mats):
-    """Combine partials + rare-ambiguity corrections into (B, Q, 6)."""
-    valid_sites = jnp.sum((ref_codes != 0).astype(jnp.int32), axis=1)
+def assemble_scores(qd: QueryDeviceData, ref_codes, cons5, mats):
+    """Combine partials + rare-ambiguity corrections into (B, Q, 6).
+
+    ``ref_codes`` is only read at qd.amb_sites (full-mode ambiguity
+    corrections); valid-site counts ride in cons5[:, 4] so a
+    site-sharded caller can psum them with the other partials."""
+    valid_sites = cons5[:, 4]
 
     if qd.acgt:
-        mm_c, va_c = cons4[:, 0], cons4[:, 1]
+        mm_c, va_c = cons5[:, 0], cons5[:, 1]
         s_pp, s_aa = mats[..., 0], mats[..., 1]
         mm_poly = mats[..., 2] - mats[..., 3]   # mismatches over idx alone
         mm_m = (s_pp - s_aa) - mm_poly          # mismatches over idx_m
@@ -312,7 +346,7 @@ def assemble_scores(qd: QueryDeviceData, ref_codes, cons4, mats):
         s4 = mm_c[:, None] + mm_m       # dist_consensus (idx_c + idx_m)
         s5 = mm_poly                    # dist_unique (polymorphic idx)
     else:
-        acgt_c, text_c, part_c, valid_c = (cons4[:, i] for i in range(4))
+        acgt_c, text_c, part_c, valid_c = (cons5[:, i] for i in range(4))
         s_aa, s_mm, s_vv = (mats[..., i] for i in range(3))
         corr_t = corr_p = 0
         if qd.amb_sites is not None:
@@ -333,10 +367,10 @@ def assemble_scores(qd: QueryDeviceData, ref_codes, cons4, mats):
 
 def score_batch(qd: QueryDeviceData, ref_codes: jnp.ndarray):
     """(B, Q, 6) int32 six-score tensor + per-ref valid-site counts."""
-    cons4, mats = site_partials(qd.acgt, qd.idx_c, qd.cons_c,
-                                qd.idx_mq, qd.q_sub, ref_codes,
-                                qd.idx_poly, qd.q_poly)
-    scores = assemble_scores(qd, ref_codes, cons4, mats)
+    rc = _to_width(ref_codes, qd.q_full.shape[1])
+    cons5, mats = site_partials(qd.acgt, qd.cons_full, qd.q_full, rc,
+                                qd.q_poly)
+    scores = assemble_scores(qd, rc, cons5, mats)
     return scores, scores[..., 5 if not qd.acgt else 3][:, 0]
 
 
@@ -423,12 +457,23 @@ def merge_topk(qd: QueryDeviceData, state, scores, ok, base_idx,
     st_scores, st_idx = state
     is_best, batch_idx = batch_flags_and_idx(qd, state, scores, ok,
                                              base_idx, ref_idx)
-    all_scores = jnp.concatenate(
-        [st_scores, jnp.transpose(scores, (1, 0, 2))], axis=1)
-    all_idx = jnp.concatenate(
-        [st_idx, jnp.broadcast_to(batch_idx[None, :],
-                                  (qd.n_query, scores.shape[0]))], axis=1)
-    new_scores, new_idx = select_topk(qd, all_scores, all_idx, qd.k)
+
+    def merge(st_scores, st_idx):
+        all_scores = jnp.concatenate(
+            [st_scores, jnp.transpose(scores, (1, 0, 2))], axis=1)
+        all_idx = jnp.concatenate(
+            [st_idx, jnp.broadcast_to(batch_idx[None, :],
+                                      (qd.n_query, scores.shape[0]))],
+            axis=1)
+        return select_topk(qd, all_scores, all_idx, qd.k)
+
+    # steady-state scans converge fast: once every query's top-k is
+    # populated with close refs, most batches contribute nothing and
+    # the (Q, k+B) sort is pure waste — skip it when no row can enter
+    # (the dense-batch analogue of the C heap's O(1) reject,
+    # min_heap.c:93-100)
+    new_scores, new_idx = jax.lax.cond(
+        jnp.any(is_best), merge, lambda a, b: (a, b), st_scores, st_idx)
     return (new_scores, new_idx), is_best
 
 
@@ -437,8 +482,8 @@ def merge_topk(qd: QueryDeviceData, state, scores, ok, base_idx,
 
 jax.tree_util.register_dataclass(
     QueryDeviceData,
-    data_fields=["idx_c", "cons_c", "idx_mq", "q_sub", "amb_sites",
-                 "w_part", "w_text", "idx_poly", "q_poly",
+    data_fields=["cons_full", "q_full", "amb_sites",
+                 "w_part", "w_text", "q_poly",
                  "u_base", "q_pure_u", "idx_p",
                  "pure_p_q", "amb_tot_q", "delta_base"],
     meta_fields=["acgt", "n_query", "n_sites", "k", "pack_keys"],
@@ -563,22 +608,32 @@ def delta_encode(codes: np.ndarray, ok: np.ndarray, base: np.ndarray):
 
 
 def reconstruct_delta(base: jnp.ndarray, pos: jnp.ndarray,
-                      val: jnp.ndarray) -> jnp.ndarray:
-    """Device-side inverse of delta_encode: (B, L) uint8 codes.
+                      val: jnp.ndarray, width: int | None = None
+                      ) -> jnp.ndarray:
+    """Device-side inverse of delta_encode: (B, width) uint8 codes
+    (width defaults to len(base); extra columns are zero).
 
     On TPU the rebuild runs as a one-hot-factorised MXU matmul (see
     ops/pallas_recon.py) — XLA scatter at this scale is ~100x slower
     on TPU and miscompiles at batch size (drops updates; measured on
     v5e).  Elsewhere a plain scatter is used."""
+    w = int(base.shape[0]) if width is None else width
     if jax.default_backend() == "tpu":
         from . import pallas_recon
-        return pallas_recon.reconstruct_image(pos, val, base,
-                                              int(base.shape[0]))
+        L = int(base.shape[0])
+        if w % 128 == 0 and w >= L:
+            # rebuild straight at the target width: base padding is
+            # 30KB, vs re-padding the 122MB image afterwards
+            base_w = jnp.pad(base, (0, w - L))
+            return pallas_recon.reconstruct_image(pos, val, base_w, w)
+        return pallas_recon.reconstruct_image(pos, val, base, L,
+                                              out_width=w)
     B, E = pos.shape
     codes = jnp.broadcast_to(base[None, :], (B, base.shape[0]))
     rows = jax.lax.broadcasted_iota(jnp.int32, (B, E), 0)
-    return codes.at[rows, pos.astype(jnp.int32)].set(
+    out = codes.at[rows, pos.astype(jnp.int32)].set(
         val, mode="drop", unique_indices=True, indices_are_sorted=True)
+    return _to_width(out, w)
 
 
 @functools.partial(jax.jit, donate_argnums=1)
@@ -598,7 +653,9 @@ def scan_step_packed(qd: QueryDeviceData, state, packed, ok, base_idx):
 @functools.partial(jax.jit, donate_argnums=1)
 def scan_step_delta(qd: QueryDeviceData, state, pos, val, ok, base_idx):
     """scan_step on a sparse-delta upload (see delta_encode)."""
-    scores, _ = score_batch(qd, reconstruct_delta(qd.delta_base, pos, val))
+    ref = reconstruct_delta(qd.delta_base, pos, val,
+                            width=int(qd.q_full.shape[1]))
+    scores, _ = score_batch(qd, ref)
     return merge_topk(qd, state, scores, ok, base_idx)
 
 
@@ -606,14 +663,16 @@ def scan_step_delta(qd: QueryDeviceData, state, pos, val, ok, base_idx):
 def prune_and_hold(qd: QueryDeviceData, state, packed, ok):
     """Phase 1 on packed codes; returns (survive mask, unpacked codes
     left on device so phase 2 never re-uploads)."""
-    ref_codes = unpack_codes(packed, qd.n_sites)
+    ref_codes = _to_width(unpack_codes(packed, qd.n_sites),
+                          int(qd.q_full.shape[1]))
     return prune_step(qd, state, ref_codes, ok), ref_codes
 
 
 @jax.jit
 def prune_and_hold_delta(qd: QueryDeviceData, state, pos, val, ok):
     """prune_and_hold on a sparse-delta upload."""
-    ref_codes = reconstruct_delta(qd.delta_base, pos, val)
+    ref_codes = reconstruct_delta(qd.delta_base, pos, val,
+                                  width=int(qd.q_full.shape[1]))
     return prune_step(qd, state, ref_codes, ok), ref_codes
 
 
@@ -665,7 +724,8 @@ def prune_step(qd: QueryDeviceData, state, ref_codes, ok):
     from it can beat the threshold tuple (sound, lossless prune).
     """
     st_scores, _ = state
-    pure_r_full = _pure(ref_codes)                               # (B, L)
+    ref_codes = _to_width(ref_codes, int(qd.u_base.shape[0]))
+    pure_r_full = _pure(ref_codes)                               # (B, W)
     r_match = ((ref_codes == qd.u_base[None, :])
                & (qd.u_base != 0)[None, :]).astype(jnp.int8)
     s0_u = jax.lax.dot_general(

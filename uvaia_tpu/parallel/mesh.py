@@ -64,29 +64,36 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh,
     n_db = mesh.shape["db"]
     k = qd.k
     has_amb = qd.amb_sites is not None
+    W = int(qd.q_full.shape[1])
 
-    def local_step(st_scores, st_idx, idx_c, cons_c, idx_mq, q_sub,
+    def local_step(st_scores, st_idx, cons_full, q_full,
                    amb, poly, payload, ok, ref_idx):
         if delta:
             pos, val, dbase = payload
-            ref_codes = scan.reconstruct_delta(dbase, pos, val)
+            ref_codes = scan.reconstruct_delta(dbase, pos, val, width=W)
         else:
-            ref_codes = scan.unpack_codes(payload, qd.n_sites)
+            ref_codes = scan._to_width(
+                scan.unpack_codes(payload, qd.n_sites), W)
         b_loc = ref_codes.shape[0]
-        cons4, mats = scan.site_partials(
-            qd.acgt, idx_c, cons_c, idx_mq, q_sub, ref_codes,
-            poly[0] if qd.acgt else None, poly[1] if qd.acgt else None)
-        cons4, mats = jax.lax.psum((cons4, mats), "site")
+        # reference rows are replicated over 'site'; each shard
+        # contracts only its own site-column block
+        w_loc = q_full.shape[1]
+        rc_loc = jax.lax.dynamic_slice_in_dim(
+            ref_codes, jax.lax.axis_index("site") * w_loc, w_loc, axis=1)
+        cons5, mats = scan.site_partials(
+            qd.acgt, cons_full, q_full, rc_loc,
+            poly if qd.acgt else None)
+        cons5, mats = jax.lax.psum((cons5, mats), "site")
         # rebuild a local view so the big query arrays stay jit
         # arguments (not HLO constants; see QueryDeviceData docstring)
         qd_loc = scan.QueryDeviceData(
             acgt=qd.acgt, n_query=qd.n_query, n_sites=qd.n_sites,
             k=k, pack_keys=qd.pack_keys,
-            idx_c=idx_c, cons_c=cons_c, idx_mq=idx_mq, q_sub=q_sub,
+            cons_full=cons_full, q_full=q_full,
             amb_sites=amb[0] if has_amb else None,
             w_part=amb[1] if has_amb else None,
             w_text=amb[2] if has_amb else None)
-        scores = scan.assemble_scores(qd_loc, ref_codes, cons4, mats)
+        scores = scan.assemble_scores(qd_loc, ref_codes, cons5, mats)
 
         state = (st_scores, st_idx)
         is_best, batch_idx = scan.batch_flags_and_idx(
@@ -113,14 +120,13 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh,
         return new_scores, new_idx, is_best
 
     amb_spec = (P(), P(), P()) if has_amb else P()
-    poly_spec = (P("site"), P(None, "site")) if qd.acgt else P()
+    poly_spec = P(None, "site") if qd.acgt else P()
     payload_spec = ((P("db", None), P("db", None), P()) if delta
                     else P("db", None))
     mapped = jax.shard_map(
         local_step, mesh=mesh,
         in_specs=(P(), P(),                     # state (replicated)
-                  P("site"), P("site"),         # idx_c, cons_c
-                  P("site"), P(None, "site"),   # idx_mq, q_sub
+                  P("site"), P(None, "site"),   # cons_full, q_full
                   amb_spec,                     # amb correction tables
                   poly_spec,                    # acgt polymorphic subset
                   payload_spec,                 # ref batch over db
@@ -130,22 +136,21 @@ def make_sharded_scan_step(qd: scan.QueryDeviceData, mesh: Mesh,
     )
 
     amb = (qd.amb_sites, qd.w_part, qd.w_text) if has_amb else ()
-    poly = (qd.idx_poly, qd.q_poly) if qd.acgt else ()
+    poly = qd.q_poly if qd.acgt else ()
 
     if delta:
         @functools.partial(jax.jit, donate_argnums=0)
         def step(state, pos, val, ok, ref_idx):
             new_scores, new_idx, is_best = mapped(
-                state[0], state[1], qd.idx_c, qd.cons_c, qd.idx_mq,
-                qd.q_sub, amb, poly, (pos, val, qd.delta_base), ok,
-                ref_idx)
+                state[0], state[1], qd.cons_full, qd.q_full,
+                amb, poly, (pos, val, qd.delta_base), ok, ref_idx)
             return (new_scores, new_idx), is_best
     else:
         @functools.partial(jax.jit, donate_argnums=0)
         def step(state, packed, ok, ref_idx):
             new_scores, new_idx, is_best = mapped(
-                state[0], state[1], qd.idx_c, qd.cons_c, qd.idx_mq,
-                qd.q_sub, amb, poly, packed, ok, ref_idx)
+                state[0], state[1], qd.cons_full, qd.q_full,
+                amb, poly, packed, ok, ref_idx)
             return (new_scores, new_idx), is_best
 
     return step
@@ -161,17 +166,20 @@ def make_sharded_prune_step(qd: scan.QueryDeviceData, mesh: Mesh,
     Must be called after scan.build_prune_data(qd, pack).  With
     ``delta=True`` the payload is a (pos, val) sparse-diff pair."""
 
+    W = int(qd.q_full.shape[1])
+
     def local(st_scores, st_idx, u_base, q_pure_u, idx_p, pure_p_q,
               amb_tot_q, payload, ok):
         if delta:
             pos, val, dbase = payload
-            ref_codes = scan.reconstruct_delta(dbase, pos, val)
+            ref_codes = scan.reconstruct_delta(dbase, pos, val, width=W)
         else:
-            ref_codes = scan.unpack_codes(payload, qd.n_sites)
+            ref_codes = scan._to_width(
+                scan.unpack_codes(payload, qd.n_sites), W)
         qd_loc = scan.QueryDeviceData(
             acgt=qd.acgt, n_query=qd.n_query, n_sites=qd.n_sites,
             k=qd.k, pack_keys=qd.pack_keys,
-            idx_c=None, cons_c=None, idx_mq=None, q_sub=None,
+            cons_full=None, q_full=None,
             amb_sites=None, w_part=None, w_text=None,
             u_base=u_base, q_pure_u=q_pure_u, idx_p=idx_p,
             pure_p_q=pure_p_q, amb_tot_q=amb_tot_q)
