@@ -77,8 +77,11 @@ def bench_scan(L, Q, B, K, STEPS):
     state = scan.init_state(Q, K)
 
     # compile + warmup; materialise to host (block_until_ready is not a
-    # reliable barrier on every backend transport)
-    ref_codes0 = jnp.asarray(host_codes[0])
+    # reliable barrier on every backend transport).  The device-resident
+    # kernel loop runs at the kernel's native padded width (scan pads
+    # any other width on entry).
+    ref_codes0 = scan._to_width(jnp.asarray(host_codes[0]),
+                                int(qd.q_full.shape[1]))
     packed0 = jnp.asarray(scan.pack_codes(host_codes[0]))
     state, flags = scan.scan_step(qd, state, ref_codes0, ok, np.int32(0))
     state, flags = scan.scan_step_packed(qd, state, packed0, ok,
