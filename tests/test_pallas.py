@@ -92,3 +92,33 @@ def test_pallas_fused_cons_matches_xla():
         jnp.asarray(rc), qd.q_full, qd.cons_full, interpret=True)
     np.testing.assert_array_equal(np.asarray(mats_x), np.asarray(mats_p))
     np.testing.assert_array_equal(np.asarray(cons5_x), np.asarray(cons5_p))
+
+
+def test_pallas_fused_acgt_matches_xla():
+    """Fused --acgt kernel == the XLA site_partials path."""
+    import jax.numpy as jnp
+    from uvaia_tpu.core.encoding import encode
+    from uvaia_tpu.engine.query import QueryPack
+    from uvaia_tpu.ops import pallas_score, scan
+    from test_scan import random_alignment
+
+    rng = np.random.default_rng(13)
+    L, Q, B = 700, 6, 24
+    qseqs = random_alignment(rng, Q, L)
+    pack = QueryPack(names=[f"q{i}" for i in range(Q)],
+                     codes=np.stack([encode(s) for s in qseqs]),
+                     acgt=True, trim=0)
+    pack.create_indices()
+    qd = scan.build_device_data(pack, k=3)
+    refs = random_alignment(rng, B, L)
+    ref_codes = np.stack([encode(r) for r in refs])
+    rc = np.asarray(scan._to_width(jnp.asarray(ref_codes),
+                                   int(qd.q_full.shape[1])))
+
+    cons5_x, mats_x = scan.site_partials(True, qd.cons_full, qd.q_full,
+                                         jnp.asarray(rc), qd.q_poly)
+    mats_p, cons5_p = pallas_score.mats_and_cons_acgt_via_pallas(
+        jnp.asarray(rc), qd.q_full, qd.q_poly, qd.cons_full,
+        interpret=True)
+    np.testing.assert_array_equal(np.asarray(mats_x), np.asarray(mats_p))
+    np.testing.assert_array_equal(np.asarray(cons5_x), np.asarray(cons5_p))

@@ -167,6 +167,123 @@ def pair_counter_mats(ref_sub: jnp.ndarray, q_sub: jnp.ndarray,
     return jnp.stack([aa, mm, vv], axis=-1)
 
 
+def _kernel_acgt(r_ref, q_ref, p_ref, cons_ref,
+                 pp_ref, aa_ref, ppp_ref, aap_ref, c_ref):
+    """--acgt fused pass: pure-pair and ACGT-match counters against the
+    full query window (q) AND the polymorphic subset (p, zeroed outside
+    idx — scan.QueryDeviceData.q_poly), plus the acgt consensus stage:
+      c[:, 0] mm_c  — pure-pair mismatches vs consensus
+      c[:, 1] va_c  — pure-pair comparisons vs consensus
+      c[:, 4] valid — ref nonzero count
+    One HBM read of the reference codes per (i, k) tile."""
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        pp_ref[...] = jnp.zeros_like(pp_ref)
+        aa_ref[...] = jnp.zeros_like(aa_ref)
+        ppp_ref[...] = jnp.zeros_like(ppp_ref)
+        aap_ref[...] = jnp.zeros_like(aap_ref)
+
+    @pl.when((k == 0) & (j == 0))
+    def _():
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    rc = r_ref[...].astype(jnp.int32)
+    qc = q_ref[...].astype(jnp.int32)
+    pc = p_ref[...].astype(jnp.int32)
+    ra, _, _ = _features(rc)
+    qa, _, _ = _features(qc)
+    pa, _, _ = _features(pc)
+    rp = (ra[0] + ra[1] + ra[2] + ra[3])          # pure_r as 0/1
+    qp = (qa[0] + qa[1] + qa[2] + qa[3])
+    ppv = (pa[0] + pa[1] + pa[2] + pa[3])
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x.astype(jnp.int8), y.astype(jnp.int8),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    s_pp = dot(rp, qp)
+    s_ppp = dot(rp, ppv)
+    s_aa = dot(ra[0], qa[0])
+    s_aap = dot(ra[0], pa[0])
+    for b in range(1, 4):
+        s_aa += dot(ra[b], qa[b])
+        s_aap += dot(ra[b], pa[b])
+
+    pp_ref[...] += s_pp
+    aa_ref[...] += s_aa
+    ppp_ref[...] += s_ppp
+    aap_ref[...] += s_aap
+
+    @pl.when(j == 0)
+    def _():
+        cons = cons_ref[...].astype(jnp.int32)        # (1, st)
+        cpop = (((cons >> 0) & 1) + ((cons >> 1) & 1)
+                + ((cons >> 2) & 1) + ((cons >> 3) & 1))
+        both = rp * (cpop == 1)
+        mm_c = jnp.sum(both * (rc != cons), axis=1)
+        va_c = jnp.sum(both, axis=1)
+        valid = jnp.sum((rc != 0).astype(jnp.int32), axis=1)
+        z = valid * 0
+        c_ref[...] += jnp.stack([mm_c, va_c, z, z, valid, z, z, z],
+                                axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "qt", "st", "interpret"))
+def _pair_counter_acgt(ref_codes, q_full, q_poly, cons_full,
+                       bt: int, qt: int, st: int, interpret: bool = False):
+    B, S = ref_codes.shape
+    Q = q_full.shape[0]
+    grid = (B // bt, Q // qt, S // st)
+    out_spec = pl.BlockSpec((bt, qt), lambda i, j, k: (i, j))
+    pp, aa, ppp, aap, cons = pl.pallas_call(
+        _kernel_acgt,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, st), lambda i, j, k: (i, k)),
+            pl.BlockSpec((qt, st), lambda i, j, k: (j, k)),
+            pl.BlockSpec((qt, st), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, st), lambda i, j, k: (0, k)),
+        ],
+        out_specs=(out_spec, out_spec, out_spec, out_spec,
+                   pl.BlockSpec((bt, 8), lambda i, j, k: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 8), jnp.int32)),
+        interpret=interpret,
+    )(ref_codes, q_full, q_poly, cons_full[None, :])
+    mats = jnp.stack([pp, aa, ppp, aap], axis=-1)
+    c = cons[:, :5]
+    # scan.assemble_scores expects cons5 = (mm_c, va_c, 0, 0, valid)
+    return mats, c
+
+
+def mats_and_cons_acgt_via_pallas(ref_codes, q_full, q_poly, cons_full,
+                                  interpret: bool = False):
+    """Fused --acgt scoring pass (see _kernel_acgt).  Returns
+    (mats (B, Q, 4), cons5 (B, 5))."""
+    B, S = ref_codes.shape
+    Q = q_full.shape[0]
+    bt, st = 512, 1024
+    qt = 64 if Q <= 64 else 128
+    pad = lambda n, m: (-n) % m
+    r = jnp.pad(ref_codes, ((0, pad(B, bt)), (0, pad(S, st))))
+    q = jnp.pad(q_full, ((0, pad(Q, qt)), (0, pad(S, st))))
+    p = jnp.pad(q_poly, ((0, pad(Q, qt)), (0, pad(S, st))))
+    c = jnp.pad(cons_full, (0, pad(S, st)))
+    mats, cons5 = _pair_counter_acgt(r, q, p, c, bt=min(bt, r.shape[0]),
+                                     qt=min(qt, q.shape[0]),
+                                     st=min(st, r.shape[1]),
+                                     interpret=interpret)
+    return mats[:B, :Q], cons5[:B]
+
+
 def mats_via_pallas(ref_sub: jnp.ndarray, q_sub: jnp.ndarray) -> jnp.ndarray:
     """Drop-in for the XLA feature-matmul trio: pads shapes to kernel
     tiles (zero codes contribute zero) and slices back."""

@@ -277,6 +277,11 @@ def site_partials(acgt: bool, cons_full, q_full, ref_codes, q_poly=None):
     cons = cons_full[None, :]
 
     if acgt:
+        if _use_pallas():
+            from . import pallas_score
+            mats, cons5 = pallas_score.mats_and_cons_acgt_via_pallas(
+                rc, q_full, q_poly, cons_full)
+            return cons5, mats
         valid_sites = jnp.sum((rc != 0).astype(jnp.int32), axis=1)
         both = (_pure(rc) & _pure(cons)).astype(jnp.int32)
         mm_c = jnp.sum(both * (rc != cons), axis=1)
