@@ -50,13 +50,20 @@ def print_score_header():
           f"{'prop_char_matches':>13}, {'partial_matches':>13}")
 
 
-def describe_scores(qname: str, scores: np.ndarray, ref_names: list[str],
+def describe_scores(qname: str, s0: np.ndarray, s1: np.ndarray,
+                    s2: np.ndarray, s3: np.ndarray,
+                    ref_names: list[str],
                     nbest: int, nmax: int) -> list[int]:
-    """Three-stage selection; prints table rows; returns chosen ids."""
-    n = scores.shape[0]
-    s0 = scores[:, 0]                      # ACGT matches
-    prop = scores[:, 1] / np.maximum(scores[:, 3], 1e-9)
-    s2 = scores[:, 2]                      # weighted partial
+    """Three-stage selection; prints table rows; returns chosen ids.
+
+    s0 ACGT matches, s1 text matches, s3 valid pairs (integer arrays —
+    stored uint16 so the (R, Q) score store is 10 bytes/pair instead
+    of 16); s2 weighted partial matches (float32)."""
+    n = s0.shape[0]
+    # per-query int64 views: negation/subtraction on the uint16 store
+    # would wrap (transient 8R bytes, vs 16R/query held before)
+    s0 = s0.astype(np.int64)
+    prop = s1 / np.maximum(s3.astype(np.float64), 1e-9)
     nbest = min(nbest, n)
     nmax = min(nmax, n)
 
@@ -84,7 +91,7 @@ def describe_scores(qname: str, scores: np.ndarray, ref_names: list[str],
     uniq, counts = np.unique(idbest, return_counts=True)
     show = uniq[np.lexsort((uniq, -s0[uniq]))]
     for i in show:
-        print(f"{qname:>48}, {ref_names[i]:>48}, {scores[i, 3]:13.0f}, "
+        print(f"{qname:>48}, {ref_names[i]:>48}, {s3[i]:13.0f}, "
               f"{s0[i]:13.1f}, {prop[i]:13.8f}, {s2[i]:13.3f}")
     sys.stdout.flush()
     return [int(i) for i in uniq]
@@ -130,19 +137,31 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
     qdata = dist_ops.build_legacy_query_data(q_codes, trim)
     score_fn = jax.jit(lambda r: dist_ops.legacy_scores(qdata, r))
 
-    # score all refs in device batches -> (R, Q, 4)
+    # score all refs in device batches.  The (R, Q) store is compact:
+    # the integer counters live as uint16 (matches <= L < 2^16), only
+    # the weighted partial stays float32 — 10 bytes/pair instead of 16
+    # (the selection semantics need all refs per query, so the store
+    # itself is inherent to this in-memory tool, as in uvaia.c:140).
     R, Q = len(rnames), len(qnames)
-    all_scores = np.zeros((R, Q, 4), dtype=np.float32)
+    all_s0 = np.zeros((R, Q), dtype=np.uint16)
+    all_s1 = np.zeros((R, Q), dtype=np.uint16)
+    all_s2 = np.zeros((R, Q), dtype=np.float32)
+    all_s3 = np.zeros((R, Q), dtype=np.uint16)
     for start in range(0, R, cfg.batch):
         chunk = rseqs[start:start + cfg.batch]
         codes = np.stack([encode(s) for s in chunk])
-        all_scores[start:start + len(chunk)] = np.asarray(
-            score_fn(jnp.asarray(codes)))
+        s = np.asarray(score_fn(jnp.asarray(codes)))
+        sl = slice(start, start + len(chunk))
+        all_s0[sl] = s[..., 0]
+        all_s1[sl] = s[..., 1]
+        all_s2[sl] = s[..., 2]
+        all_s3[sl] = s[..., 3]
 
     print_score_header()
     chosen: list[int] = []
     for qi, qname in enumerate(qnames):
-        chosen += describe_scores(qname, all_scores[:, qi, :], rnames,
+        chosen += describe_scores(qname, all_s0[:, qi], all_s1[:, qi],
+                                  all_s2[:, qi], all_s3[:, qi], rnames,
                                   cfg.nbest, cfg.nmax)
     log(f"finished search in {time.time()-t0:.3f} secs")
 
@@ -155,4 +174,4 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
             for i in ids:
                 w.write(rnames[i], rseqs[i])
         log(f"Saved {len(ids)} sequences to {path}")
-    return all_scores, qnames, rnames
+    return (all_s0, all_s1, all_s2, all_s3), qnames, rnames
