@@ -270,8 +270,13 @@ def mats_and_cons_acgt_via_pallas(ref_codes, q_full, q_poly, cons_full,
     (mats (B, Q, 4), cons5 (B, 5))."""
     B, S = ref_codes.shape
     Q = q_full.shape[0]
-    bt, st = 512, 1024
-    qt = 64 if Q <= 64 else 128
+    # two query operands make this kernel heavier in VMEM than the
+    # full-mode one; (256, 256, 512) measured 11.8ms at B=2048, Q=1000
+    # (10x faster than qt=128 shapes)
+    if Q <= 64:
+        bt, qt, st = 512, 64, 1024
+    else:
+        bt, qt, st = 256, 256, 512
     pad = lambda n, m: (-n) % m
     r = jnp.pad(ref_codes, ((0, pad(B, bt)), (0, pad(S, st))))
     q = jnp.pad(q_full, ((0, pad(Q, qt)), (0, pad(S, st))))
@@ -334,11 +339,14 @@ def mats_and_cons_via_pallas(ref_codes: jnp.ndarray, q_full: jnp.ndarray,
     B, S = ref_codes.shape
     Q = q_full.shape[0]
     # measured on v5e at the bench shape (B=4096, Q=64, S=29952):
-    # (512, 64, 1024) = 2.92ms vs (256, 128, 512) = 3.36ms; larger
-    # tiles fail to compile (VMEM).  qt widens with Q to cut r-block
-    # revisit traffic across query tiles.
-    bt, st = 512, 1024
-    qt = 64 if Q <= 64 else 128
+    # (512, 64, 1024) = 2.92ms vs (256, 128, 512) = 3.36ms.  At qt=128
+    # the 512/1024 tiles exceed the 16MB scoped-vmem limit; at Q=1000
+    # the wide-qt shape (256, 256, 512) measured 10x faster than
+    # qt=128 (fewer r-block revisits across query tiles).
+    if Q <= 64:
+        bt, qt, st = 512, 64, 1024
+    else:
+        bt, qt, st = 256, 256, 512
     pad = lambda n, m: (-n) % m
     r = jnp.pad(ref_codes, ((0, pad(B, bt)), (0, pad(S, st))))
     q = jnp.pad(q_full, ((0, pad(Q, qt)), (0, pad(S, st))))

@@ -277,7 +277,11 @@ def site_partials(acgt: bool, cons_full, q_full, ref_codes, q_poly=None):
     cons = cons_full[None, :]
 
     if acgt:
-        if _use_pallas():
+        # the 5-output acgt kernel is stable (and 1.23M genomes/s) at
+        # the qt=64 shape but reproducibly faults the TPU worker at
+        # Q=1000 grids on the current backend; larger query packs take
+        # the XLA path until that is resolved
+        if _use_pallas() and q_full.shape[0] <= 64:
             from . import pallas_score
             mats, cons5 = pallas_score.mats_and_cons_acgt_via_pallas(
                 rc, q_full, q_poly, cons_full)
