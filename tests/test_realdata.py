@@ -110,3 +110,23 @@ def test_gate_resumed(q1k, tmp_path, monkeypatch):
     run_nearest([DB], q1k, _cfg("gate", checkpoint="scan.ckpt",
                                 checkpoint_every=1e9))
     assert _csv_sha("gate") == GOLDEN_CSV_SHA256
+
+
+# SHA256 of the decompressed --acgt gate CSV (8 001 lines), same run
+# configuration in acgt mode; generated on TPU, asserted on CPU — the
+# backends must agree bit-for-bit.  Protects the s4/s5 dist-column
+# split semantics (nearest.c:443-477 accumulation order).
+GOLDEN_ACGT_CSV_SHA256 = \
+    "37389a680a2871036878cde85b88a9f97a1326e5f53dd9b8cd48fecbef4f72d6"
+
+
+def test_gate_acgt_pruned(q1k, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run_nearest([DB], q1k, _cfg("gate", acgt=True, prune=True))
+    assert _csv_sha("gate") == GOLDEN_ACGT_CSV_SHA256
+
+
+def test_gate_acgt_dense(q1k, tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    run_nearest([DB], q1k, _cfg("gate", acgt=True, prune=False))
+    assert _csv_sha("gate") == GOLDEN_ACGT_CSV_SHA256
