@@ -92,7 +92,8 @@ class RefStreamer:
     # ------------------------------------------------------------------
 
     def _records(self):
-        """Yield (names, raw_chars (k, L), codes-or-None) chunks."""
+        """Yield (names, raw_chars (k, L), codes-or-None,
+        valid-counts-or-None) chunks."""
         from ..io import native
         lib = native.get_lib()
         for path in self.paths:
@@ -113,21 +114,28 @@ class RefStreamer:
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_char_p, ctypes.c_long,
                 ctypes.c_long, ctypes.c_char_p, ctypes.c_long,
-                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long)]
+                ctypes.POINTER(ctypes.c_long), ctypes.POINTER(ctypes.c_long),
+                ctypes.POINTER(ctypes.c_long)]
             lib.ufa_next_batch_configured = True
         namecap = 1024 * chunk
         namebuf = ctypes.create_string_buffer(namecap)
         ends = (ctypes.c_long * chunk)()
         lens = (ctypes.c_long * chunk)()
+        valid = (ctypes.c_long * chunk)()
         lut = ENCODE_LUT.tobytes()
         try:
             while True:
-                raw = np.zeros((chunk, L), dtype=np.uint8)
-                codes = np.zeros((chunk, L), dtype=np.uint8)
+                # np.empty, not zeros: the reader overwrites rows
+                # [0, k) completely (aligned input, len == stride) and
+                # the [k:] tail is sliced off before leaving here —
+                # memset of 2 x 122MB/batch dominated the streamer on
+                # low-bandwidth hosts
+                raw = np.empty((chunk, L), dtype=np.uint8)
+                codes = np.empty((chunk, L), dtype=np.uint8)
                 k = lib.ufa_next_batch(
                     handle, raw.ctypes.data_as(ctypes.c_void_p),
                     codes.ctypes.data_as(ctypes.c_void_p), lut, L, chunk,
-                    namebuf, namecap, ends, lens)
+                    namebuf, namecap, ends, lens, valid)
                 if k < 0:
                     raise SystemExit(f"error reading {path}")
                 if k == 0:
@@ -144,7 +152,8 @@ class RefStreamer:
                             f"Reference sequence '{names[i]}' has "
                             f"{lens[i]} sites but query sequences have "
                             f"{L} sites: all sequences must be aligned")
-                yield names, raw[:k], codes[:k]
+                yield (names, raw[:k], codes[:k],
+                       np.asarray(valid[:k], dtype=np.int64))
         finally:
             lib.ufa_close(handle)
 
@@ -160,10 +169,10 @@ class RefStreamer:
             names.append(rec.name)
             rows.append(np.frombuffer(rec.seq, dtype=np.uint8))
             if len(names) >= self.batch:
-                yield names, np.stack(rows), None
+                yield names, np.stack(rows), None, None
                 names, rows = [], []
         if names:
-            yield names, np.stack(rows), None
+            yield names, np.stack(rows), None, None
 
     def _produce(self):
         try:
@@ -183,7 +192,7 @@ class RefStreamer:
                     same_name=self.stats.same_name))
                 base += count
 
-            for names, raw, codes in self._records():
+            for names, raw, codes, valid in self._records():
                 if skip:                     # resume: fast-skip records
                     if skip >= len(names):
                         skip -= len(names)
@@ -191,10 +200,12 @@ class RefStreamer:
                     names = names[skip:]
                     raw = raw[skip:]
                     codes = None if codes is None else codes[skip:]
+                    valid = None if valid is None else valid[skip:]
                     skip = 0
                 if codes is None:
                     codes = ENCODE_LUT[raw]
-                valid = (codes != 0).sum(axis=1)
+                if valid is None:
+                    valid = (codes != 0).sum(axis=1)
                 keep = valid >= self.min_valid
                 excl = None
                 if self.exclude_names:

@@ -274,12 +274,15 @@ void ufa_close(void* handle) { delete static_cast<Reader*>(handle); }
 //   lut      — 256-entry char->code table (used when codebuf != NULL)
 //   seq_lens — true length per record (caller validates == stride)
 //   namebuf  — concatenated names; name_ends[i] = end offset of name i
+//   valid    — optional (may be NULL): per-record count of nonzero
+//              codes (the QC "valid sites" number), computed inside
+//              the encode loop so the host never re-reads the batch
 // Returns #records (may be < nmax at EOF / when namebuf fills),
 // 0 at EOF, -1 on read error.
 long ufa_next_batch(void* handle, uint8_t* seqbuf, uint8_t* codebuf,
                     const uint8_t* lut, long stride, long nmax,
                     char* namebuf, long namecap, long* name_ends,
-                    long* seq_lens) {
+                    long* seq_lens, long* valid) {
   Reader* r = static_cast<Reader*>(handle);
   long k = 0;
   long name_pos = 0;
@@ -316,7 +319,14 @@ long ufa_next_batch(void* handle, uint8_t* seqbuf, uint8_t* codebuf,
     if (codebuf != nullptr) {
       const uint8_t* src = sq->data();
       uint8_t* dst = codebuf + k * stride;
-      for (size_t i = 0; i < ncopy; i++) dst[i] = lut[src[i]];
+      long v = 0;
+      for (size_t i = 0; i < ncopy; i++) {
+        dst[i] = lut[src[i]];
+        v += (dst[i] != 0);
+      }
+      if (valid != nullptr) valid[k] = v;
+    } else if (valid != nullptr) {
+      valid[k] = 0;
     }
     r->have_stash = false;
     k++;
