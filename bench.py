@@ -184,6 +184,35 @@ def bench_align(L, STEPS=1):
     return NQ / dt
 
 
+def bench_realdata():
+    """End-to-end nearest scan on the bundled real data (xz decode ->
+    delta upload -> ranked CSV), BASELINE config-1 shape with 64
+    queries: the honest whole-pipeline number on actual genomes."""
+    import tempfile
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+    from uvaia_tpu.io.fasta import read_fasta
+
+    db = "/root/reference/data/03.unique_acgt.aln.xz"
+    if not os.path.exists(db):
+        return None
+    with tempfile.TemporaryDirectory() as d:
+        qp = f"{d}/q.fa"
+        with open(qp, "w") as f:
+            for i, rec in enumerate(read_fasta(db)):
+                if i >= 64:
+                    break
+                f.write(f">{rec.name}\n{rec.seq.decode()}\n")
+        cfg = NearestConfig(nbest=8, exclude_self=True,
+                            output=f"{d}/warm")
+        r = run_nearest([db], qp, cfg)          # compile+warm
+        t0 = time.time()
+        r = run_nearest([db], qp,
+                        NearestConfig(nbest=8, exclude_self=True,
+                                      output=f"{d}/out"))
+        dt = time.time() - t0
+        return r.n_scanned / dt
+
+
 def main():
     sys.path.insert(0, __file__.rsplit('/', 1)[0])
     from uvaia_tpu.utils.jaxcache import enable as _cache
@@ -202,6 +231,13 @@ def main():
             extra["align_seqs_per_sec"] = round(bench_align(L), 1)
         except Exception as e:                      # noqa: BLE001
             print(f"# align bench failed: {e}", file=sys.stderr)
+    if os.environ.get("BENCH_REALDATA", "1") != "0":
+        try:
+            rd = bench_realdata()
+            if rd is not None:
+                extra["realdata_e2e_genomes_per_sec"] = round(rd, 1)
+        except Exception as e:                      # noqa: BLE001
+            print(f"# realdata bench failed: {e}", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"nearest_scan_genomes_per_sec_per_chip_L{L}_Q{Q}_k{K}",

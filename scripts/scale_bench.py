@@ -47,20 +47,33 @@ class PeakRss(threading.Thread):
             time.sleep(0.5)
 
 
-def gen(n: int, out: str, seed: int = 0, chunk: int = 512) -> None:
+def gen(n: int, out: str, seed: int = 0, chunk: int = 512,
+        lineages: int = 0) -> None:
+    """Synthetic intra-species alignment.  Genomes are drawn around
+    `lineages` centres (default n//40): centre = backbone + ~8 SNPs;
+    member = centre + 0-3 private SNPs + an optional masked N run —
+    the redundancy profile clustering/dedup exists for (a purely
+    random per-genome mutation model makes every genome a singleton,
+    which no real surveillance dataset resembles)."""
     rng = np.random.default_rng(seed)
     backbone = ALPHA[rng.integers(0, 4, size=L)]
+    lineages = lineages or max(1, n // 40)
+    centre_snps = (rng.integers(0, L, (lineages, 8)),
+                   rng.integers(0, 4, (lineages, 8)))
     t0 = time.time()
     with gzip.open(out, "wb", compresslevel=1) as f:
         done = 0
         while done < n:
             m = min(chunk, n - done)
             rows = np.tile(backbone, (m, 1))
-            # ~12 SNPs per genome + one masked N run of 0-600 sites
+            lin = rng.integers(0, lineages, m)
             for r in range(m):
-                k = int(rng.integers(2, 25))
-                rows[r, rng.integers(0, L, k)] = ALPHA[
-                    rng.integers(0, 4, k)]
+                li = int(lin[r])
+                rows[r, centre_snps[0][li]] = ALPHA[centre_snps[1][li]]
+                k = int(rng.integers(0, 4))
+                if k:
+                    rows[r, rng.integers(0, L, k)] = ALPHA[
+                        rng.integers(0, 4, k)]
                 run = int(rng.integers(0, 600))
                 if run:
                     start = int(rng.integers(0, L - run))
@@ -74,8 +87,8 @@ def gen(n: int, out: str, seed: int = 0, chunk: int = 512) -> None:
             if done % 51200 == 0:
                 print(f"gen: {done}/{n} ({time.time()-t0:.0f}s)",
                       file=sys.stderr)
-    print(f"gen: wrote {n} genomes to {out} in {time.time()-t0:.0f}s",
-          file=sys.stderr)
+    print(f"gen: wrote {n} genomes ({lineages} lineages) to {out} "
+          f"in {time.time()-t0:.0f}s", file=sys.stderr)
 
 
 def _queries_from(db: str, n: int, path: str) -> None:

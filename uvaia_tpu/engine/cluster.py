@@ -101,6 +101,9 @@ def build_reference(path: str, max_seqs: int) -> tuple[bytes, int]:
 class MedoidIndex:
     """Device-resident medoid code matrix + exact mismatch distances."""
 
+    STORE_TILE = 4096       # medoid rows per distance tile (bounds the
+                            # (tile, L, 10) int8 feature planes in HBM)
+
     def __init__(self, L: int, capacity: int, trim: int,
                  initial_tier: int = 1024,
                  delta_base: np.ndarray | None = None):
@@ -175,11 +178,29 @@ class MedoidIndex:
                         self._delta_base_d, pos, val)
                 else:
                     codes_d = scan_ops.unpack_codes(packed, self.L)
-                d_med = self._dist_expr(codes_d, store)     # (B, tier)
-                col = jax.lax.broadcasted_iota(jnp.int32, d_med.shape, 1)
-                hit = (d_med <= dist) & (col < n_med)
-                first = jnp.where(hit.any(axis=1),
-                                  jnp.argmax(hit, axis=1), -1)
+                # scan the store in tiles: the one-hot feature planes
+                # are (tile, L, 10) int8 — materialising them for the
+                # whole store OOMs HBM past ~32k medoids
+                tile = min(store.shape[0], self.STORE_TILE)
+                n_tiles = store.shape[0] // tile
+                store_t = store.reshape(n_tiles, tile, self.L)
+                big = jnp.int32(2**31 - 1)
+
+                def body(first, inp):
+                    t_idx, tile_codes = inp
+                    d = self._dist_expr(codes_d, tile_codes)  # (B, tile)
+                    col = jax.lax.broadcasted_iota(jnp.int32, d.shape, 1)
+                    gcol = col + t_idx * tile
+                    hit = (d <= dist) & (gcol < n_med)
+                    tf = jnp.where(hit.any(axis=1),
+                                   jnp.argmax(hit, axis=1)
+                                   + t_idx * tile, big)
+                    return jnp.minimum(first, tf), None
+
+                first, _ = jax.lax.scan(
+                    body, jnp.full(codes_d.shape[0], big, jnp.int32),
+                    (jnp.arange(n_tiles, dtype=jnp.int32), store_t))
+                first = jnp.where(first < big, first, -1)
                 d_self = self._dist_expr(codes_d, codes_d)
                 return first.astype(jnp.int32), d_self <= dist
             self._assign = jax.jit(assign_fn,
@@ -200,13 +221,25 @@ class MedoidIndex:
         return np.asarray(first), np.asarray(mask)
 
     def close_vs(self, rows: np.ndarray, codes, distance: int) -> np.ndarray:
-        """(len(rows), len(codes)) bool: exact mismatch distance within
+        """(len(rows), n) bool: exact mismatch distance within
         `distance` (used by the blocked final merge; only the boolean
-        mask leaves the device — 4x less D2H than the int32 matrix)."""
+        mask leaves the device — 4x less D2H than the int32 matrix).
+        `codes` must be a device matrix with rows padded to STORE_TILE
+        (the column axis is scanned in tiles, as in assign)."""
         import jax
+        jnp = self.jnp
         if not hasattr(self, "_close"):
-            self._close = jax.jit(
-                lambda r, c, d: self._dist_expr(r, c) <= d)
+            def close_fn(r, c, d):
+                tile = min(c.shape[0], self.STORE_TILE)
+                n_tiles = c.shape[0] // tile
+                ct = c.reshape(n_tiles, tile, self.L)
+                _, masks = jax.lax.scan(
+                    lambda _, tc: (0, self._dist_expr(r, tc) <= d),
+                    0, ct)
+                # (n_tiles, B, tile) -> (B, n_tiles*tile)
+                return jnp.transpose(masks, (1, 0, 2)).reshape(
+                    r.shape[0], -1)
+            self._close = jax.jit(close_fn)
         m = self._close(self.jnp.asarray(rows), codes, np.int32(distance))
         return np.asarray(m)
 
@@ -347,7 +380,12 @@ def _merge_clusters(index: MedoidIndex, clusters: list[Cluster],
         return clusters
     M = len(clusters)
     codes = np.stack([encode(c.seq) for c in clusters])
-    codes_d = index.jnp.asarray(codes)       # upload once for all blocks
+    # upload once for all blocks; pad rows to the distance tile (zero
+    # rows produce distance 0 to each other — sliced off below)
+    tile = MedoidIndex.STORE_TILE
+    M_pad = M if M <= tile else -(-M // tile) * tile
+    codes_d = index.jnp.asarray(
+        np.pad(codes, ((0, M_pad - M), (0, 0))))
     parent = list(range(M))
 
     def find(x):
@@ -358,7 +396,7 @@ def _merge_clusters(index: MedoidIndex, clusters: list[Cluster],
 
     for start in range(0, M, block):
         rows = codes[start:start + block]
-        close = index.close_vs(rows, codes_d, distance)   # (b, M) bool
+        close = index.close_vs(rows, codes_d, distance)[:, :M]
         ii, jj = np.nonzero(close)
         for i, j in zip(ii.tolist(), jj.tolist()):
             gi = start + i
