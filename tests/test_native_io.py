@@ -79,3 +79,43 @@ def test_native_clean_eof_still_clean(tmp_path, codec, have_native):
     with opener(path, "wt") as f:
         f.write(CONTENT)
     assert len(list(native.read_fasta_native(path))) == 2
+
+
+def test_streamer_qc_native_equals_python(tmp_path, have_native,
+                                          monkeypatch):
+    """The native reader's in-loop QC valid counts reject exactly the
+    rows the Python path rejects (fasta_io.cpp valid[] vs numpy)."""
+    import gzip
+    import numpy as np
+    from uvaia_tpu.engine.stream import RefStreamer
+
+    L = 96
+    good = "ACGT" * (L // 4)
+    lowq = "N" * (L - 10) + "ACGTACGTAC"        # 10 valid sites
+    # min_valid = int(96 * 0.6) = 57: 'deep' (48 valid) is rejected,
+    # 'edge' (57 valid) sits exactly on the >= threshold and is kept
+    deep = "N" * (L // 2) + "A" * (L - L // 2)
+    edge = "N" * (L - 57) + "A" * 57
+    body = (f">g1\n{good}\n>bad\n{lowq}\n>deep\n{deep}\n"
+            f">edge\n{edge}\n>g2\n{good}\n")
+    path = tmp_path / "db.fa.gz"
+    with gzip.open(path, "wt") as f:
+        f.write(body)
+
+    def run():
+        st = RefStreamer([str(path)], L, 8, ref_ambiguity=0.4)
+        rows = []
+        for b in st:
+            rows += [(b.names[i], b.seq(i)) for i in range(b.n)]
+        return rows, st.stats.n_invalid
+
+    rows_native, inv_native = run()
+    monkeypatch.setenv("UVAIA_TPU_NO_NATIVE", "1")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_failed", False)
+    rows_py, inv_py = run()
+    monkeypatch.setattr(native, "_failed", False)
+
+    assert rows_native == rows_py
+    assert inv_native == inv_py == 2          # 'bad' and 'deep'
+    assert [n for n, _ in rows_native] == ["g1", "edge", "g2"]
