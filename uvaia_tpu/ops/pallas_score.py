@@ -167,38 +167,13 @@ def pair_counter_mats(ref_sub: jnp.ndarray, q_sub: jnp.ndarray,
     return jnp.stack([aa, mm, vv], axis=-1)
 
 
-def _kernel_acgt(r_ref, q_ref, p_ref, cons_ref,
-                 pp_ref, aa_ref, ppp_ref, aap_ref, c_ref):
-    """--acgt fused pass: pure-pair and ACGT-match counters against the
-    full query window (q) AND the polymorphic subset (p, zeroed outside
-    idx — scan.QueryDeviceData.q_poly), plus the acgt consensus stage:
-      c[:, 0] mm_c  — pure-pair mismatches vs consensus
-      c[:, 1] va_c  — pure-pair comparisons vs consensus
-      c[:, 4] valid — ref nonzero count
-    One HBM read of the reference codes per (i, k) tile."""
-    j = pl.program_id(1)
-    k = pl.program_id(2)
-
-    @pl.when(k == 0)
-    def _():
-        pp_ref[...] = jnp.zeros_like(pp_ref)
-        aa_ref[...] = jnp.zeros_like(aa_ref)
-        ppp_ref[...] = jnp.zeros_like(ppp_ref)
-        aap_ref[...] = jnp.zeros_like(aap_ref)
-
-    @pl.when((k == 0) & (j == 0))
-    def _():
-        c_ref[...] = jnp.zeros_like(c_ref)
-
-    rc = r_ref[...].astype(jnp.int32)
-    qc = q_ref[...].astype(jnp.int32)
-    pc = p_ref[...].astype(jnp.int32)
-    ra, _, _ = _features(rc)
+def _acgt_pair_dots(r_feats, other_ref):
+    """The two --acgt dots vs a query operand tile: (pure-pair count,
+    ACGT-match count)."""
+    ra, rp = r_feats
+    qc = other_ref[...].astype(jnp.int32)
     qa, _, _ = _features(qc)
-    pa, _, _ = _features(pc)
-    rp = (ra[0] + ra[1] + ra[2] + ra[3])          # pure_r as 0/1
     qp = (qa[0] + qa[1] + qa[2] + qa[3])
-    ppv = (pa[0] + pa[1] + pa[2] + pa[3])
 
     def dot(x, y):
         return jax.lax.dot_general(
@@ -207,30 +182,72 @@ def _kernel_acgt(r_ref, q_ref, p_ref, cons_ref,
             preferred_element_type=jnp.int32)
 
     s_pp = dot(rp, qp)
-    s_ppp = dot(rp, ppv)
     s_aa = dot(ra[0], qa[0])
-    s_aap = dot(ra[0], pa[0])
     for b in range(1, 4):
         s_aa += dot(ra[b], qa[b])
-        s_aap += dot(ra[b], pa[b])
+    return s_pp, s_aa
 
+
+def _r_acgt_feats(r_ref):
+    rc = r_ref[...].astype(jnp.int32)
+    ra, _, _ = _features(rc)
+    rp = (ra[0] + ra[1] + ra[2] + ra[3])          # pure_r as 0/1
+    return rc, (ra, rp)
+
+
+def _kernel_acgt_main(r_ref, q_ref, cons_ref, pp_ref, aa_ref, c_ref):
+    """--acgt fused pass, window part: pure-pair + ACGT-match counters
+    vs the query window, plus the acgt consensus stage:
+      c[:, 0] mm_c  — pure-pair mismatches vs consensus
+      c[:, 1] va_c  — pure-pair comparisons vs consensus
+      c[:, 4] valid — ref nonzero count
+    (the polymorphic-subset counters run as a second kernel of the
+    same proven <=4-output shape — a single 5-output kernel faulted
+    the TPU worker at large query grids)."""
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        pp_ref[...] = jnp.zeros_like(pp_ref)
+        aa_ref[...] = jnp.zeros_like(aa_ref)
+
+    @pl.when((k == 0) & (j == 0))
+    def _():
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    rc, r_feats = _r_acgt_feats(r_ref)
+    s_pp, s_aa = _acgt_pair_dots(r_feats, q_ref)
     pp_ref[...] += s_pp
     aa_ref[...] += s_aa
-    ppp_ref[...] += s_ppp
-    aap_ref[...] += s_aap
 
     @pl.when(j == 0)
     def _():
         cons = cons_ref[...].astype(jnp.int32)        # (1, st)
         cpop = (((cons >> 0) & 1) + ((cons >> 1) & 1)
                 + ((cons >> 2) & 1) + ((cons >> 3) & 1))
-        both = rp * (cpop == 1)
+        both = r_feats[1] * (cpop == 1)
         mm_c = jnp.sum(both * (rc != cons), axis=1)
         va_c = jnp.sum(both, axis=1)
         valid = jnp.sum((rc != 0).astype(jnp.int32), axis=1)
         z = valid * 0
         c_ref[...] += jnp.stack([mm_c, va_c, z, z, valid, z, z, z],
                                 axis=-1)
+
+
+def _kernel_acgt_poly(r_ref, p_ref, ppp_ref, aap_ref):
+    """--acgt fused pass, polymorphic-subset part."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        ppp_ref[...] = jnp.zeros_like(ppp_ref)
+        aap_ref[...] = jnp.zeros_like(aap_ref)
+
+    _, r_feats = _r_acgt_feats(r_ref)
+    s_pp, s_aa = _acgt_pair_dots(r_feats, p_ref)
+    ppp_ref[...] += s_pp
+    aap_ref[...] += s_aa
 
 
 @functools.partial(jax.jit, static_argnames=("bt", "qt", "st", "interpret"))
@@ -240,28 +257,36 @@ def _pair_counter_acgt(ref_codes, q_full, q_poly, cons_full,
     Q = q_full.shape[0]
     grid = (B // bt, Q // qt, S // st)
     out_spec = pl.BlockSpec((bt, qt), lambda i, j, k: (i, j))
-    pp, aa, ppp, aap, cons = pl.pallas_call(
-        _kernel_acgt,
+    pp, aa, cons = pl.pallas_call(
+        _kernel_acgt_main,
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, st), lambda i, j, k: (i, k)),
             pl.BlockSpec((qt, st), lambda i, j, k: (j, k)),
-            pl.BlockSpec((qt, st), lambda i, j, k: (j, k)),
             pl.BlockSpec((1, st), lambda i, j, k: (0, k)),
         ],
-        out_specs=(out_spec, out_spec, out_spec, out_spec,
+        out_specs=(out_spec, out_spec,
                    pl.BlockSpec((bt, 8), lambda i, j, k: (i, 0))),
         out_shape=(jax.ShapeDtypeStruct((B, Q), jnp.int32),
                    jax.ShapeDtypeStruct((B, Q), jnp.int32),
-                   jax.ShapeDtypeStruct((B, Q), jnp.int32),
-                   jax.ShapeDtypeStruct((B, Q), jnp.int32),
                    jax.ShapeDtypeStruct((B, 8), jnp.int32)),
         interpret=interpret,
-    )(ref_codes, q_full, q_poly, cons_full[None, :])
+    )(ref_codes, q_full, cons_full[None, :])
+    ppp, aap = pl.pallas_call(
+        _kernel_acgt_poly,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, st), lambda i, j, k: (i, k)),
+            pl.BlockSpec((qt, st), lambda i, j, k: (j, k)),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32)),
+        interpret=interpret,
+    )(ref_codes, q_poly)
     mats = jnp.stack([pp, aa, ppp, aap], axis=-1)
-    c = cons[:, :5]
     # scan.assemble_scores expects cons5 = (mm_c, va_c, 0, 0, valid)
-    return mats, c
+    return mats, cons[:, :5]
 
 
 def mats_and_cons_acgt_via_pallas(ref_codes, q_full, q_poly, cons_full,

@@ -277,10 +277,10 @@ def site_partials(acgt: bool, cons_full, q_full, ref_codes, q_poly=None):
     cons = cons_full[None, :]
 
     if acgt:
-        # the 5-output acgt kernel is stable (and 1.23M genomes/s) at
-        # the qt=64 shape but reproducibly faults the TPU worker at
-        # Q=1000 grids on the current backend; larger query packs take
-        # the XLA path until that is resolved
+        # the fused acgt kernels (1.10M genomes/s at the bench shape)
+        # win only for small query packs: at Q=1000 the XLA path
+        # measured 12ms/batch vs 52ms for the kernels (the r-feature
+        # rebuild repeats across 4x more query tiles + two passes)
         if _use_pallas() and q_full.shape[0] <= 64:
             from . import pallas_score
             mats, cons5 = pallas_score.mats_and_cons_acgt_via_pallas(
