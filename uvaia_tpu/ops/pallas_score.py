@@ -364,14 +364,15 @@ def mats_and_cons_via_pallas(ref_codes: jnp.ndarray, q_full: jnp.ndarray,
     B, S = ref_codes.shape
     Q = q_full.shape[0]
     # measured on v5e at the bench shape (B=4096, Q=64, S=29952):
-    # (512, 64, 1024) = 2.92ms vs (256, 128, 512) = 3.36ms.  At qt=128
-    # the 512/1024 tiles exceed the 16MB scoped-vmem limit; at Q=1000
-    # the wide-qt shape (256, 256, 512) measured 10x faster than
-    # qt=128 (fewer r-block revisits across query tiles).
+    # (512, 64, 1024) = 2.92ms vs (256, 128, 512) = 3.36ms.  For big
+    # query packs the reference tile is re-fetched per query tile, so
+    # qt should be as wide as VMEM allows: at B=2048/Q=1000,
+    # (256, 512, 512) = 7.5ms vs (256, 256, 512) = 47ms.
     if Q <= 64:
         bt, qt, st = 512, 64, 1024
     else:
-        bt, qt, st = 256, 256, 512
+        bt, st = 256, 512
+        qt = min(512, -(-Q // 128) * 128)
     pad = lambda n, m: (-n) % m
     r = jnp.pad(ref_codes, ((0, pad(B, bt)), (0, pad(S, st))))
     q = jnp.pad(q_full, ((0, pad(Q, qt)), (0, pad(S, st))))
