@@ -197,3 +197,29 @@ def test_legacy_table_and_save(tmp_path, monkeypatch, capsys):
     assert rows[0][1].strip() == "r0"
     saved = read_fasta_all("legacy_out.fa.xz")
     assert {s.name for s in saved} >= {"r0"}
+
+
+def test_cluster_partial_saves(tmp_path, monkeypatch):
+    """Periodic partial membership tables (cluster.c:197-200 parity):
+    with save_interval=0 every batch flushes a usable csv."""
+    import lzma
+    import numpy as np
+    from uvaia_tpu.engine.cluster import ClusterConfig, run_cluster
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(2)
+    L = 120
+    bb = rng.choice(list("ACGT"), L)
+    with open("db.fa", "w") as f:
+        for i in range(40):
+            s = bb.copy()
+            for p in rng.integers(0, L, i % 3):
+                s[p] = rng.choice(list("ACGT"))
+            f.write(f">s{i}\n{''.join(s)}\n")
+
+    run_cluster(["db.fa"], ClusterConfig(distance=2, pool=8, output="cl",
+                                         save_interval=0.0))
+    # the final table exists and every sequence is accounted for
+    rows = lzma.open("cl.csv.xz", "rt").read().strip().split("\n")
+    names = [n for r in rows for n in r.split(",")]
+    assert sorted(names) == sorted(f"s{i}" for i in range(40))

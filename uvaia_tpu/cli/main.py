@@ -108,6 +108,9 @@ def _add_cluster(sub):
                    help="sequences clustered per device batch")
     p.add_argument("-s", "--snps", type=int, default=1)
     p.add_argument("-r", "--reference", default=None)
+    p.add_argument("--save-interval", type=float, default=30.0,
+                   help="seconds between partial membership saves "
+                        "(crash resilience, as in uvaiaclust)")
     p.add_argument("fasta", nargs="+")
     p.add_argument("-o", "--output", default=None)
     return p
@@ -207,7 +210,8 @@ def _dispatch(args) -> int:
         from ..engine.cluster import ClusterConfig, run_cluster
         cfg = ClusterConfig(distance=args.distance, trim=args.trim,
                             pool=args.pool, snps=args.snps,
-                            reference=args.reference, output=args.output)
+                            reference=args.reference, output=args.output,
+                            save_interval=args.save_interval)
         run_cluster(args.fasta, cfg)
         return 0
     if args.cmd == "legacy":

@@ -52,6 +52,8 @@ class ClusterConfig:
     output: str | None = None
     medoid_capacity: int = 1 << 17
     print_interval: int = 5000
+    save_interval: float = 30.0   # secs between partial table saves
+                                  # (cluster.c:197-200 resilience)
 
     @property
     def prefix(self) -> str:
@@ -339,8 +341,23 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
         if new_rows:
             index.append(codes[new_rows])
 
+    def save_partial(n_seen: int) -> None:
+        """Crash-resilient partial membership table, written atomically
+        to the final csv path (save_neighbours_to_xz_file semantics,
+        cluster.c:197-200: a killed run keeps a usable table)."""
+        tmp = cfg.prefix + ".csv.xz.part"
+        with open_write(tmp) as fh:
+            for c in clusters:
+                fh.write((",".join([c.name] + c.neighbours) + "\n")
+                         .encode())
+        import os as _os
+        _os.replace(tmp, cfg.prefix + ".csv.xz")
+        log(f"Saving partial clustering info from {n_seen} sequences "
+            f"to file {cfg.prefix}.csv.xz")
+
     from .stream import RefStreamer
     streamer = RefStreamer(fasta_paths, L, cfg.pool, ref_ambiguity=1.0)
+    last_save = time.time()
     for batch in streamer:
         process(batch)
         count = batch.base_idx + batch.n
@@ -349,6 +366,9 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
             log(f"{count} sequences analysed in total; "
                 f"{len(clusters)} clusters; "
                 f"{time.time()-t0:.3f} secs elapsed")
+        if time.time() - last_save >= cfg.save_interval:
+            save_partial(count)
+            last_save = time.time()
     count = streamer.stats.count
 
     # final all-pairs medoid merge (replaces cluster.c:219-230 reduction)
