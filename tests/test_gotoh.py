@@ -132,3 +132,39 @@ def test_certificate_edge_min():
     # band that cannot reach d=-12: must not certify
     _, score, ok = run(ref, [q], lo=-8, width=17)
     assert not ok[0]
+
+
+def test_pallas_score_matches_xla_forward():
+    """Pallas row-loop forward == lax.scan forward (interpret mode),
+    across band shapes, lengths, and masked rows."""
+    import jax.numpy as jnp
+    from uvaia_tpu.ops import gotoh, pallas_gotoh
+
+    rng = np.random.default_rng(31)
+    n = 300
+    ACGT = np.frombuffer(b"ACGT", np.uint8)
+    ref = ACGT[rng.integers(0, 4, n)]
+    B, m_pad = 8, 512
+    arr = np.zeros((B, m_pad), np.uint8)
+    lens = np.zeros(B, np.int32)
+    for b in range(B):
+        q = bytearray(ref.tobytes())
+        for _ in range(int(rng.integers(0, 12))):
+            q[int(rng.integers(0, len(q)))] = ACGT[rng.integers(0, 4)]
+        p = int(rng.integers(0, len(q) - 20))
+        ln = int(rng.integers(0, 10))
+        if b % 2:
+            del q[p:p + ln]
+        else:
+            q[p:p] = bytes(ACGT[rng.integers(0, 4, ln)])
+        arr[b, :len(q)] = np.frombuffer(bytes(q), np.uint8)
+        lens[b] = len(q)
+
+    for lo, width in [(-32, 65), (-16, 97)]:
+        s_x, e_x = gotoh.gotoh_score(jnp.asarray(ref), jnp.asarray(arr),
+                                     jnp.asarray(lens), lo, width)
+        s_p, e_p = pallas_gotoh.gotoh_score_pallas(
+            jnp.asarray(ref), jnp.asarray(arr), jnp.asarray(lens),
+            lo, width, interpret=True)
+        np.testing.assert_array_equal(np.asarray(s_x), np.asarray(s_p))
+        np.testing.assert_array_equal(np.asarray(e_x), np.asarray(e_p))

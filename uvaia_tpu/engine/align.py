@@ -151,7 +151,11 @@ def _dispatch_group(db: _DeviceBatch, items, lo, width):
     Returns a list of pending (items, lens, meta_dev, aligned_dev, lo,
     width) tuples."""
     n = db.ref_arr.shape[0]
-    max_rows = max(1, TB_BUDGET // max(n * width, 1))
+    # the Pallas forward's traceback buffer is (n rounded to 128) x
+    # (width rounded to 128) — budget on the padded sizes
+    n_p = -(-n // 128) * 128
+    w_p = -(-width // 128) * 128
+    max_rows = max(1, TB_BUDGET // max(n_p * w_p, 1))
     if max_rows > 64:
         max_rows -= max_rows % 64     # keep split-chunk shapes canonical
     pending = []

@@ -279,8 +279,11 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
     # while_loop that exits as soon as every row reaches the origin
     # (path length ~ n + insertions, typically half the static bound);
     # the step cap guarantees termination on a corrupt traceback (such
-    # rows surface as done=False)
-    max_chunks = -(-(n + m_pad + 2) // UNROLL)
+    # rows surface as done=False).  (Deeper unrolling was tried and
+    # does NOT help: the walk is an on-device serial dependency chain
+    # through tb gathers, not dispatch-bound.)
+    WALK_UNROLL = UNROLL
+    max_chunks = -(-(n + m_pad + 2) // WALK_UNROLL)
 
     def cond(carry):
         k, (i, t, *_rest) = carry
@@ -288,7 +291,7 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
 
     def chunk(carry):
         k, inner = carry
-        for _u in range(UNROLL):
+        for _u in range(WALK_UNROLL):
             inner, _n = step(inner, None)
         return k + 1, inner
 
@@ -388,10 +391,20 @@ def align_rows(ref, arr_all, lens_all, idx, lo: int, width: int, E: int):
     traceback + fused output packing.  A single jit call per group
     matters on remote-attached transports where every dispatch pays a
     round trip.  Returns (meta, aligned) — fetch meta (small, single
-    buffer); `aligned` stays on device for dense fallback rows."""
+    buffer); `aligned` stays on device for dense fallback rows.
+
+    On TPU the forward runs as the Pallas row-loop kernel
+    (ops/pallas_gotoh.py) — bit-identical walks; tb bytes can differ
+    only at invalid cells no path reaches."""
     arr = jnp.take(arr_all, idx, axis=0)
     lens = jnp.take(lens_all, idx, axis=0)
-    tb, score, t_end, edge_min = gotoh_forward(ref, arr, lens, lo, width)
+    if jax.default_backend() == "tpu":
+        from . import pallas_gotoh
+        tb, score, t_end, edge_min = pallas_gotoh.gotoh_forward_pallas(
+            ref, arr, lens, lo, width)
+    else:
+        tb, score, t_end, edge_min = gotoh_forward(ref, arr, lens, lo,
+                                                   width)
     aligned, done, edge, walk_cost = gotoh_traceback(
         tb, ref, arr, t_end, lo, ref.shape[0])
     meta = pack_outputs(aligned, ref, score, edge_min, done,
@@ -402,10 +415,19 @@ def align_rows(ref, arr_all, lens_all, idx, lo: int, width: int, E: int):
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def score_rows(ref, arr_all, lens_all, idx, lo: int, width: int):
     """One-dispatch score pass: device-side row gather + score-only
-    forward, outputs fused into a single (B, 2) [score, edge_min]."""
+    forward, outputs fused into a single (B, 2) [score, edge_min].
+
+    On TPU the forward runs as the Pallas row-loop kernel
+    (ops/pallas_gotoh.py, bit-exact, ~10x: the lax.scan formulation
+    pays per-row dispatch overhead ~100x its vector work)."""
     arr = jnp.take(arr_all, idx, axis=0)
     lens = jnp.take(lens_all, idx, axis=0)
-    score, edge_min = gotoh_score(ref, arr, lens, lo, width)
+    if jax.default_backend() == "tpu":
+        from . import pallas_gotoh
+        score, edge_min = pallas_gotoh.gotoh_score_pallas(
+            ref, arr, lens, lo, width)
+    else:
+        score, edge_min = gotoh_score(ref, arr, lens, lo, width)
     return jnp.stack([score, edge_min], axis=1)
 
 
