@@ -279,9 +279,12 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
     # while_loop that exits as soon as every row reaches the origin
     # (path length ~ n + insertions, typically half the static bound);
     # the step cap guarantees termination on a corrupt traceback (such
-    # rows surface as done=False).  (Deeper unrolling was tried and
-    # does NOT help: the walk is an on-device serial dependency chain
-    # through tb gathers, not dispatch-bound.)
+    # rows surface as done=False).  Two non-solutions, measured: deeper
+    # unrolling (no change — this is an on-device serial dependency
+    # chain, not dispatch-bound) and a per-row Pallas walk with one-hot
+    # VMEM extraction (2x SLOWER — per-vector-op overhead inside a
+    # scalar-driven loop; the win there would need M-run batching,
+    # walking whole match runs per iteration).
     WALK_UNROLL = UNROLL
     max_chunks = -(-(n + m_pad + 2) // WALK_UNROLL)
 
