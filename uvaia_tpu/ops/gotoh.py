@@ -216,10 +216,14 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
         return v
 
     i0 = jnp.full((B,), n, dtype=jnp.int32)
-    mat0 = (read_src(i0, t_end) & 3).astype(jnp.int32)   # H -> source matrix
+    cur0 = read_src(i0, t_end)
+    mat0 = (cur0 & 3).astype(jnp.int32)                  # H -> source matrix
 
     def step(carry, _):
-        i, t, mat, out, edge, cost = carry
+        # `cur` (the tb byte at (i, t)) rides in the carry: it is
+        # always the previous step's `tgt` gather, so carrying it
+        # halves the walk's gather count
+        i, t, mat, cur, out, edge, cost = carry
         j = i + t + lo
         active = (i > 0) | (j > 0)
         edge = edge | (active & (i > 0) & ((t <= 0) | (t >= W - 1)))
@@ -229,8 +233,6 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
         is_m = active & ~lead_y & ~col0_x & (mat == 0)
         is_x = (active & ~lead_y & ~col0_x & (mat == 1)) | col0_x
         is_y = (active & ~lead_y & (mat == 2)) | lead_y
-
-        cur = read_src(i, t)
         x_ext = ((cur >> 2) & 1).astype(jnp.bool_)
         y_ext = ((cur >> 3) & 1).astype(jnp.bool_)
 
@@ -253,6 +255,7 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
             jnp.where(is_x, jnp.where(x_ext, 1, nxt),
                       jnp.where(is_y, jnp.where(y_ext, 2, nxt_g), mat)))
         n_mat = jnp.where(active, n_mat, mat).astype(jnp.int32)
+        n_cur = jnp.where(active, tgt, cur)
         ni = jnp.where(active, ni, i)
         nt = jnp.where(active, nt, t)
 
@@ -269,7 +272,7 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
         inc += jnp.where((i > 0) & (ni == 0) & (nj > 0),
                          GAP_OPEN + e32 * nj, 0)
         cost = cost + jnp.where(active, inc, 0)
-        return (ni, nt, n_mat, out, edge, cost), None
+        return (ni, nt, n_mat, n_cur, out, edge, cost), None
 
     out0 = jnp.full((B, n + 1), GAP, dtype=jnp.uint8)
     edge0 = jnp.zeros((B,), dtype=bool)
@@ -298,8 +301,9 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
             inner, _n = step(inner, None)
         return k + 1, inner
 
-    _, (i_f, t_f, _, out, edge, cost) = jax.lax.while_loop(
-        cond, chunk, (jnp.int32(0), (i0, t_end, mat0, out0, edge0, cost0)))
+    _, (i_f, t_f, _, _, out, edge, cost) = jax.lax.while_loop(
+        cond, chunk, (jnp.int32(0), (i0, t_end, mat0, cur0, out0,
+                                     edge0, cost0)))
     done = (i_f == 0) & ((i_f + t_f + lo) == 0)
     return out[:, :n], done, edge, cost
 
