@@ -57,6 +57,44 @@ def test_legacy_scores_vs_oracle():
             assert got[b, q, 3] == v
 
 
+def test_partial_weight_recoverable_entries():
+    """Pin the weighted-partial entries that ARE recoverable from the
+    reference snapshot (src/utils.c:73 comment + README.md:307-330):
+    pure matches weigh 1, pure mismatches 0, T vs W = 0.5, N/gap sites
+    contribute nothing.  Entries between two ambiguity codes (e.g.
+    M vs R) are this implementation's |∩|/(|s1|·|s2|) choice —
+    biomcmc-lib's exact table is not recoverable; those values are
+    conjecture and asserted only as "documented behaviour"."""
+    import jax.numpy as jnp
+    from uvaia_tpu.core.encoding import ENCODE_LUT
+
+    c = lambda ch: int(ENCODE_LUT[ord(ch)])
+    # recoverable entries
+    assert oracle.partial_weight(c("T"), c("T")) == 1.0
+    assert oracle.partial_weight(c("A"), c("C")) == 0.0
+    assert oracle.partial_weight(c("T"), c("W")) == 0.5   # utils.c:73
+    assert oracle.partial_weight(c("W"), c("T")) == 0.5   # symmetric
+    assert oracle.partial_weight(c("M"), c("A")) == 0.5   # M={A,C}
+    assert oracle.partial_weight(c("K"), c("A")) == 0.0   # K={G,T}
+    assert oracle.partial_weight(0, c("T")) == 0.0        # N/gap
+    assert oracle.partial_weight(c("T"), 0) == 0.0
+    # conjecture entries (documented implementation choice, not parity)
+    assert oracle.partial_weight(c("M"), c("R")) == 0.25
+    assert oracle.partial_weight(c("W"), c("W")) == 0.5
+
+    # and the device kernel agrees site-by-site on a crafted pair
+    qs = np.array([[c("T"), c("T"), c("T"), 0, c("A"), c("M")]],
+                  dtype=np.uint8)
+    rf = np.array([[c("T"), c("A"), c("W"), c("T"), 0, c("R")]],
+                  dtype=np.uint8)
+    qdata = dist_ops.build_legacy_query_data(qs, trim=0)
+    got = np.asarray(dist_ops.legacy_scores(qdata, jnp.asarray(rf)))[0, 0]
+    assert got[0] == 1                      # acgt: only T-T
+    assert got[1] == 1                      # text: only T-T
+    np.testing.assert_allclose(got[2], 1 + 0 + 0.5 + 0.25, atol=1e-4)
+    assert got[3] == 4                      # valid pairs
+
+
 def test_legacy_scores_trim():
     import jax.numpy as jnp
     rng = np.random.default_rng(6)

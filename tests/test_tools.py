@@ -199,6 +199,26 @@ def test_legacy_table_and_save(tmp_path, monkeypatch, capsys):
     assert {s.name for s in saved} >= {"r0"}
 
 
+def test_legacy_long_alignment_no_uint16_wrap(tmp_path, monkeypatch,
+                                              capsys):
+    """Alignments with L >= 2^16 (bacterial cores) must not wrap the
+    compact score store (round-2 advisor): an identical pair's ACGT
+    match count equals L, which exceeds uint16."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(42)
+    L = 70_000
+    base = "".join(rng.choice(list("ACGT"), L))
+    write_fasta("db.fa", ["r0", "r1"], [base, "N" * 50 + base[50:]])
+    write_fasta("q.fa", ["qq"], [base])
+    run_legacy("db.fa", "q.fa", LegacyConfig(nbest=1))
+    cap = capsys.readouterr()
+    rows = [l.split(",") for l in cap.out.strip().split("\n")[1:]]
+    assert rows[0][1].strip() == "r0"
+    # valid_sites and ACGT_matches both = L, un-wrapped
+    assert int(float(rows[0][2])) == L
+    assert int(float(rows[0][3])) == L
+
+
 def test_cluster_partial_saves(tmp_path, monkeypatch):
     """Periodic partial membership tables (cluster.c:197-200 parity):
     with save_interval=0 every batch flushes a usable csv."""
@@ -217,9 +237,27 @@ def test_cluster_partial_saves(tmp_path, monkeypatch):
                 s[p] = rng.choice(list("ACGT"))
             f.write(f">s{i}\n{''.join(s)}\n")
 
+    # capture the partial table bytes at replace time: a crashed run
+    # leaves exactly these bytes at cl.csv.xz, so they MUST be valid xz
+    # (round-2 advisor: the temp suffix used to route past the codec)
+    import os as _os
+    partials = []
+    real_replace = _os.replace
+
+    def spy_replace(src, dst):
+        if str(dst).endswith("cl.csv.xz"):
+            partials.append(open(src, "rb").read())
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(_os, "replace", spy_replace)
     run_cluster(["db.fa"], ClusterConfig(distance=2, pool=8, output="cl",
                                          save_interval=0.0))
     # the final table exists and every sequence is accounted for
     rows = lzma.open("cl.csv.xz", "rt").read().strip().split("\n")
     names = [n for r in rows for n in r.split(",")]
     assert sorted(names) == sorted(f"s{i}" for i in range(40))
+    # every periodic partial save produced an xz-decodable table
+    assert partials
+    for blob in partials:
+        text = lzma.decompress(blob).decode()
+        assert text.startswith("s") and "," in text or "\n" in text

@@ -345,7 +345,10 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
         """Crash-resilient partial membership table, written atomically
         to the final csv path (save_neighbours_to_xz_file semantics,
         cluster.c:197-200: a killed run keeps a usable table)."""
-        tmp = cfg.prefix + ".csv.xz.part"
+        # keep the real .csv.xz suffix INSIDE the temp name: open_write
+        # picks the codec by suffix, so '…csv.xz.part' would be written
+        # uncompressed and renamed to an unreadable .csv.xz
+        tmp = cfg.prefix + ".part.csv.xz"
         with open_write(tmp) as fh:
             for c in clusters:
                 fh.write((",".join([c.name] + c.neighbours) + "\n")

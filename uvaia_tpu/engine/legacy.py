@@ -14,9 +14,15 @@ reference selection + stdout score table of describe_scores
   output: the union, de-duplicated by frequency, printed in ACGT-match
            order; optionally the chosen references saved to xz.
 
-The weighted partial match uses |intersection|/(|set1|*|set2|)
-(T vs W = 0.5, utils.c:73 comment; biomcmc-lib's exact table is not
-recoverable from the snapshot).
+The weighted partial match uses |intersection|/(|set1|*|set2|).
+Recoverable entries from the snapshot are pinned by test
+(tests/test_distance.py::test_partial_weight_recoverable_entries):
+pure-pure matches = 1, pure-pure mismatches = 0, T vs W = 0.5
+(utils.c:73 comment), N/gap contributes 0.  Entries between two
+ambiguity codes (e.g. M vs R = 0.25 here; Jaccard would give 1/3) are
+CONJECTURE — biomcmc-lib's exact table is not recoverable from the
+snapshot (empty submodule); only those values may differ from the C
+binary, and they influence stage-3 re-ranking only.
 """
 
 from __future__ import annotations
@@ -138,15 +144,18 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
     score_fn = jax.jit(lambda r: dist_ops.legacy_scores(qdata, r))
 
     # score all refs in device batches.  The (R, Q) store is compact:
-    # the integer counters live as uint16 (matches <= L < 2^16), only
+    # the integer counters live as uint16 when L permits, only
     # the weighted partial stays float32 — 10 bytes/pair instead of 16
     # (the selection semantics need all refs per query, so the store
     # itself is inherent to this in-memory tool, as in uvaia.c:140).
     R, Q = len(rnames), len(qnames)
-    all_s0 = np.zeros((R, Q), dtype=np.uint16)
-    all_s1 = np.zeros((R, Q), dtype=np.uint16)
+    # counters fit uint16 only when L < 2^16; longer alignments (e.g.
+    # bacterial cores) fall back to int32 so nothing wraps mod 65536
+    int_dtype = np.uint16 if L < 2 ** 16 else np.int32
+    all_s0 = np.zeros((R, Q), dtype=int_dtype)
+    all_s1 = np.zeros((R, Q), dtype=int_dtype)
     all_s2 = np.zeros((R, Q), dtype=np.float32)
-    all_s3 = np.zeros((R, Q), dtype=np.uint16)
+    all_s3 = np.zeros((R, Q), dtype=int_dtype)
     for start in range(0, R, cfg.batch):
         chunk = rseqs[start:start + cfg.batch]
         codes = np.stack([encode(s) for s in chunk])

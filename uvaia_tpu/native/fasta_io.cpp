@@ -334,18 +334,7 @@ long ufa_next_batch(void* handle, uint8_t* seqbuf, uint8_t* codebuf,
   return k;
 }
 
-// Sparse-delta encoder for the TPU upload path (ops/scan.delta_encode):
-// diff each (B, L) code row against `base` and write (position, code)
-// pairs.  Two passes: (1) an XOR-over-uint64 count scan (the common
-// all-equal stretch costs 1/8th of a byte loop), after which the row
-// stride E is chosen as the smallest entry of `buckets` holding the
-// fattest row; (2) extraction into pos/val with row stride E, slots
-// past a row's diff count sentinel-filled with pos = L + slot (unique
-// ascending, dropped on device) and val = 0.  Rows with ok=0 encode as
-// empty.  Returns E, or -1 when a row overflows buckets[nbuckets-1]
-// (caller falls back to the dense packed upload).  pos/val must hold
-// nrows * buckets[nbuckets-1] entries.  This runs per batch on the
-// host, in series with H2D, so it must track memory bandwidth.
+// Sparse-delta encoder for the TPU upload path (ops/scan.delta_encode).
 // Extraction: ONE scan of the batch; diffs land in a stride-`ecap`
 // scratch (no sentinel fill here — that happens in the repack once the
 // per-batch bucket width is known).  The ctz walk over the XOR word

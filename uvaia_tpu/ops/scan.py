@@ -34,6 +34,7 @@ final key reproduces the C heap's first-seen-wins tie behaviour
 from __future__ import annotations
 
 import functools
+import threading
 from dataclasses import dataclass
 
 import jax
@@ -462,6 +463,14 @@ def merge_topk(qd: QueryDeviceData, state, scores, ok, base_idx,
     base_idx — scalar int32 global index of batch row 0 (or pass
     ref_idx — explicit per-row indices for compacted batches)
     Returns (new_state, is_best (B,) bool).
+
+    INVARIANT: rows must arrive in ascending global-index order across
+    calls (every caller streams the DB forward).  The skip-if-no-best
+    fast path rejects a candidate whose key TIES the k-th threshold;
+    under ascending order that candidate would also lose select_topk's
+    first-seen tie-break, so the skip is exact.  A caller presenting
+    unordered ref_idx (re-scored/merged batches) would need equality in
+    the is_best test to keep lower-index ties.
     """
     st_scores, st_idx = state
     is_best, batch_idx = batch_flags_and_idx(qd, state, scores, ok,
@@ -548,7 +557,12 @@ def _delta_lib():
     return lib
 
 
-_delta_scratch: dict = {}    # B -> (pos, val, counts); single-consumer
+# per-thread scratch (B -> (pos, val, counts)): delta_encode may run
+# from both the stream thread and the pipelined encode-ahead thread, so
+# the buffers cannot be process-global; thread-local keeps each caller
+# race-free without a lock (at ~12MB per thread per distinct B, and the
+# thread count here is 2).
+_delta_tls = threading.local()
 
 
 def delta_encode(codes: np.ndarray, ok: np.ndarray, base: np.ndarray):
@@ -569,11 +583,14 @@ def delta_encode(codes: np.ndarray, ok: np.ndarray, base: np.ndarray):
     lib = _delta_lib()
     if lib is not None and L + cap < 2**16:
         import ctypes
-        if B not in _delta_scratch:
-            _delta_scratch[B] = (np.empty((B, cap), dtype=np.uint16),
-                                 np.empty((B, cap), dtype=np.uint8),
-                                 np.empty(B, dtype=np.int64))
-        spos, sval, counts = _delta_scratch[B]
+        scratch = getattr(_delta_tls, "scratch", None)
+        if scratch is None:
+            scratch = _delta_tls.scratch = {}
+        if B not in scratch:
+            scratch[B] = (np.empty((B, cap), dtype=np.uint16),
+                          np.empty((B, cap), dtype=np.uint8),
+                          np.empty(B, dtype=np.int64))
+        spos, sval, counts = scratch[B]
         codes = np.ascontiguousarray(codes)
         base_c = np.ascontiguousarray(base)
         okb = np.ascontiguousarray(ok.astype(np.uint8))
