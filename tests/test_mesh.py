@@ -157,3 +157,62 @@ def test_sharded_delta_equals_single(shape):
 
     np.testing.assert_array_equal(np.asarray(st_s[1]), np.asarray(st_1[1]))
     np.testing.assert_array_equal(np.asarray(st_s[0]), np.asarray(st_1[0]))
+
+
+@pytest.mark.parametrize("acgt", [False, True])
+def test_sharded_survivor_buffers_equal_dense(acgt):
+    """Device-resident sharded survivor path (prune_acc + flush) lands
+    the same final top-k as the dense single-device scan — no survivor
+    row ever re-uploaded (the buffers live on device between steps)."""
+    import jax
+    import jax.numpy as jnp
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    rng = np.random.default_rng(31)
+    L, k, B, n_db = 520, 3, 16, 4
+    pack = _build(rng, acgt, L=L)
+    refs = random_alignment(rng, 64, L)
+    ref_codes = np.stack([encode(r) for r in refs])
+
+    m = pmesh.make_mesh(n_db, 2)
+    qd_s = scan.build_device_data(pack, k=k, site_shards=2)
+    qd_1 = scan.build_device_data(pack, k=k)
+    scan.build_prune_data(qd_s, pack)
+    cap_loc = 2 * (B // n_db)
+    sv_init, acc, acc_delta, flush = pmesh.make_sharded_survivor_ops(
+        qd_s, m, cap_loc)
+
+    bufs = sv_init()
+    st_s = scan.init_state(pack.n_query, k)
+    st_1 = scan.init_state(pack.n_query, k)
+    flagged = set()
+    for start in range(0, 64, B):
+        batch = ref_codes[start:start + B]
+        ok = np.ones(B, dtype=bool)
+        ridx = jnp.asarray(start + np.arange(B, dtype=np.int32))
+        if start % (2 * B) == 0:
+            survive, bufs = acc(st_s, bufs,
+                                jnp.asarray(scan.pack_codes(batch)),
+                                jnp.asarray(ok), ridx)
+        else:
+            base = np.asarray(qd_s.delta_base)
+            pos, val = scan.delta_encode(batch, ok, base)
+            survive, bufs = acc_delta(st_s, bufs, jnp.asarray(pos),
+                                      jnp.asarray(val), jnp.asarray(ok),
+                                      ridx)
+        if int(np.asarray(bufs[2]).max()) + B // n_db > cap_loc:
+            idxs = np.asarray(bufs[1])
+            st_s, flags, bufs = flush(st_s, bufs)
+            flagged |= {int(idxs[s])
+                        for s in np.nonzero(np.asarray(flags))[0]}
+        st_1, fl_1 = scan.scan_step(qd_1, st_1, jnp.asarray(batch),
+                                    jnp.asarray(ok), np.int32(start))
+    idxs = np.asarray(bufs[1])
+    st_s, flags, bufs = flush(st_s, bufs)
+    flagged |= {int(idxs[s]) for s in np.nonzero(np.asarray(flags))[0]}
+
+    np.testing.assert_array_equal(np.asarray(st_s[1]), np.asarray(st_1[1]))
+    np.testing.assert_array_equal(np.asarray(st_s[0]), np.asarray(st_1[0]))
+    # every final neighbour was flagged for the dump at some flush
+    final = set(np.asarray(st_1[1]).ravel().tolist()) - {int(scan.IDX_SENTINEL)}
+    assert final <= flagged

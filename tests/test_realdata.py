@@ -120,6 +120,73 @@ GOLDEN_ACGT_CSV_SHA256 = \
     "37389a680a2871036878cde85b88a9f97a1326e5f53dd9b8cd48fecbef4f72d6"
 
 
+def test_gate_oracle_corroboration(q1k, tmp_path, monkeypatch):
+    """Independent derivation of the config-1 golden: compute the
+    top-k=8 rows for a 64-query subsample against the FULL database
+    using ONLY core/oracle.py + numpy — no ops/, no engine scoring —
+    and assert they match the engine CSV byte-for-byte.  This closes
+    the self-reference loop of the SHA256 pins: two implementations
+    (MXU matmul kernels vs the per-pair spec functions) agree on real
+    data.  Semantics: data/README.md:1-20, README.md:254-330."""
+    from uvaia_tpu.core import oracle
+    from uvaia_tpu.core.encoding import ENCODE_LUT
+    from uvaia_tpu.engine.query import build_query_pack
+
+    monkeypatch.chdir(tmp_path)
+    run_nearest([DB], q1k, _cfg("gate"))
+    assert _csv_sha("gate") == GOLDEN_CSV_SHA256
+    engine_lines = lzma.open("gate.csv.xz", "rt").read().splitlines()
+
+    # the same query pack the engine used (preparation, not scoring):
+    # absolute match counts depend on the 1000-query consensus/index
+    # decomposition (README.md:295-299), so the oracle must share it
+    pack = build_query_pack(q1k)
+    sel = list(range(0, pack.n_query, pack.n_query // 64))[:64]
+    sel_names = {pack.names[i] for i in sel}
+
+    # stream the database with pure IO, replicating only the stream's
+    # bookkeeping (exclude_self name skip + min-valid QC,
+    # stream.py:209-216 == nearest.c:255-270)
+    L = pack.n_sites
+    min_valid = int(L * (1.0 - 0.5))
+    qset = set(pack.names)
+    ref_names, ref_rows, ref_valid = [], [], []
+    for rec in read_fasta(DB):
+        if rec.name in qset:
+            continue
+        codes = ENCODE_LUT[np.frombuffer(rec.seq, dtype=np.uint8)]
+        v = int(np.count_nonzero(codes))
+        if v < min_valid:
+            continue
+        ref_names.append(rec.name)
+        ref_rows.append(codes)
+        ref_valid.append(v)
+    R = len(ref_names)
+
+    # per-pair spec scoring (oracle.six_scores_full) for the subsample
+    idx_c, idx_mq = pack.idx_c, pack.idx_mq
+    cons = pack.consensus
+    scores = np.zeros((R, len(sel), 6), dtype=np.int64)
+    for r in range(R):
+        ref = ref_rows[r]
+        for j, qi in enumerate(sel):
+            scores[r, j] = oracle.six_scores_full(
+                ref, pack.codes[qi], cons, idx_c, idx_mq, ref_valid[r])
+
+    # rank + emit rows exactly as nearest.py:81-100 does
+    oracle_rows = []
+    for j, qi in enumerate(sel):
+        top = oracle.rank_refs(scores[:, j, :], 8)
+        for rank, r in enumerate(top, 1):
+            oracle_rows.append(
+                f"{pack.names[qi]},{ref_names[r]},{rank}," +
+                ",".join(str(int(s)) for s in scores[r, j]))
+
+    engine_rows = [ln for ln in engine_lines[1:]
+                   if ln.split(",", 1)[0] in sel_names]
+    assert engine_rows == oracle_rows
+
+
 def test_gate_acgt_pruned(q1k, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     run_nearest([DB], q1k, _cfg("gate", acgt=True, prune=True))

@@ -262,67 +262,58 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                 f"{time.time()-t1:.1f}s elapsed.")
 
     if use_prune and sharded:
-        # ---- sharded two-phase: prune data-parallel over 'db', then
-        # host-compact survivors into full pool-sized batches for the
-        # sharded scan step (explicit ref_idx).  Survivor rows are
-        # re-uploaded (packed, so half-width); the device-buffer
-        # zero-re-upload variant below is single-device only.
+        # ---- sharded two-phase with DEVICE-RESIDENT survivor buffers:
+        # prune data-parallel over 'db'; each shard compacts its own
+        # surviving rows into a per-shard device buffer (zero survivor
+        # re-uploads — the single-device prune_and_hold design, made
+        # multi-chip); flush scores every shard's buffer and merges via
+        # the 'db' all_gather.
         scan.build_prune_data(qd, pack)
-        from ..parallel.mesh import make_sharded_prune_step
-        prune_fn = make_sharded_prune_step(qd, mesh)
-        prune_fn_delta = make_sharded_prune_step(qd, mesh, delta=True)
-        Lp = (pack.n_sites + 1) // 2
-        surv_rows: list[np.ndarray] = []     # packed survivor rows
-        surv_gidx: list[int] = []            # their global db indices
+        from ..parallel.mesh import make_sharded_survivor_ops
+        B_loc = cfg.pool // n_db
+        cap_loc = 2 * B_loc
+        sv_init, prune_acc, prune_acc_delta, sv_flush = \
+            make_sharded_survivor_ops(qd, mesh, cap_loc)
+        bufs = sv_init()
         retained: dict[int, tuple[str, bytes]] = {}
         n_surv = 0
 
         def flush_p2_sharded():
-            nonlocal state, surv_rows, surv_gidx, retained
-            if not surv_gidx:
-                retained = {}
+            nonlocal state, bufs, retained
+            if not retained:
                 return
-            rows = np.concatenate(surv_rows, axis=0)
-            gidx = np.asarray(surv_gidx, dtype=np.int32)
-            for start in range(0, len(gidx), cfg.pool):
-                chunk = rows[start:start + cfg.pool]
-                cidx = gidx[start:start + cfg.pool]
-                n = chunk.shape[0]
-                ok = np.zeros(cfg.pool, dtype=bool)
-                ok[:n] = True
-                if n < cfg.pool:
-                    chunk = np.concatenate(
-                        [chunk, np.zeros((cfg.pool - n, Lp), np.uint8)])
-                    cidx = np.concatenate(
-                        [cidx, np.zeros(cfg.pool - n, np.int32)])
-                state, flags = sh_step(state, jnp.asarray(chunk),
-                                       jnp.asarray(ok), jnp.asarray(cidx))
-                for slot in np.nonzero(np.asarray(flags)[:n])[0]:
-                    g = int(cidx[slot])
-                    nm, seq = retained[g]
-                    names[g] = nm
-                    writer.write(nm, seq)
-            surv_rows, surv_gidx, retained = [], [], {}
+            idxs = np.asarray(bufs[1])
+            state, flags, bufs = sv_flush(state, bufs)
+            for slot in np.nonzero(np.asarray(flags))[0]:
+                g = int(idxs[slot])
+                nm, seq = retained[g]
+                names[g] = nm
+                writer.write(nm, seq)
+            retained = {}
 
         for batch in streamer:
+            ridx = jnp.asarray(batch.base_idx +
+                               np.arange(batch.codes.shape[0],
+                                         dtype=np.int32))
             enc = scan.delta_encode(batch.codes, batch.ok, delta_base)
             if enc is not None:    # sparse-delta upload (see ops/scan)
-                survive = prune_fn_delta(state, jnp.asarray(enc[0]),
-                                         jnp.asarray(enc[1]),
-                                         jnp.asarray(batch.ok))
+                survive, bufs = prune_acc_delta(
+                    state, bufs, jnp.asarray(enc[0]), jnp.asarray(enc[1]),
+                    jnp.asarray(batch.ok), ridx)
             else:
-                survive = prune_fn(state,
-                                   jnp.asarray(scan.pack_codes(batch.codes)),
-                                   jnp.asarray(batch.ok))
+                survive, bufs = prune_acc(
+                    state, bufs,
+                    jnp.asarray(scan.pack_codes(batch.codes)),
+                    jnp.asarray(batch.ok), ridx)
             sv = np.nonzero(np.asarray(survive)[: batch.n])[0]
-            if len(sv):
-                surv_rows.append(scan.pack_codes(batch.codes[sv]))
-                for i in sv:
-                    g = batch.base_idx + int(i)
-                    surv_gidx.append(g)
-                    retained[g] = (batch.names[i], batch.seq(int(i)))
-                n_surv += len(sv)
-            if len(surv_gidx) >= cfg.pool:
+            for i in sv:
+                g = batch.base_idx + int(i)
+                retained[g] = (batch.names[i], batch.seq(int(i)))
+            n_surv += len(sv)
+            # rows past a shard's buffer end would be dropped by the
+            # scatter: flush whenever the fullest shard could overflow
+            # on the next batch
+            if int(np.asarray(bufs[2]).max()) + B_loc > cap_loc:
                 flush_p2_sharded()
             if cfg.checkpoint is not None and \
                     time.time() - last_ckpt >= cfg.checkpoint_every:
