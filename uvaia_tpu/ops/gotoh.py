@@ -219,13 +219,14 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
     cur0 = read_src(i0, t_end)
     mat0 = (cur0 & 3).astype(jnp.int32)                  # H -> source matrix
 
-    def step(carry, _):
+    def step(carry, enable):
         # `cur` (the tb byte at (i, t)) rides in the carry: it is
         # always the previous step's `tgt` gather, so carrying it
-        # halves the walk's gather count
+        # halves the walk's gather count.  `enable` masks rows handled
+        # by the M-run fast path this iteration.
         i, t, mat, cur, out, edge, cost = carry
         j = i + t + lo
-        active = (i > 0) | (j > 0)
+        active = ((i > 0) | (j > 0)) & enable
         edge = edge | (active & (i > 0) & ((t <= 0) | (t >= W - 1)))
 
         lead_y = active & (i == 0)                 # leading insertions
@@ -278,28 +279,85 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
     edge0 = jnp.zeros((B,), dtype=bool)
     cost0 = jnp.zeros((B,), dtype=jnp.int32)
 
-    # the walk is gather-latency-bound, so trip count matters: run a
-    # while_loop that exits as soon as every row reaches the origin
-    # (path length ~ n + insertions, typically half the static bound);
-    # the step cap guarantees termination on a corrupt traceback (such
-    # rows surface as done=False).  Two non-solutions, measured: deeper
-    # unrolling (no change — this is an on-device serial dependency
-    # chain, not dispatch-bound) and a per-row Pallas walk with one-hot
-    # VMEM extraction (2x SLOWER — per-vector-op overhead inside a
-    # scalar-driven loop; the win there would need M-run batching,
-    # walking whole match runs per iteration).
-    WALK_UNROLL = UNROLL
-    max_chunks = -(-(n + m_pad + 2) // WALK_UNROLL)
+    # the walk is gather-latency-bound, so trip count matters.  Two
+    # prior non-solutions, measured: deeper unrolling of single steps
+    # (no change — this is an on-device serial dependency chain, not
+    # dispatch-bound) and a per-row Pallas walk with one-hot VMEM
+    # extraction (2x SLOWER).  The win is M-RUN BATCHING: a diagonal
+    # (match/mismatch) step keeps the band slot t FIXED and decrements
+    # only the row, so a run of r consecutive M cells lies along
+    # tb[i-1 .. i-r, b, t] — fetch R bytes of that line per iteration
+    # and retire the whole leading M-run (up to R-1 cells) at once;
+    # rows whose current move is a gap/boundary take one classic step.
+    # Real 30kb genomes are ~99% match run, so iterations drop from
+    # ~n to ~n/(R-1) + (#gap runs + #mismatch runs).
+    R = 32
+    karr = jnp.arange(R, dtype=jnp.int32)
+    tb_flat = tb.reshape(-1)
+    e32 = jnp.int32(GAP_EXT)
+
+    def mega(carry):
+        i, t, mat, cur, out, edge, cost = carry
+        j = i + t + lo
+        active = (i > 0) | (j > 0)
+        # current move is a plain M-step (not leading-row/column case)
+        can_run = active & (mat == 0) & (i > 0) & (j > 0)
+
+        # classic single step for every other row
+        (i1, t1, mat1, cur1, out, edge, cost), _ = step(
+            (i, t, mat, cur, out, edge, cost), ~can_run)
+
+        # M-run fast path: v[k] = tb byte at row i-1-k, slot t
+        rowidx = i[:, None] - 1 - karr[None, :]             # (B, R)
+        flat = (jnp.clip(rowidx, 0, n - 1) * (B * W)
+                + (bidx * W + jnp.clip(t, 0, W - 1))[:, None])
+        v = tb_flat[flat]                                   # (B, R)
+        # step k stays in M iff the NEXT cell's H-source bits are M
+        # (k=0 uses the carried mat, already in can_run)
+        ok_next = jnp.concatenate(
+            [can_run[:, None], (v[:, 1:] & 3) == 0], axis=1)
+        okk = (ok_next & can_run[:, None] & (rowidx >= 0)
+               & ((j[:, None] - 1 - karr[None, :]) >= 0))
+        runlen = jnp.minimum(
+            jnp.cumprod(okk.astype(jnp.int32), axis=1).sum(axis=1),
+            R - 1)                                          # need v[runlen]
+
+        kmask = karr[None, :] < runlen[:, None]
+        qch = q[bidx[:, None],
+                jnp.clip(j[:, None] - 1 - karr[None, :], 0, m_pad - 1)]
+        refch = ref[jnp.clip(rowidx, 0, n - 1)]
+        outpos = jnp.where(kmask, rowidx, n)                # n -> drop
+        out = out.at[bidx[:, None], outpos].set(qch, mode="drop")
+        run_cost = jnp.sum(
+            jnp.where(kmask & (qch != refch), MISMATCH, 0), axis=1)
+        i2 = i - runlen
+        j2 = j - runlen
+        # run ending on row 0 with columns left: lump the leading-
+        # insertion cost here (the classic step does this at its own
+        # row-0 transition)
+        run_cost += jnp.where(can_run & (i2 == 0) & (j2 > 0),
+                              GAP_OPEN + e32 * j2, 0)
+        cur2 = jnp.take_along_axis(v, runlen[:, None], axis=1)[:, 0]
+        edge = edge | (can_run & ((t <= 0) | (t >= W - 1)))
+
+        ni = jnp.where(can_run, i2, i1)
+        nt = jnp.where(can_run, t, t1)
+        nmat = jnp.where(can_run, (cur2 & 3).astype(jnp.int32), mat1)
+        ncur = jnp.where(can_run, cur2, cur1)
+        ncost = cost + jnp.where(can_run, run_cost, 0)
+        return ni, nt, nmat, ncur, out, edge, ncost
+
+    # every iteration retires >= 1 path step per active row, so the
+    # cap only guards against a corrupt traceback (done=False rows)
+    max_iters = n + m_pad + 2
 
     def cond(carry):
         k, (i, t, *_rest) = carry
-        return (k < max_chunks) & jnp.any((i > 0) | ((i + t + lo) > 0))
+        return (k < max_iters) & jnp.any((i > 0) | ((i + t + lo) > 0))
 
     def chunk(carry):
         k, inner = carry
-        for _u in range(WALK_UNROLL):
-            inner, _n = step(inner, None)
-        return k + 1, inner
+        return k + 1, mega(inner)
 
     _, (i_f, t_f, _, _, out, edge, cost) = jax.lax.while_loop(
         cond, chunk, (jnp.int32(0), (i0, t_end, mat0, cur0, out0,
