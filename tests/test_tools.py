@@ -261,3 +261,85 @@ def test_cluster_partial_saves(tmp_path, monkeypatch):
     for blob in partials:
         text = lzma.decompress(blob).decode()
         assert text.startswith("s") and "," in text or "\n" in text
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_cluster_properties_randomized(tmp_path, monkeypatch, seed):
+    """Property-pin what run_cluster DOES guarantee (fastaseq.c:140-261
+    capability; the canopy itself is order-dependent in both C and
+    here):
+
+    1. partition: every input sequence appears in exactly one cluster;
+    2. linkage soundness: within each cluster, the graph over members
+       with edges dist(a, b) <= distance is CONNECTED — every member
+       joined a then-medoid or chained to a batch row that remains a
+       member, and merges add a <=distance medoid-medoid edge;
+    3. medoid resolution: each cluster's medoid has the maximal non-N
+       count among its members (add_seq_to_cluster fastaseq.c:182);
+    4. determinism: the same input yields the same output.
+    """
+    import numpy as np
+    from uvaia_tpu.core import oracle
+    from uvaia_tpu.core.encoding import encode
+    from uvaia_tpu.engine.cluster import ClusterConfig, run_cluster
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(100 + seed)
+    L, N, DIST = 160, 60, 2
+    bb = rng.choice(list("ACGTN"), L, p=[0.24, 0.24, 0.24, 0.24, 0.04])
+    seqs = {}
+    centres = [bb.copy() for _ in range(6)]
+    for c in centres:
+        for p in rng.integers(0, L, 8):
+            c[p] = rng.choice(list("ACGT"))
+    for i in range(N):
+        s = centres[rng.integers(0, 6)].copy()
+        for p in rng.integers(0, L, rng.integers(0, 3)):
+            s[p] = rng.choice(list("ACGTN-"))
+        if rng.random() < 0.2:          # an N run (low resolution)
+            st = int(rng.integers(0, L - 12))
+            s[st:st + 12] = "N"
+        seqs[f"s{i}"] = "".join(s)
+    with open("db.fa", "w") as f:
+        for n, s in seqs.items():
+            f.write(f">{n}\n{s}\n")
+
+    def run(out):
+        return run_cluster(["db.fa"],
+                           ClusterConfig(distance=DIST, pool=16,
+                                         output=out))
+
+    merged = run("c1")
+
+    # 1. exact partition
+    all_names = [n for c in merged for n in [c.name] + c.neighbours]
+    assert sorted(all_names) == sorted(seqs)
+
+    # 2. member graph connectivity at <= DIST
+    codes = {n: encode(s) for n, s in seqs.items()}
+    for c in merged:
+        members = [c.name] + c.neighbours
+        if len(members) == 1:
+            continue
+        reach = {members[0]}
+        frontier = [members[0]]
+        while frontier:
+            a = frontier.pop()
+            for b in members:
+                if b not in reach and oracle.pair_hamming_indelcheck(
+                        codes[a], codes[b]) <= DIST:
+                    reach.add(b)
+                    frontier.append(b)
+        assert reach == set(members), \
+            f"cluster {c.name} not <= {DIST}-connected"
+
+    # 3. medoid is maximally resolved among members
+    for c in merged:
+        non_n = {n: int(np.count_nonzero(codes[n])) for n in
+                 [c.name] + c.neighbours}
+        assert non_n[c.name] == max(non_n.values())
+
+    # 4. determinism
+    merged2 = run("c2")
+    assert [(c.name, sorted(c.neighbours)) for c in merged] == \
+           [(c.name, sorted(c.neighbours)) for c in merged2]
