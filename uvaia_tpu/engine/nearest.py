@@ -141,34 +141,33 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         sh_step_delta = make_sharded_scan_step(qd, mesh, delta=True)
         delta_base = np.asarray(qd.delta_base)
 
-        def step_fn(st, batch):
+        def step_fn(st, batch, payload):
             ridx = batch.base_idx + np.arange(batch.codes.shape[0],
                                               dtype=np.int32)
-            enc = scan.delta_encode(batch.codes, batch.ok, delta_base)
-            if enc is not None:    # sparse-delta upload (see ops/scan)
-                return sh_step_delta(st, jnp.asarray(enc[0]),
-                                     jnp.asarray(enc[1]),
+            if payload[0] == "delta":  # sparse-delta upload (see ops/scan)
+                return sh_step_delta(st, jnp.asarray(payload[1]),
+                                     jnp.asarray(payload[2]),
                                      jnp.asarray(batch.ok),
                                      jnp.asarray(ridx))
-            packed = scan.pack_codes(batch.codes)
-            return sh_step(st, jnp.asarray(packed), jnp.asarray(batch.ok),
-                           jnp.asarray(ridx))
+            return sh_step(st, jnp.asarray(payload[1]),
+                           jnp.asarray(batch.ok), jnp.asarray(ridx))
         log(f"Sharded scan over mesh (db={n_db}, site={cfg.site_shards})")
     else:
         qd = scan.build_device_data(pack, k=cfg.nbest)
         delta_base = np.asarray(qd.delta_base)
 
-        def step_fn(st, batch):
+        def step_fn(st, batch, payload):
             # sparse-delta upload when the batch is close to the query
             # majority (the realistic case: ~10-50x fewer H2D bytes);
-            # 4-bit packed upload otherwise — bit-identical either way
-            enc = scan.delta_encode(batch.codes, batch.ok, delta_base)
-            if enc is not None:
+            # 4-bit packed upload otherwise — bit-identical either way.
+            # The payload was encoded on the EncodedStream thread while
+            # the previous batch's upload/step was in flight.
+            if payload[0] == "delta":
                 return scan.scan_step_delta(
-                    qd, st, jnp.asarray(enc[0]), jnp.asarray(enc[1]),
+                    qd, st, jnp.asarray(payload[1]), jnp.asarray(payload[2]),
                     jnp.asarray(batch.ok), np.int32(batch.base_idx))
             return scan.scan_step_packed(
-                qd, st, jnp.asarray(scan.pack_codes(batch.codes)),
+                qd, st, jnp.asarray(payload[1]),
                 jnp.asarray(batch.ok), np.int32(batch.base_idx))
     state = scan.init_state(pack.n_query, cfg.nbest)
 
@@ -291,19 +290,18 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                 writer.write(nm, seq)
             retained = {}
 
-        for batch in streamer:
+        from .stream import EncodedStream
+        for batch, payload in EncodedStream(streamer, delta_base):
             ridx = jnp.asarray(batch.base_idx +
                                np.arange(batch.codes.shape[0],
                                          dtype=np.int32))
-            enc = scan.delta_encode(batch.codes, batch.ok, delta_base)
-            if enc is not None:    # sparse-delta upload (see ops/scan)
+            if payload[0] == "delta":  # sparse-delta upload (see ops/scan)
                 survive, bufs = prune_acc_delta(
-                    state, bufs, jnp.asarray(enc[0]), jnp.asarray(enc[1]),
-                    jnp.asarray(batch.ok), ridx)
+                    state, bufs, jnp.asarray(payload[1]),
+                    jnp.asarray(payload[2]), jnp.asarray(batch.ok), ridx)
             else:
                 survive, bufs = prune_acc(
-                    state, bufs,
-                    jnp.asarray(scan.pack_codes(batch.codes)),
+                    state, bufs, jnp.asarray(payload[1]),
                     jnp.asarray(batch.ok), ridx)
             sv = np.nonzero(np.asarray(survive)[: batch.n])[0]
             for i in sv:
@@ -362,15 +360,15 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             buf_n = jnp.int32(0)
 
         delta_base = np.asarray(qd.delta_base)
-        for batch in streamer:
-            enc = scan.delta_encode(batch.codes, batch.ok, delta_base)
-            if enc is not None:
+        from .stream import EncodedStream
+        for batch, payload in EncodedStream(streamer, delta_base):
+            if payload[0] == "delta":
                 survive, codes_d = scan.prune_and_hold_delta(
-                    qd, state, jnp.asarray(enc[0]), jnp.asarray(enc[1]),
-                    jnp.asarray(batch.ok))
+                    qd, state, jnp.asarray(payload[1]),
+                    jnp.asarray(payload[2]), jnp.asarray(batch.ok))
             else:
                 survive, codes_d = scan.prune_and_hold(
-                    qd, state, jnp.asarray(scan.pack_codes(batch.codes)),
+                    qd, state, jnp.asarray(payload[1]),
                     jnp.asarray(batch.ok))
             buf, buf_idx, buf_n = scan.accumulate_survivors(
                 buf, buf_idx, buf_n, codes_d, survive,
@@ -400,7 +398,8 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         log(f"Prefilter skipped the exact scan for {total - n_surv} of "
             f"{total} references (losslessly)")
     else:
-        for batch in streamer:
+        from .stream import EncodedStream
+        for batch, payload in EncodedStream(streamer, delta_base):
             # a due checkpoint snapshots the state BEFORE this step (its
             # buffers are donated into the step), consistent with the
             # dump/stream position after draining the previous batch
@@ -408,7 +407,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                         and time.time() - last_ckpt >= cfg.checkpoint_every)
             if ckpt_due:
                 state_host = (np.asarray(state[0]), np.asarray(state[1]))
-            state, flags_d = step_fn(state, batch)
+            state, flags_d = step_fn(state, batch, payload)
             if pending is not None:
                 prev = pending[1]
                 _drain(pending)

@@ -174,6 +174,8 @@ class RefStreamer:
         if names:
             yield names, np.stack(rows), None, None
 
+    # ------------------------------------------------------------------
+
     def _produce(self):
         try:
             base = self.initial_base
@@ -246,3 +248,52 @@ class RefStreamer:
             self._err = e
         finally:
             self._q.put(None)
+
+
+class EncodedStream:
+    """Second pipeline stage: host-encode batches on their own thread.
+
+    Yields (batch, payload) where payload is ("delta", pos, val) when
+    the sparse-diff fits the buckets, else ("packed", packed).  The
+    C++ XOR delta scan / 4-bit pack of batch i+1 runs while batch i's
+    upload + device step are in flight on the consumer thread — the
+    double-buffering the single-threaded series (encode -> upload ->
+    dispatch) was leaving on the table.  delta_encode's scratch is
+    thread-local, so the stage is race-free by construction.
+    """
+
+    def __init__(self, streamer: RefStreamer, delta_base: np.ndarray,
+                 prefetch: int = 2):
+        from ..ops import scan
+        self._scan = scan
+        self.streamer = streamer
+        self.delta_base = delta_base
+        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
+        self._thread = threading.Thread(target=self._produce, daemon=True)
+        self._err: BaseException | None = None
+
+    def _produce(self):
+        try:
+            for batch in self.streamer:
+                enc = self._scan.delta_encode(batch.codes, batch.ok,
+                                              self.delta_base)
+                if enc is not None:
+                    self._q.put((batch, ("delta", enc[0], enc[1])))
+                else:
+                    self._q.put((batch,
+                                 ("packed",
+                                  self._scan.pack_codes(batch.codes))))
+        except BaseException as e:   # surfaced on the consumer side
+            self._err = e
+        finally:
+            self._q.put(None)
+
+    def __iter__(self):
+        self._thread.start()
+        while True:
+            item = self._q.get()
+            if item is None:
+                if self._err is not None:
+                    raise self._err
+                return
+            yield item
