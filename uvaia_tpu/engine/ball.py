@@ -86,8 +86,7 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
     weights = jnp.asarray(_pad_to(
         dist_ops.mismatch_weights(q_sub, cfg.acgt), 8, axis=1))
 
-    from ..ops.scan import (delta_encode, majority_code, pack_codes,
-                            reconstruct_delta, unpack_codes)
+    from ..ops.scan import majority_code, reconstruct_delta, unpack_codes
     delta_base = majority_code(pack.codes)
     delta_base_d = jnp.asarray(delta_base)
 
@@ -122,13 +121,14 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
         for i in np.nonzero(keep)[0]:
             writer.write(batch.names[i], batch.seq(int(i)))
 
-    for batch in streamer:
-        enc = delta_encode(batch.codes, batch.ok, delta_base)
-        if enc is not None:   # sparse-delta upload (see ops/scan)
-            keep, _ = step_delta(jnp.asarray(enc[0]), jnp.asarray(enc[1]),
+    from .stream import EncodedStream
+    for batch, payload in EncodedStream(streamer, delta_base):
+        if payload[0] == "delta":   # sparse-delta upload (see ops/scan)
+            keep, _ = step_delta(jnp.asarray(payload[1]),
+                                 jnp.asarray(payload[2]),
                                  jnp.asarray(batch.ok))
         else:
-            keep, _ = step(jnp.asarray(pack_codes(batch.codes)),
+            keep, _ = step(jnp.asarray(payload[1]),
                            jnp.asarray(batch.ok))
         if pending is not None:
             drain(pending)

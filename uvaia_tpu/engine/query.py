@@ -118,6 +118,13 @@ class QueryPack:
         ``idx`` (distance 0); one is dropped when the resolution partial
         order makes them equivalent.  Reproduces the C pair-iteration order
         exactly (sequential eliminations cascade).
+
+        Complexity note: the conflict matrices are device matmuls, but
+        the elimination walk itself is O(Q^2) host Python — the same
+        cascade order as the C (fastaseq.c:803-812), which cannot be
+        parallelised without changing which member of a redundant pair
+        survives.  Fine at the contract's scale (queries are "small",
+        README.md:219-220, ~1e3); would crawl at Q ~ 1e5.
         """
         if self.consensus is None:
             raise RuntimeError("create_indices() must run first")
