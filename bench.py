@@ -297,7 +297,7 @@ def run_section(name, L, Q, B, K, STEPS):
     elif name == "realdata":
         section_realdata()
     elif name == "scale":
-        section_scale(int(os.environ.get("BENCH_SCALE_N", 25_000)))
+        section_scale(int(os.environ.get("BENCH_SCALE_N", 10_000)))
     else:
         raise SystemExit(f"unknown section {name}")
 
@@ -328,7 +328,7 @@ def orchestrate():
     if os.environ.get("BENCH_SCALE", "1") != "0":
         sections.append("scale")
     timeouts = {"scan": 1200, "q1000": 1200, "align": 900,
-                "realdata": 1500, "scale": 2400}
+                "realdata": 1500, "scale": 1500}
 
     results: dict = {}
     for sec in sections:

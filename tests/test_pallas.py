@@ -122,3 +122,36 @@ def test_pallas_fused_acgt_matches_xla():
         interpret=True)
     np.testing.assert_array_equal(np.asarray(mats_x), np.asarray(mats_p))
     np.testing.assert_array_equal(np.asarray(cons5_x), np.asarray(cons5_p))
+
+
+def test_pallas_corr_matches_weight_tables():
+    """Fused ambiguity-correction kernel == the (B, A, 16) one-hot /
+    weight-table path, on codes dense in ambiguity characters."""
+    import jax.numpy as jnp
+    from uvaia_tpu.core.encoding import IS_AMBIG, POPCOUNT4
+
+    rng = np.random.default_rng(13)
+    B, Q, A = 48, 12, 200
+    # heavy ambiguity mix incl. zeros and pure bases
+    codes = np.array([0, 1, 2, 4, 8, 3, 5, 6, 7, 9, 10, 11, 12, 13, 14],
+                     dtype=np.uint8)
+    ra = codes[rng.integers(0, len(codes), (B, A))]
+    qa = codes[rng.integers(0, len(codes), (Q, A))]
+
+    got_t, got_p = pallas_score.corr_via_pallas(
+        jnp.asarray(ra), jnp.asarray(qa), interpret=True)
+
+    # oracle: per-site definitions
+    exp_t = np.zeros((B, Q), np.int32)
+    exp_p = np.zeros((B, Q), np.int32)
+    for b in range(B):
+        for q in range(Q):
+            r, s = ra[b], qa[q]
+            both = (IS_AMBIG[r] != 0) & (IS_AMBIG[s] != 0)
+            exp_t[b, q] = int((both & (r == s)).sum())
+            inter = r & s
+            pc = POPCOUNT4[inter].astype(np.int32)
+            exp_p[b, q] = int((both * ((inter != 0).astype(np.int32) - pc))
+                              .sum())
+    np.testing.assert_array_equal(np.asarray(got_t), exp_t)
+    np.testing.assert_array_equal(np.asarray(got_p), exp_p)

@@ -167,6 +167,113 @@ def pair_counter_mats(ref_sub: jnp.ndarray, q_sub: jnp.ndarray,
     return jnp.stack([aa, mm, vv], axis=-1)
 
 
+# ----------------------------------------------------------------------
+# fused ambiguity-correction kernel.
+#
+# Full-mode scoring needs two rare-site corrections (scan.assemble_
+# scores): corr_t adds text matches at sites where BOTH codes are the
+# same ambiguity code, and corr_p fixes the mask-dot overcount at
+# sites where both codes are ambiguous.  The XLA path materialises a
+# (B, A, 16) one-hot in HBM before two giant dots — at Q=1000 the
+# ambiguity column set A covers ~40% of the genome and that
+# materialisation alone exceeds the whole scoring kernel's cost.  Here
+# the one-hot planes are built per tile in VMEM and fed to the MXU
+# directly, exactly like the main counter kernel.
+#
+# Derivation (both sums over the amb-restricted columns; pc = popcount
+# of the 4-bit mask intersection; amb(x) = popcount(x) >= 2):
+#   corr_t = sum_s [q == r, both ambiguous]
+#          = sum_{c in AMB10} oh_c(q) . oh_c(r)            (10 dots)
+#   corr_p = sum_s [both ambiguous] (1 - [q&r == 0] - pc(q&r))
+#     [q&r == 0, both ambiguous] happens ONLY for the three
+#     complementary two-base pairs (M-K, R-Y, S-W): any three-base
+#     code intersects every other ambiguity code, so
+#   corr_p = amb(q).amb(r)                                  (1 dot)
+#          - sum_{(a,b) in COMP2 pairs, both orders} oh_a(q).oh_b(r)
+#                                                           (6 dots)
+#          - sum_b (bit_b*amb)(q) . (bit_b*amb)(r)          (4 dots)
+
+AMB10 = (3, 5, 6, 9, 10, 12, 7, 11, 13, 14)    # two-base, three-base
+COMP2 = ((3, 12), (5, 10), (6, 9))             # M-K, R-Y, S-W
+
+
+def _kernel_corr(r_ref, q_ref, t_ref, p_ref):
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        t_ref[...] = jnp.zeros_like(t_ref)
+        p_ref[...] = jnp.zeros_like(p_ref)
+
+    rc = r_ref[...].astype(jnp.int32)
+    qc = q_ref[...].astype(jnp.int32)
+
+    def dot(x, y):
+        return jax.lax.dot_general(
+            x.astype(jnp.int8), y.astype(jnp.int8),
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32)
+
+    def pop(c):
+        return (((c >> 0) & 1) + ((c >> 1) & 1)
+                + ((c >> 2) & 1) + ((c >> 3) & 1))
+
+    r_amb = (pop(rc) >= 2).astype(jnp.int32)
+    q_amb = (pop(qc) >= 2).astype(jnp.int32)
+
+    oh_r = {c: (rc == c).astype(jnp.int32) for c in AMB10}
+    oh_q = {c: (qc == c).astype(jnp.int32) for c in AMB10}
+
+    s_t = dot(oh_r[AMB10[0]], oh_q[AMB10[0]])
+    for c in AMB10[1:]:
+        s_t += dot(oh_r[c], oh_q[c])
+    t_ref[...] += s_t
+
+    s_p = dot(r_amb, q_amb)
+    for a, b in COMP2:
+        s_p -= dot(oh_r[a], oh_q[b]) + dot(oh_r[b], oh_q[a])
+    for b in range(4):
+        s_p -= dot(((rc >> b) & 1) * r_amb, ((qc >> b) & 1) * q_amb)
+    p_ref[...] += s_p
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "qt", "at", "interpret"))
+def _corr_call(r_amb_codes, q_amb_codes, bt: int, qt: int, at: int,
+               interpret: bool = False):
+    B, A = r_amb_codes.shape
+    Q = q_amb_codes.shape[0]
+    grid = (B // bt, Q // qt, A // at)
+    out_spec = pl.BlockSpec((bt, qt), lambda i, j, k: (i, j))
+    return pl.pallas_call(
+        _kernel_corr,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, at), lambda i, j, k: (i, k)),
+            pl.BlockSpec((qt, at), lambda i, j, k: (j, k)),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32)),
+        interpret=interpret,
+    )(r_amb_codes, q_amb_codes)
+
+
+def corr_via_pallas(r_amb_codes: jnp.ndarray, q_amb_codes: jnp.ndarray,
+                    interpret: bool = False):
+    """(corr_t (B, Q), corr_p (B, Q)) int32 from the amb-column code
+    matrices (B, A), (Q, A).  Zero-padded rows/columns contribute zero
+    (code 0 is not ambiguous)."""
+    B, A = r_amb_codes.shape
+    Q = q_amb_codes.shape[0]
+    bt, qt, at = 256, min(256, -(-Q // 128) * 128), 512
+    pad = lambda n, m: (-n) % m
+    r = jnp.pad(r_amb_codes, ((0, pad(B, bt)), (0, pad(A, at))))
+    q = jnp.pad(q_amb_codes, ((0, pad(Q, qt)), (0, pad(A, at))))
+    t, p = _corr_call(r, q, bt=min(bt, r.shape[0]), qt=min(qt, q.shape[0]),
+                      at=min(at, r.shape[1]), interpret=interpret)
+    return t[:B, :Q], p[:B, :Q]
+
+
 def _acgt_pair_dots(r_feats, other_ref):
     """The two --acgt dots vs a query operand tile: (pure-pair count,
     ACGT-match count)."""

@@ -126,8 +126,11 @@ def build_device_data(pack: QueryPack, k: int,
         q_sub = pack.codes[:, idx_mq]
         amb_cols = np.nonzero((IS_AMBIG[q_sub] != 0).any(axis=0))[0]
         if len(amb_cols):
-            sites = _pad_to(idx_mq[amb_cols], 8)      # pad repeats site 0
-            # pad slots get weight 0 via code 0 rows below
+            # pad with an out-of-range index: the weight tables zero the
+            # pad slots on the XLA path (code-0 rows below), and the
+            # Pallas corr path gathers with mode="fill" so pad columns
+            # read code 0 (never ambiguous -> zero contribution)
+            sites = _pad_to(idx_mq[amb_cols], 8, value=1 << 30)
             cq = np.zeros((pack.n_query, len(sites)), dtype=np.uint8)
             cq[:, :len(amb_cols)] = q_sub[:, amb_cols]
             codes16 = np.arange(16, dtype=np.uint8)
@@ -360,11 +363,23 @@ def assemble_scores(qd: QueryDeviceData, ref_codes, cons5, mats):
         s_aa, s_mm, s_vv = (mats[..., i] for i in range(3))
         corr_t = corr_p = 0
         if qd.amb_sites is not None:
-            ra = jnp.take(ref_codes, qd.amb_sites, axis=1)   # (B, A)
-            oh = (ra[..., None] == jnp.arange(16, dtype=ra.dtype)
-                  ).astype(jnp.int8)
-            corr_t = _imm(oh, qd.w_text)
-            corr_p = _imm(oh, qd.w_part)
+            if _use_pallas():
+                # fused VMEM one-hot kernel: at Q=1000 the XLA path's
+                # (B, A, 16) HBM one-hot costs more than the whole
+                # scoring kernel (pallas_score._kernel_corr docstring).
+                # mode="fill" reads code 0 at the out-of-range pad slots
+                from . import pallas_score
+                ra = jnp.take(ref_codes, qd.amb_sites, axis=1,
+                              mode="fill", fill_value=0)
+                qa = jnp.take(qd.q_full, qd.amb_sites, axis=1,
+                              mode="fill", fill_value=0)
+                corr_t, corr_p = pallas_score.corr_via_pallas(ra, qa)
+            else:
+                ra = jnp.take(ref_codes, qd.amb_sites, axis=1)  # (B, A)
+                oh = (ra[..., None] == jnp.arange(16, dtype=ra.dtype)
+                      ).astype(jnp.int8)
+                corr_t = _imm(oh, qd.w_text)
+                corr_p = _imm(oh, qd.w_part)
         s0 = acgt_c[:, None] + s_aa
         s1 = text_c[:, None] + s_aa + corr_t
         s2 = part_c[:, None] + s_mm + corr_p
