@@ -320,7 +320,8 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
 
     writer = None
     if not cfg.to_stdout:
-        writer = FastaWriter(cfg.prefix + ".aln.xz", preset=1)
+        writer = FastaWriter(cfg.prefix + ".aln.xz", preset=1,
+                             threaded=True)
         log(f"Sequences will be compressed and saved into file "
             f"{writer.path}.")
 

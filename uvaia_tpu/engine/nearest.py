@@ -215,7 +215,8 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                 f"{dump_path} is smaller than the checkpoint recorded; "
                 "the dump and checkpoint no longer match")
     writer = FastaWriter(dump_path, append=ckpt is not None,
-                     preset=1)  # dump is large; fast xz
+                     preset=1, threaded=True)  # fast xz,
+                     # compressed off-thread
     t1 = time.time()
     last_print = 0
     last_ckpt = time.time()
@@ -238,7 +239,8 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             state_scores=state_host[0], state_idx=state_host[1],
             names=names, config_key=ckpt_key,
             dump_bytes=_os.path.getsize(dump_path)))
-        writer = FastaWriter(dump_path, append=True, preset=1)
+        writer = FastaWriter(dump_path, append=True, preset=1,
+                             threaded=True)
 
     def _drain(pending):
         flags, batch = pending
