@@ -290,7 +290,7 @@ def run_section(name, L, Q, B, K, STEPS):
     if name == "scan":
         section_scan(L, Q, B, K, STEPS)
     elif name == "q1000":
-        section_scan(L, 1000, B, K, max(4, STEPS // 4),
+        section_scan(L, 1000, B, K, max(10, STEPS // 2),
                      kernel_only=True, key_prefix="q1000_")
     elif name == "align":
         section_align(L)
