@@ -19,11 +19,12 @@ import sys
 import time
 from dataclasses import dataclass
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..core.encoding import encode, composition
-from ..io.fasta import FastaRecord, FastaWriter, read_fasta
+from ..io.fasta import FastaRecord, ParallelXzFastaWriter, read_fasta
 from ..ops import gotoh
 from .query import log
 
@@ -66,7 +67,6 @@ class AlignStats:
     failed_band: int = 0
     uncertified: int = 0     # emitted but optimality not provable
                              # within the band cap (WFA-Adapt parity)
-    n_diag: int = 0          # rows emitted via the diagonal fast path
     uncertified_names: list = None   # their names, for the audit sidecar
 
     def mark_uncertified(self, name: str) -> None:
@@ -130,10 +130,38 @@ class _DeviceBatch:
     lens_d: object
 
 
+@jax.jit
+def _unpack4(packed, lut):
+    """Device-side inverse of the 4-bit host pack: (B, m/2) nibble
+    pairs + a 16-entry byte LUT -> (B, m) raw query bytes."""
+    hi = jnp.take(lut, (packed >> 4).astype(jnp.int32))
+    lo = jnp.take(lut, (packed & 15).astype(jnp.int32))
+    B, m2 = packed.shape
+    return jnp.stack([hi, lo], axis=2).reshape(B, m2 * 2)
+
+
 def _make_device_batch(ref_arr, recs) -> _DeviceBatch:
     arr, lens = _pack_rows(recs)
+    # H2D is the scarce resource (remote-attached transports run at
+    # tens of MB/s): when the batch uses <= 16 distinct byte values
+    # (ACGT + IUPAC ambiguity — the universal case for QC-passed
+    # genomes), ship 4-bit indices + a LUT and unpack on device,
+    # halving the upload
+    present = np.zeros(256, dtype=bool)
+    present[arr.reshape(-1)] = True
+    vals = np.nonzero(present)[0].astype(np.uint8)
+    if len(vals) <= 16:
+        table = np.zeros(256, dtype=np.uint8)
+        table[vals] = np.arange(len(vals), dtype=np.uint8)
+        idx = table[arr]
+        packed = (idx[:, 0::2] << 4) | idx[:, 1::2]
+        lut = np.zeros(16, dtype=np.uint8)
+        lut[:len(vals)] = vals
+        arr_d = _unpack4(jnp.asarray(packed), jnp.asarray(lut))
+    else:
+        arr_d = jnp.asarray(arr)
     return _DeviceBatch(ref_arr=ref_arr, ref_d=jnp.asarray(ref_arr),
-                        lens=lens, arr_d=jnp.asarray(arr),
+                        lens=lens, arr_d=arr_d,
                         lens_d=jnp.asarray(lens))
 
 
@@ -162,30 +190,59 @@ def _dispatch_group(db: _DeviceBatch, items, lo, width):
     for start in range(0, len(items), max_rows):
         part = items[start:start + max_rows]
         idx_d, lens = _pad_idx(db, [i for _, i in part])
-        meta_d, aligned_d = gotoh.align_rows(
-            db.ref_d, db.arr_d, db.lens_d, idx_d, lo, width, E_DIFF)
-        pending.append((part, lens, meta_d, aligned_d, lo, width))
+        meta_d = gotoh.align_rows(
+            db.ref_d, db.arr_d, db.lens_d, idx_d, lo, width, gotoh.EV_CAP)
+        pending.append((part, lens, meta_d, lo, width))
     return pending
 
 
 def _collect_group(db: _DeviceBatch, handle, out, stats, cfg):
     """Fetch one pending group's fused output buffer and emit rows;
     escalate band (synchronously — rare) for rows that escape."""
-    items, lens, meta_d, aligned_d, lo, width = handle
+    items, lens, meta_d, lo, width = handle
     ref_arr = db.ref_arr
     n = ref_arr.shape[0]
     recs = [r for r, _ in items]
-    (score, edge_min, done, walk_cost, count, pos,
-     chars) = gotoh.unpack_meta(np.asarray(meta_d), E_DIFF)
+    (score, edge_min, done, cnt, ovf, t_end, ev_i,
+     ev_t) = gotoh.unpack_meta_events(np.asarray(meta_d), gotoh.EV_CAP)
+    walk_cost = np.full(score.shape[0], -1, dtype=np.int64)
+    row_cache: dict[int, bytes] = {}
+    dense = []
+    for i in range(len(recs)):
+        if not done[i]:
+            continue                   # fails certify -> band escalation
+        if ovf[i]:
+            dense.append(i)
+            continue
+        q = np.frombuffer(recs[i].seq, dtype=np.uint8)
+        row, cost = gotoh.decode_events(q, ref_arr, int(t_end[i]), lo,
+                                        ev_i[i], ev_t[i], int(cnt[i]))
+        if row is None:
+            dense.append(i)
+        else:
+            row_cache[i] = row.tobytes()
+            walk_cost[i] = cost
+    if dense:
+        # event-capacity overflow (> EV_CAP kind changes, i.e. > 96 gap
+        # runs — pathological rows): dense per-character walk fallback
+        idx_d, _ = _pad_idx(db, [items[i][1] for i in dense])
+        meta2, aligned2 = gotoh.align_rows_dense(
+            db.ref_d, db.arr_d, db.lens_d, idx_d, lo, width, E_DIFF)
+        (_s2, _e2, _d2, wc2, count2, pos2,
+         chars2) = gotoh.unpack_meta(np.asarray(meta2), E_DIFF)
+        for k, i in enumerate(dense):
+            walk_cost[i] = wc2[k]
+            if count2[k] <= E_DIFF:
+                row = ref_arr.copy()
+                row[pos2[k, :count2[k]]] = chars2[k, :count2[k]]
+                row_cache[i] = row.tobytes()
+            else:
+                row_cache[i] = np.asarray(aligned2[k]).tobytes()
     ok, consistent, wander = gotoh.certify(
         score, edge_min, done, walk_cost, lens, n, lo, width)
 
     def row_bytes(i):
-        if count[i] <= E_DIFF:
-            row = ref_arr.copy()
-            row[pos[i, :count[i]]] = chars[i, :count[i]]
-            return row.tobytes()
-        return np.asarray(aligned_d[i]).tobytes()
+        return row_cache[i]
 
     retry = []
     for i in range(len(recs)):
@@ -236,74 +293,7 @@ def _band_levels(band: int) -> list[int]:
     return levels or [64]
 
 
-def _score_pass(db: _DeviceBatch, items, lo, width, cfg, buckets,
-                cap_rows, out=None, stats=None):
-    """Pass 1 (score-only forward): route each row to a canonical
-    pass-2 band bucket.  The banded score s_band upper-bounds the true
-    optimum s*, and any optimal path's diagonal wander is bounded by
-    s*/(2*gap_ext)+1 <= s_band/(2*gap_ext)+1 — so a zero-centred band
-    of half-width wander+|d| provably contains the global optimum (the
-    certified version of WFA-Adapt's reduction, align.c:309).  No
-    certification of s_band itself is needed here: soundness of the
-    bucket only needs an UPPER bound, and pass 2 re-verifies its own
-    optimality certificates.  s_band is always finite because the
-    structural band covers every row's end diagonal.
-
-    Additionally, edge-certified rows (s_band provably optimal and
-    strictly inside this band — the wander bound is loose for
-    mismatch-heavy rows, whose N mismatches inflate s* but do not move
-    diagonals) may use this band's extent instead, whichever is
-    smaller.  Rows needing more than the largest canonical band go to
-    `cap_rows` for _align_group's accept/skip handling at the cap.
-    """
-    ref_arr = db.ref_arr
-    n = ref_arr.shape[0]
-    recs = [r for r, _ in items]
-    idx_d, lens = _pad_idx(db, [i for _, i in items])
-    B = len(recs)
-    # one dispatch + one transfer
-    both = np.asarray(gotoh.score_rows(db.ref_d, db.arr_d, db.lens_d,
-                                       idx_d, lo, width))
-    score = both[:B, 0].astype(np.int64)
-    edge_min = both[:B, 1].astype(np.int64)
-    d = lens[:B].astype(np.int64) - n
-    e2 = 2 * gotoh.GAP_EXT
-    wander = score // e2 + 1
-    edge_cert = score < edge_min + e2
-
-    # diagonal fast path: a same-length row whose certified optimum
-    # equals the gap-free (all-M) path's cost can emit the query bytes
-    # directly — the diagonal path IS an optimal alignment — skipping
-    # pass 2's DP, traceback and device->host transfer entirely.  For
-    # SNP-only genomes (the common case in reference-based viral
-    # alignment) this short-circuits everything after pass 1.
-    diag_done = np.zeros(B, dtype=bool)
-    if out is not None:
-        for i in range(B):
-            if d[i] != 0 or not edge_cert[i] or score[i] >= (1 << 27):
-                continue
-            q = np.frombuffer(recs[i].seq, dtype=np.uint8)
-            h0 = gotoh.MISMATCH * int(np.count_nonzero(q != ref_arr))
-            if h0 == score[i]:
-                out[id(recs[i])] = recs[i].seq
-                diag_done[i] = True
-        if stats is not None:
-            stats.n_diag += int(diag_done.sum())
-
-    levels = _band_levels(cfg.band)
-    need = wander + np.abs(d)
-    h_band = max(-(lo + 1), lo + width - 2)
-    need = np.where(edge_cert & (score < (1 << 27)),
-                    np.minimum(need, h_band), need)
-    for i in range(B):
-        if diag_done[i]:
-            continue
-        for h in levels:
-            if need[i] <= h:
-                buckets.setdefault(h, []).append(items[i])
-                break
-        else:
-            cap_rows.append(items[i])
+ROUTE_MARGIN = 16   # extra half-band beyond |len offset| when routing
 
 
 def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
@@ -320,8 +310,7 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
 
     writer = None
     if not cfg.to_stdout:
-        writer = FastaWriter(cfg.prefix + ".aln.xz", preset=1,
-                             threaded=True)
+        writer = ParallelXzFastaWriter(cfg.prefix + ".aln.xz", preset=1)
         log(f"Sequences will be compressed and saved into file "
             f"{writer.path}.")
 
@@ -333,30 +322,44 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
             return
         out: dict[int, bytes] = {}
         db = _make_device_batch(ref_arr, batch)   # single H2D upload
-        # bucket by length offset so pass-1 bands stay narrow
-        groups: dict[int, list] = {}
-        for bi, r in enumerate(batch):
-            groups.setdefault((len(r.seq) - n) // 64, []).append((r, bi))
+        # Route each row to a canonical zero-centred band bucket from
+        # its length offset ALONE — no device score pass.  certify in
+        # _collect_group is the soundness gate: a row whose optimum
+        # wanders beyond its routed band fails its certificate and
+        # escalates (x4 width), so routing is purely a performance
+        # guess.  The previous score-based router paid a second full
+        # DP forward every flush to avoid escalations that, on real
+        # genomes (small indels, SNPs), almost never happen — the
+        # extra pass cost more than it saved (measured: 0.21s of a
+        # 0.58s 256-row flush).
+        levels = _band_levels(cfg.band)
         buckets: dict[int, list] = {}
         cap_rows: list = []
-        for items in groups.values():
-            lo, width = _choose_band(n, [len(r.seq) for r, _ in items],
-                                     cfg.slack)
-            if len(items) <= 4 or width >= cfg.band:
-                # tiny group / structurally capped: skip the score pass
-                _align_group(db, items, lo, width, out, stats, cfg)
+        for bi, r in enumerate(batch):
+            d = abs(len(r.seq) - n)
+            for h in levels:
+                if d + ROUTE_MARGIN <= h:
+                    buckets.setdefault(h, []).append((r, bi))
+                    break
             else:
-                _score_pass(db, items, lo, width, cfg, buckets,
-                            cap_rows, out=out, stats=stats)
-        # pass 2: canonical zero-centred bands, shared across groups;
+                cap_rows.append((r, bi))
         # dispatch ALL buckets first (async), then fetch — device
         # compute overlaps the per-group transfer latency
-        if cap_rows:
-            buckets.setdefault(max(_band_levels(cfg.band)),
-                               []).extend(cap_rows)
         pending = []
         for h, bitems in sorted(buckets.items()):
             pending += _dispatch_group(db, bitems, -h, 2 * h + 1)
+        # rows whose length offset exceeds every canonical band get a
+        # structural band covering their end diagonals (grouped by
+        # offset so mixed groups don't inflate W); certify's
+        # accept-uncertified/skip handling applies at the cap
+        cap_groups: dict[int, list] = {}
+        for r, bi in cap_rows:
+            cap_groups.setdefault((len(r.seq) - n) // 256,
+                                  []).append((r, bi))
+        for items in cap_groups.values():
+            lo, width = _choose_band(n, [len(r.seq) for r, _ in items],
+                                     cfg.slack)
+            pending += _dispatch_group(db, items, lo, width)
         for handle in pending:
             _collect_group(db, handle, out, stats, cfg)
         for r in batch:

@@ -133,3 +133,72 @@ class FastaWriter:
 
     def __exit__(self, *exc):
         self.close()
+
+
+class ParallelXzFastaWriter:
+    """FASTA writer that compresses record chunks as independent xz
+    streams on a thread pool and concatenates them in order.
+
+    ``LZMACompressor`` releases the GIL, so ~1MB chunks compressed on
+    a few worker threads give near-linear speedup of the xz drain that
+    otherwise serialises after the last batch (measured: 0.44s of a
+    0.93s 256-genome align run was the single-threaded xz close).
+    Concatenated xz streams are exactly what the checkpoint append
+    path already writes (compress.open_write); every xz reader accepts
+    them.
+    """
+
+    def __init__(self, path: str | Path, preset: int = 1,
+                 chunk: int = 1 << 20, workers: int | None = None):
+        import concurrent.futures as cf
+        import os
+        self.path = str(path)
+        if not self.path.endswith(".xz"):
+            raise ValueError("ParallelXzFastaWriter requires a .xz path")
+        self._fh = open(self.path, "wb")
+        self.n_written = 0
+        self._buf: list[bytes] = []
+        self._sz = 0
+        self._chunk = chunk
+        self._preset = preset
+        self._workers = workers or min(8, os.cpu_count() or 4)
+        self._pool = cf.ThreadPoolExecutor(max_workers=self._workers)
+        from collections import deque
+        self._futs = deque()
+
+    def _submit(self) -> None:
+        import lzma
+        data = b"".join(self._buf)
+        self._buf = []
+        self._sz = 0
+        self._futs.append(self._pool.submit(
+            lzma.compress, data, format=lzma.FORMAT_XZ,
+            preset=self._preset))
+
+    def _drain(self, block: bool) -> None:
+        while self._futs and (block or self._futs[0].done()):
+            self._fh.write(self._futs.popleft().result())
+
+    def write(self, name: str, seq: bytes | str) -> None:
+        if isinstance(seq, str):
+            seq = seq.encode("ascii")
+        self._buf.append(b">" + name.encode("utf-8") + b"\n" + seq + b"\n")
+        self._sz += len(self._buf[-1])
+        self.n_written += 1
+        if self._sz >= self._chunk:
+            self._submit()
+            # bound in-flight chunks so memory stays ~workers x chunk
+            self._drain(block=len(self._futs) > 2 * self._workers)
+
+    def close(self) -> None:
+        if self._buf:
+            self._submit()
+        self._drain(block=True)
+        self._pool.shutdown()
+        self._fh.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -366,6 +366,200 @@ def gotoh_traceback(tb: jnp.ndarray, ref: jnp.ndarray, q: jnp.ndarray,
     return out[:, :n], done, edge, cost
 
 
+EV_CAP = 192     # default event-checkpoint capacity per row
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def gotoh_traceback_events(tb: jnp.ndarray, t_end: jnp.ndarray, lo: int,
+                           n: int, K: int):
+    """Event-list traceback: O(#gap runs) instead of O(path length).
+
+    The dense walk (gotoh_traceback) is element-throughput-bound on
+    TPU: it scatters every output character and gathers query/ref
+    bytes for cost accounting — ~30k scattered+gathered elements per
+    row regardless of how many rows an iteration retires (measured:
+    walk time is INVARIANT in the M-run batch size R because per-
+    iteration work grows as iterations shrink).  This walk removes all
+    of that: it records only the (i, t) checkpoints where the move
+    kind (M / X / Y) CHANGES — mismatches are M-kind, so checkpoints
+    occur only at gap-run boundaries, a handful per genome — and the
+    host rebuilds the row from the query bytes it already holds
+    (decode_events), validating the path cost there.
+
+    Pure-diagonal stretches are skipped hierarchically: one fused pass
+    over tb precomputes per-256-row and per-4096-row "all cells are
+    M-source at this slot" flags, so an iteration can retire a whole
+    block (the path cannot leave slot t inside an all-M block); a
+    32-byte line probe handles partial blocks.  A SNP-only 30kb genome
+    walks in ~15 iterations instead of ~30 000 single steps.
+
+    Returns (ev_i (B,K) int32, ev_t (B,K) int32, cnt (B,) int32,
+    done (B,) bool, edge (B,) bool, overflow (B,) bool).  Rows with
+    overflow=True exceeded K checkpoints and must be re-walked densely.
+    """
+    _, B, W = tb.shape
+    bidx = jnp.arange(B, dtype=jnp.int32)
+
+    # hierarchical all-M(-source) flags; partial tail blocks reduced
+    # separately so no padded intermediate materialises
+    BL1 = 256
+    BL2 = BL1 * 16
+    full1 = n // BL1
+    parts = []
+    if full1:
+        parts.append(((tb[:full1 * BL1] & 3) == 0)
+                     .reshape(full1, BL1, B, W).all(axis=1))
+    if full1 * BL1 < n:
+        parts.append(((tb[full1 * BL1:] & 3) == 0).all(axis=0)[None])
+    allM1 = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    n1 = allM1.shape[0]
+    full2 = n1 // 16
+    parts = []
+    if full2:
+        parts.append(allM1[:full2 * 16].reshape(full2, 16, B, W)
+                     .all(axis=1))
+    if full2 * 16 < n1:
+        parts.append(allM1[full2 * 16:].all(axis=0)[None])
+    allM2 = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+    n2 = allM2.shape[0]
+
+    tb_flat = tb.reshape(-1)
+    R = 32
+    karr = jnp.arange(R, dtype=jnp.int32)
+
+    i0 = jnp.full((B,), n, dtype=jnp.int32)
+    cur0 = tb[jnp.clip(i0 - 1, 0, n - 1), bidx,
+              jnp.clip(t_end, 0, W - 1)]
+    mat0 = (cur0 & 3).astype(jnp.int32)
+
+    def body(carry):
+        k, i, t, mat, cur, kprev, cnt, ev_i, ev_t, edge, ovf = carry
+        j = i + t + lo
+        active = (i > 0) | (j > 0)
+        lead_y = active & (i == 0)
+        col0_x = active & (i > 0) & (j == 0)
+        is_m = active & ~lead_y & ~col0_x & (mat == 0)
+        is_x = (active & ~lead_y & ~col0_x & (mat == 1)) | col0_x
+        is_y = (active & ~lead_y & (mat == 2)) | lead_y
+        kind = jnp.where(is_m, 0, jnp.where(is_x, 1, 2))
+
+        rec = active & (kprev >= 0) & (kind != kprev)
+        pos = jnp.where(rec & (cnt < K), cnt, K)       # K -> dropped
+        ev_i = ev_i.at[bidx, pos].set(i, mode="drop")
+        ev_t = ev_t.at[bidx, pos].set(t, mode="drop")
+        ovf = ovf | (rec & (cnt >= K))
+        cnt = cnt + rec.astype(jnp.int32)
+        kprev = jnp.where(active, kind, kprev)
+        edge = edge | (active & (i > 0) & ((t <= 0) | (t >= W - 1)))
+
+        # ---- M-skip path: retire the longest provable diagonal run
+        tcl = jnp.clip(t, 0, W - 1)
+        r_top = i - 1                          # topmost tb row consumed
+        blk1 = jnp.clip(r_top // BL1, 0, n1 - 1)
+        blk2 = jnp.clip(r_top // BL2, 0, n2 - 1)
+        cand1 = jnp.where(allM1[blk1, bidx, tcl], blk1 * BL1, i)
+        cand2 = jnp.where(allM2[blk2, bidx, tcl], blk2 * BL2, i)
+        rowidx = r_top[:, None] - karr[None, :]
+        flat = (jnp.clip(rowidx, 0, n - 1) * (B * W)
+                + (bidx * W + tcl)[:, None])
+        v = tb_flat[flat]
+        okk = (rowidx >= 0) & ((v & 3) == 0)
+        runlen = jnp.cumprod(okk.astype(jnp.int32), axis=1).sum(axis=1)
+        candR = i - runlen
+        i2 = jnp.minimum(jnp.minimum(cand1, cand2), candR)
+        i2 = jnp.maximum(i2, jnp.maximum(0, -t - lo))  # keep j2 >= 0
+        cur2 = tb_flat[jnp.clip(i2 - 1, 0, n - 1) * (B * W)
+                       + bidx * W + tcl]
+        mat2 = (cur2 & 3).astype(jnp.int32)
+
+        # ---- classic single step for gap / boundary rows
+        x_ext = ((cur >> 2) & 1).astype(jnp.bool_)
+        y_ext = ((cur >> 3) & 1).astype(jnp.bool_)
+        ni_c = jnp.where(is_x, i - 1, i)
+        nt_c = jnp.where(is_x, t + 1, jnp.where(is_y, t - 1, t))
+        tgt = tb[jnp.clip(ni_c - 1, 0, n - 1), bidx,
+                 jnp.clip(nt_c, 0, W - 1)]
+        nxt = (tgt & 3).astype(jnp.int32)
+        nxt_g = ((tgt >> 4) & 1).astype(jnp.int32)
+        mat_c = jnp.where(is_x, jnp.where(x_ext, 1, nxt),
+                          jnp.where(is_y, jnp.where(y_ext, 2, nxt_g),
+                                    mat))
+
+        ni = jnp.where(is_m, i2, jnp.where(active, ni_c, i))
+        nt = jnp.where(is_m, t, jnp.where(active, nt_c, t))
+        n_mat = jnp.where(is_m, mat2, jnp.where(active, mat_c, mat))
+        n_cur = jnp.where(is_m, cur2, jnp.where(active, tgt, cur))
+        return (k + 1, ni, nt, n_mat, n_cur, kprev, cnt, ev_i, ev_t,
+                edge, ovf)
+
+    max_iters = 2 * n + 2 * W + 8    # all-single-step worst case
+
+    def cond(carry):
+        k, i, t = carry[0], carry[1], carry[2]
+        return (k < max_iters) & jnp.any((i > 0) | ((i + t + lo) > 0))
+
+    init = (jnp.int32(0), i0, t_end.astype(jnp.int32), mat0, cur0,
+            jnp.full((B,), -1, jnp.int32), jnp.zeros((B,), jnp.int32),
+            jnp.zeros((B, K), jnp.int32), jnp.zeros((B, K), jnp.int32),
+            jnp.zeros((B,), bool), jnp.zeros((B,), bool))
+    (_, i_f, t_f, _, _, _, cnt, ev_i, ev_t, edge, ovf) = \
+        jax.lax.while_loop(cond, body, init)
+    done = (i_f == 0) & ((i_f + t_f + lo) == 0)
+    return ev_i, ev_t, cnt, done, edge, ovf
+
+
+def decode_events(q: np.ndarray, ref: np.ndarray, t_end: int, lo: int,
+                  ev_i: np.ndarray, ev_t: np.ndarray, cnt: int):
+    """Host-side inverse of gotoh_traceback_events: rebuild the
+    ref-projected row and the walked path's cost from the checkpoint
+    chain.  The segment kind between consecutive checkpoints is
+    implied by the deltas (M: di>0, dt=0; X: dt=di>0; Y: di=0, dt<0).
+
+    Recomputing the cost here (mismatch count over M segments + affine
+    gap terms) and checking it against the DP score replaces the dense
+    walk's device-side cost accumulator — it validates the DECODED
+    OUTPUT end-to-end, so a corrupt traceback or decode cannot pass.
+
+    Returns (row (n,) uint8, cost int) or (None, -1) if malformed.
+    """
+    n = ref.shape[0]
+    out = np.empty(n, dtype=np.uint8)
+    i, t = n, int(t_end)
+    cost = 0
+    chain = [(int(ev_i[k]), int(ev_t[k])) for k in range(cnt)]
+    chain.append((0, -lo))
+    for i2, t2 in chain:
+        di = i - i2
+        dt = t2 - t
+        if di > 0 and dt == 0:        # M segment: rows (i2, i]
+            s = t + lo
+            if i2 + s < 0:
+                return None, -1
+            seg = q[i2 + s: i + s]
+            if seg.shape[0] != di:
+                return None, -1
+            out[i2:i] = seg
+            cost += MISMATCH * int(np.count_nonzero(seg != ref[i2:i]))
+        elif di > 0 and dt == di:     # X (deletion) run
+            out[i2:i] = ord("-")
+            cost += GAP_OPEN + GAP_EXT * di
+        elif di == 0 and dt < 0:      # Y (insertion) run
+            cost += GAP_OPEN + GAP_EXT * (-dt)
+        else:
+            return None, -1
+        i, t = i2, t2
+    return out, cost
+
+
+def unpack_meta_events(meta: np.ndarray, K: int):
+    """Host-side split of the events align_rows meta buffer:
+    (score, edge_min, done, cnt, overflow, t_end, ev_i (B,K),
+    ev_t (B,K))."""
+    return (meta[:, 0], meta[:, 1], meta[:, 2].astype(bool),
+            meta[:, 3], meta[:, 4].astype(bool), meta[:, 5],
+            meta[:, 6:6 + K], meta[:, 6 + K:6 + 2 * K])
+
+
 def certify(score, edge_min, done, walk_cost, qlens, n, lo, width):
     """Host-side optimality certificates for a banded result.
 
@@ -451,16 +645,44 @@ def unpack_meta(meta: np.ndarray, E: int):
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
-def align_rows(ref, arr_all, lens_all, idx, lo: int, width: int, E: int):
-    """One-dispatch group aligner: device-side row gather + forward +
-    traceback + fused output packing.  A single jit call per group
-    matters on remote-attached transports where every dispatch pays a
-    round trip.  Returns (meta, aligned) — fetch meta (small, single
-    buffer); `aligned` stays on device for dense fallback rows.
+def align_rows(ref, arr_all, lens_all, idx, lo: int, width: int, K: int):
+    """One-dispatch group aligner (events form): device-side row gather
+    + forward + event-list traceback, fused into a single int32 meta
+    buffer (B, 6+2K): [score, edge_min, done, cnt, overflow, t_end,
+    ev_i (K), ev_t (K)].  One jit call and ONE small device->host
+    transfer per group; the host rebuilds rows from the query bytes it
+    already holds (decode_events).  Rows with overflow=True need the
+    dense fallback (align_rows_dense).
 
     On TPU the forward runs as the Pallas row-loop kernel
     (ops/pallas_gotoh.py) — bit-identical walks; tb bytes can differ
     only at invalid cells no path reaches."""
+    arr = jnp.take(arr_all, idx, axis=0)
+    lens = jnp.take(lens_all, idx, axis=0)
+    if jax.default_backend() == "tpu":
+        from . import pallas_gotoh
+        tb, score, t_end, edge_min = pallas_gotoh.gotoh_forward_pallas(
+            ref, arr, lens, lo, width)
+    else:
+        tb, score, t_end, edge_min = gotoh_forward(ref, arr, lens, lo,
+                                                   width)
+    ev_i, ev_t, cnt, done, edge, ovf = gotoh_traceback_events(
+        tb, t_end, lo, ref.shape[0], K)
+    i32 = lambda a: a.astype(jnp.int32)[:, None]
+    meta = jnp.concatenate(
+        [i32(score), i32(edge_min), i32(done), i32(cnt), i32(ovf),
+         i32(t_end), ev_i, ev_t], axis=1)
+    return meta
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def align_rows_dense(ref, arr_all, lens_all, idx, lo: int, width: int,
+                     E: int):
+    """Dense-walk group aligner: forward + per-character traceback +
+    fused output packing.  Slower than align_rows (element-throughput-
+    bound walk) — kept as the fallback for event-capacity overflow
+    rows.  Returns (meta, aligned): fetch meta; `aligned` stays on
+    device for dense-fetch rows (diff count > E)."""
     arr = jnp.take(arr_all, idx, axis=0)
     lens = jnp.take(lens_all, idx, axis=0)
     if jax.default_backend() == "tpu":
@@ -498,13 +720,31 @@ def score_rows(ref, arr_all, lens_all, idx, lo: int, width: int):
 
 def align_batch(ref: np.ndarray, queries: np.ndarray, qlens: np.ndarray,
                 lo: int, width: int):
-    """Host wrapper: forward + traceback.  Returns (aligned (B, n) uint8,
-    score (B,), ok (B,) — provably-optimal-and-consistent flag)."""
+    """Host wrapper: forward + event traceback + host decode.  Returns
+    (aligned (B, n) uint8, score (B,), ok (B,) — provably-optimal-and-
+    consistent flag, consistent (B,), wander (B,))."""
+    n = ref.shape[0]
     tb, score, t_end, edge_min = gotoh_forward(
         jnp.asarray(ref), jnp.asarray(queries),
         jnp.asarray(qlens, dtype=jnp.int32), lo, width)
-    aligned, done, edge, walk_cost = gotoh_traceback(
-        tb, jnp.asarray(ref), jnp.asarray(queries), t_end, lo, ref.shape[0])
-    ok, consistent, wander = certify(score, edge_min, done, walk_cost,
-                                     qlens, ref.shape[0], lo, width)
-    return np.asarray(aligned), np.asarray(score), ok, consistent, wander
+    ev_i, ev_t, cnt, done, edge, ovf = gotoh_traceback_events(
+        tb, t_end, lo, n, EV_CAP)
+    ev_i, ev_t, cnt = np.asarray(ev_i), np.asarray(ev_t), np.asarray(cnt)
+    done, ovf = np.asarray(done), np.asarray(ovf)
+    t_end = np.asarray(t_end)
+    B = queries.shape[0]
+    aligned = np.zeros((B, n), dtype=np.uint8)
+    walk_cost = np.full(B, -1, dtype=np.int64)
+    decoded = np.zeros(B, dtype=bool)
+    for b in range(B):
+        if ovf[b] or not done[b]:
+            continue
+        row, cost = decode_events(queries[b], ref, t_end[b], lo,
+                                  ev_i[b], ev_t[b], int(cnt[b]))
+        if row is not None:
+            aligned[b] = row
+            walk_cost[b] = cost
+            decoded[b] = True
+    ok, consistent, wander = certify(score, edge_min, done & decoded,
+                                     walk_cost, qlens, n, lo, width)
+    return aligned, np.asarray(score), ok, consistent, wander
