@@ -120,6 +120,74 @@ def test_hybrid_two_pass_path_vs_oracle(tmp_path, monkeypatch):
         assert score[b] == oracle_score(ref, qs[b])
 
 
+def test_parallel_xz_writer_roundtrip(tmp_path):
+    """Chunked multi-stream xz output reads back in order through both
+    read_fasta and a plain lzma reader (concatenated xz streams are
+    valid .xz files)."""
+    from uvaia_tpu.io.fasta import ParallelXzFastaWriter
+
+    path = str(tmp_path / "out.fa.xz")
+    with ParallelXzFastaWriter(path, chunk=64) as w:   # force many streams
+        for i in range(200):
+            w.write(f"s{i}", b"ACGT" * (i % 7 + 1))
+    assert w.n_written == 200
+    recs = read_fasta_all(path)
+    assert [r.name for r in recs] == [f"s{i}" for i in range(200)]
+    assert recs[3].seq == b"ACGT" * 4
+    data = lzma.open(path, "rb").read()
+    assert data.count(b">") == 200
+
+
+def test_event_overflow_dense_fallback(tmp_path, monkeypatch):
+    """Rows whose gap-run count exceeds the event-checkpoint capacity
+    must fall back to the dense per-character walk and emit rows
+    identical to the event path's."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(5)
+    n = 400
+    ref = rand_dna(rng, n)
+    with open("ref.fa", "w") as f:
+        f.write(f">r\n{ref.decode()}\n")
+    qs = []
+    for b in range(6):
+        q = bytearray(ref)
+        for p in (280, 200, 120, 50):   # 4 separate 2-base deletions
+            del q[p:p + 2]
+        q[10 + b] = b"ACGT"[(ref[10 + b] + 1) % 4]
+        qs.append(bytes(q))
+    with open("q.fa", "w") as f:
+        for i, q in enumerate(qs):
+            f.write(f">q{i}\n{q.decode()}\n")
+    stats = run_align("ref.fa", ["q.fa"], AlignConfig(output="full"))
+    assert stats.n_output == 6
+
+    from uvaia_tpu.ops import gotoh
+    monkeypatch.setattr(gotoh, "EV_CAP", 4)   # 8 gap-run events > 4
+    stats = run_align("ref.fa", ["q.fa"], AlignConfig(output="ovf"))
+    assert stats.n_output == 6
+    full = {r.name: r.seq for r in read_fasta_all("full.aln.xz")}
+    ovf = {r.name: r.seq for r in read_fasta_all("ovf.aln.xz")}
+    assert full == ovf
+    assert full["q0"].count(b"-") == 8
+
+
+def test_device_batch_4bit_pack_paths():
+    """The halved H2D upload (4-bit indices + LUT) must reproduce the
+    raw query bytes exactly; batches with >16 distinct byte values use
+    the dense upload."""
+    from uvaia_tpu.engine.align import _make_device_batch
+    from uvaia_tpu.io.fasta import FastaRecord
+
+    ref = np.frombuffer(b"ACGT" * 16, np.uint8)
+    seq16 = b"ACGTRYKMSWBDHVNA" * 4           # 15 distinct values
+    seq_many = bytes(range(65, 91)) + b"ACGTAC"  # 26 distinct values
+    for seq in (seq16, seq_many):
+        db = _make_device_batch(ref, [FastaRecord(name="x", seq=seq)])
+        got = np.asarray(db.arr_d)[0, :len(seq)]
+        np.testing.assert_array_equal(
+            got, np.frombuffer(seq, np.uint8))
+
+
 def test_uncertified_sidecar(tmp_path, monkeypatch):
     """Rows accepted without an optimality certificate are named in
     <prefix>.uncertified.txt for auditing (the reference's WFA-Adapt
