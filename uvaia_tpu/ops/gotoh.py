@@ -699,25 +699,6 @@ def align_rows_dense(ref, arr_all, lens_all, idx, lo: int, width: int,
     return meta, aligned
 
 
-@functools.partial(jax.jit, static_argnums=(4, 5))
-def score_rows(ref, arr_all, lens_all, idx, lo: int, width: int):
-    """One-dispatch score pass: device-side row gather + score-only
-    forward, outputs fused into a single (B, 2) [score, edge_min].
-
-    On TPU the forward runs as the Pallas row-loop kernel
-    (ops/pallas_gotoh.py, bit-exact, ~10x: the lax.scan formulation
-    pays per-row dispatch overhead ~100x its vector work)."""
-    arr = jnp.take(arr_all, idx, axis=0)
-    lens = jnp.take(lens_all, idx, axis=0)
-    if jax.default_backend() == "tpu":
-        from . import pallas_gotoh
-        score, edge_min = pallas_gotoh.gotoh_score_pallas(
-            ref, arr, lens, lo, width)
-    else:
-        score, edge_min = gotoh_score(ref, arr, lens, lo, width)
-    return jnp.stack([score, edge_min], axis=1)
-
-
 def align_batch(ref: np.ndarray, queries: np.ndarray, qlens: np.ndarray,
                 lo: int, width: int):
     """Host wrapper: forward + event traceback + host decode.  Returns
