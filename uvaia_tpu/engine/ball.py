@@ -35,7 +35,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.fasta import FastaWriter
+from ..io.fasta import ParallelXzFastaWriter
 from ..ops import distance as dist_ops
 from ..ops.scan import _pad_to
 from .query import build_query_pack, log
@@ -110,7 +110,10 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
 
     streamer = RefStreamer(ref_paths, L, cfg.pool,
                            ref_ambiguity=cfg.ref_ambiguity)
-    writer = FastaWriter(cfg.prefix + ".aln.xz")
+    # the kept set can be a large DB fraction (radius searches on
+    # surveillance data keep whole lineages); multi-stream xz on a
+    # thread pool keeps the writer off the streaming critical path
+    writer = ParallelXzFastaWriter(cfg.prefix + ".aln.xz", preset=1)
     t1 = time.time()
     last_print = 0
     pending = None

@@ -38,7 +38,7 @@ import numpy as np
 
 from ..core.encoding import IS_PURE, encode
 from ..io.compress import open_write
-from ..io.fasta import FastaWriter, read_fasta
+from ..io.fasta import read_fasta
 from .query import log
 
 
@@ -386,7 +386,12 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
     with open_write(cfg.prefix + ".csv.xz") as fh:
         for c in merged:
             fh.write((",".join([c.name] + c.neighbours) + "\n").encode())
-    with FastaWriter(cfg.prefix + ".aln.xz") as w:
+    # medoid sets scale with the cluster count (10^4-10^5 full genomes
+    # on surveillance data): multi-stream xz on a thread pool instead
+    # of one serial preset-6 stream
+    from ..io.fasta import ParallelXzFastaWriter
+
+    with ParallelXzFastaWriter(cfg.prefix + ".aln.xz", preset=1) as w:
         for c in merged:
             w.write(c.name, c.seq)
     log(f"Saved {len(merged)} medoids to {cfg.prefix}.aln.xz and "
