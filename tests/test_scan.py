@@ -111,25 +111,39 @@ def test_pack_unpack_roundtrip():
 # ----------------------------------------------------------------------
 # sparse-delta uploads
 
-def _delta_numpy_ref(codes, ok, base):
-    """Straight-line reference for delta_encode's output contract."""
-    B, L = codes.shape
-    diff = (codes != base[None, :]) & ok[:, None]
-    counts = diff.sum(axis=1)
-    E = next(b for b in scan.DELTA_BUCKETS if b >= counts.max())
-    pos = np.broadcast_to(
-        np.arange(L, L + E, dtype=np.uint16)[None, :], (B, E)).copy()
-    val = np.zeros((B, E), dtype=np.uint8)
-    rows, cols = np.nonzero(diff)
-    slot = np.arange(len(rows)) - np.repeat(np.cumsum(counts) - counts,
-                                            counts)
-    pos[rows, slot] = cols
-    val[rows, slot] = codes[rows, cols]
-    return pos, val
+def _delta_numpy_decode(pos, val, base):
+    """Straight-line decoder for delta_encode's output contract,
+    independent of the jax reconstruct path: paint codes 0-15, then
+    apply the zero-run markers (16 starts a zero run; 32+c ends it at
+    a site whose true code is c; no end -> run to row end)."""
+    B, E = pos.shape
+    L = base.shape[0]
+    out = np.tile(base, (B, 1))
+    for r in range(B):
+        run_from = None
+        for e in range(E):
+            p = int(pos[r, e])
+            if p >= L:
+                continue
+            v = int(val[r, e])
+            if v < 16:
+                out[r, p] = v
+            elif v < 32:
+                run_from = p
+            else:
+                out[r, run_from:p] = 0
+                out[r, p] = v - 32
+                run_from = None
+        if run_from is not None:
+            out[r, run_from:] = 0
+    return out
 
 
 @pytest.mark.parametrize("use_native", [True, False])
-def test_delta_encode_matches_reference(use_native, monkeypatch):
+def test_delta_encode_decodes_exactly(use_native, monkeypatch):
+    """Encode -> independent numpy decode == original codes, with
+    scattered diffs AND masked runs (leading, trailing, interior);
+    native and python encoders must also agree byte for byte."""
     if not use_native:
         monkeypatch.setattr(scan, "_delta_lib", lambda: None)
     elif scan._delta_lib() is None:
@@ -140,12 +154,34 @@ def test_delta_encode_matches_reference(use_native, monkeypatch):
     codes = np.tile(base, (B, 1))
     mut = rng.random((B, L)) < 0.05
     codes[mut] = rng.integers(0, 16, mut.sum()).astype(np.uint8)
+    for r in range(0, B, 3):        # masked runs, the real-data shape
+        s = int(rng.integers(0, L - 80))
+        codes[r, s:s + int(rng.integers(4, 80))] = 0
+    codes[1, :43] = 0
+    codes[2, L - 91:] = 0
     ok = np.ones(B, bool)
     ok[4] = False
     pos, val = scan.delta_encode(codes, ok, base)
-    rpos, rval = _delta_numpy_ref(codes, ok, base)
-    np.testing.assert_array_equal(pos, rpos)
-    np.testing.assert_array_equal(val, rval)
+    exp = codes.copy()
+    exp[4] = base
+    np.testing.assert_array_equal(_delta_numpy_decode(pos, val, base), exp)
+
+
+def test_delta_encode_marker_entries_pinned():
+    """The exact marker layout for a hand-built row: interior run ->
+    (s, 16) + (e, 32+code), trailing run -> start only, short runs
+    stay plain."""
+    L = 64
+    base = np.full(L, 1, np.uint8)
+    row = base.copy()
+    row[10:20] = 0                  # interior run, end code 1
+    row[25] = 4                     # scattered SNP
+    row[30:32] = 0                  # short run (2 plain zeros)
+    row[58:] = 0                    # trailing run
+    pos, val = scan.delta_encode(row[None, :], np.ones(1, bool), base)
+    got = [(int(p), int(v)) for p, v in zip(pos[0], val[0]) if p < L]
+    assert got == [(10, 16), (20, 32 + 1), (25, 4), (30, 0), (31, 0),
+                   (58, 16)]
 
 
 def test_delta_encode_overflow_returns_none():

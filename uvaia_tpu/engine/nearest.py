@@ -20,7 +20,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.fasta import FastaWriter
+from ..io.fasta import ParallelXzFastaWriter
 from ..io.compress import open_write
 from ..ops import scan
 from .query import QueryPack, build_query_pack, log
@@ -214,9 +214,12 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             raise SystemExit(
                 f"{dump_path} is smaller than the checkpoint recorded; "
                 "the dump and checkpoint no longer match")
-    writer = FastaWriter(dump_path, append=ckpt is not None,
-                     preset=1, threaded=True)  # fast xz,
-                     # compressed off-thread
+    # multi-stream xz on a thread pool: the superset dump can be
+    # thousands of full genomes (every prune survivor / candidate),
+    # and a single background lzma stream measured 9.4s of a 12.4s
+    # real-data run — the drain thread could not keep up
+    writer = ParallelXzFastaWriter(dump_path, preset=1,
+                                   append=ckpt is not None)
     t1 = time.time()
     last_print = 0
     last_ckpt = time.time()
@@ -239,8 +242,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             state_scores=state_host[0], state_idx=state_host[1],
             names=names, config_key=ckpt_key,
             dump_bytes=_os.path.getsize(dump_path)))
-        writer = FastaWriter(dump_path, append=True, preset=1,
-                             threaded=True)
+        writer = ParallelXzFastaWriter(dump_path, preset=1, append=True)
 
     def _drain(pending):
         flags, batch = pending

@@ -149,13 +149,16 @@ class ParallelXzFastaWriter:
     """
 
     def __init__(self, path: str | Path, preset: int = 1,
-                 chunk: int = 1 << 20, workers: int | None = None):
+                 chunk: int = 1 << 20, workers: int | None = None,
+                 append: bool = False):
         import concurrent.futures as cf
         import os
         self.path = str(path)
         if not self.path.endswith(".xz"):
             raise ValueError("ParallelXzFastaWriter requires a .xz path")
-        self._fh = open(self.path, "wb")
+        # append is sound by construction: every prior close() left the
+        # file as a whole number of complete xz streams
+        self._fh = open(self.path, "ab" if append else "wb")
         self.n_written = 0
         self._buf: list[bytes] = []
         self._sz = 0

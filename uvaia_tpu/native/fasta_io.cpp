@@ -339,17 +339,39 @@ long ufa_next_batch(void* handle, uint8_t* seqbuf, uint8_t* codebuf,
 // scratch (no sentinel fill here — that happens in the repack once the
 // per-batch bucket width is known).  The ctz walk over the XOR word
 // touches only differing bytes, so the scan runs at memcmp-like speed
-// over the (dominant) all-equal stretches.  Returns the max per-row
-// diff count, or -1 when a row overflows ecap.
+// over the (dominant) all-equal stretches.
+//
+// Zero-run markers: real genomes carry long masked runs (leading and
+// trailing N/'-' stretches encode to 0) that differ from the majority
+// base at thousands of sites each — as plain diffs they overflow every
+// bucket and force the 4-bit packed fallback.  A maximal run of row
+// zeros whose plain encoding would take >2 entries is emitted instead
+// as a start marker (s, 16) + end marker (e, 32 + row[e]), with the
+// device rebuild zeroing [s, e) via a cumsum unmask
+// (scan.reconstruct_delta); a run reaching the row end emits only the
+// start marker.  The rewrite is in place: markers are used only when
+// strictly shorter, so the write cursor never passes the read cursor
+// and counts can only shrink.  Returns the max per-row entry count, or
+// -1 when a row overflows ecap.
 long ufa_delta_extract(const uint8_t* codes, long nrows, long stride,
                        const uint8_t* base, const uint8_t* ok, long ecap,
                        uint16_t* pos, uint8_t* val, long* counts) {
   long maxc = 0;
   long words = stride / 8;
+  // raw diffs can reach `stride` per row (fully masked genomes) even
+  // though the rewritten form fits ecap — collect into a row-sized
+  // temp, rewrite there, and only then enforce ecap
+  uint16_t* tpos = static_cast<uint16_t*>(
+      malloc(static_cast<size_t>(stride) * sizeof(uint16_t)));
+  uint8_t* tval = static_cast<uint8_t*>(
+      malloc(static_cast<size_t>(stride)));
+  if (!tpos || !tval) {
+    free(tpos);
+    free(tval);
+    return -1;
+  }
   for (long r = 0; r < nrows; r++) {
     const uint8_t* row = codes + r * stride;
-    uint16_t* prow = pos + r * ecap;
-    uint8_t* vrow = val + r * ecap;
     long c = 0;
     if (ok == nullptr || ok[r]) {
       for (long w = 0; w < words; w++) {
@@ -360,25 +382,70 @@ long ufa_delta_extract(const uint8_t* codes, long nrows, long stride,
         long i0 = w * 8;
         while (x) {  // little-endian: ctz finds the lowest-index byte
           long bidx = __builtin_ctzll(x) >> 3;
-          if (c == ecap) return -1;
-          prow[c] = static_cast<uint16_t>(i0 + bidx);
-          vrow[c] = row[i0 + bidx];
+          tpos[c] = static_cast<uint16_t>(i0 + bidx);
+          tval[c] = row[i0 + bidx];
           c++;
           x &= ~(0xFFULL << (bidx * 8));
         }
       }
       for (long i = words * 8; i < stride; i++) {
         if (row[i] != base[i]) {
-          if (c == ecap) return -1;
-          prow[c] = static_cast<uint16_t>(i);
-          vrow[c] = row[i];
+          tpos[c] = static_cast<uint16_t>(i);
+          tval[c] = row[i];
           c++;
         }
       }
+      // in-place zero-run rewrite (see block comment)
+      long o = 0, i = 0;
+      while (i < c) {
+        if (tval[i] != 0) {
+          tpos[o] = tpos[i];
+          tval[o] = tval[i];
+          o++; i++;
+          continue;
+        }
+        long p = tpos[i];
+        long s = p, e = p + 1;
+        while (s > 0 && row[s - 1] == 0) s--;
+        while (e < stride && row[e] == 0) e++;
+        long j = i;                       // diffs inside [s, e)
+        while (j < c && tpos[j] < e) j++;
+        long j2 = j;                      // + a diff at e, if any
+        if (e < stride && j2 < c && tpos[j2] == e) j2++;
+        long mcost = (e < stride) ? 2 : 1;
+        if (j2 - i > mcost) {
+          tpos[o] = static_cast<uint16_t>(s);
+          tval[o] = 16;                   // run start
+          o++;
+          if (e < stride) {
+            tpos[o] = static_cast<uint16_t>(e);
+            tval[o] = static_cast<uint8_t>(32 + row[e]);  // run end
+            o++;
+          }
+          i = j2;
+        } else {
+          for (long k = i; k < j; k++) {  // short run: plain zeros
+            tpos[o] = tpos[k];
+            tval[o] = 0;
+            o++;
+          }
+          i = j;
+        }
+      }
+      c = o;
+      if (c > ecap) {
+        free(tpos);
+        free(tval);
+        return -1;
+      }
+      memcpy(pos + r * ecap, tpos, static_cast<size_t>(c) * 2);
+      memcpy(val + r * ecap, tval, static_cast<size_t>(c));
     }
     counts[r] = c;
     if (c > maxc) maxc = c;
   }
+  free(tpos);
+  free(tval);
   return maxc;
 }
 

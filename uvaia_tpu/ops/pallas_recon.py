@@ -9,12 +9,14 @@ wrong results on this backend at batch scale.
 
 This kernel is the TPU-native scatter: factorise each site index
 p = hi*128 + lo, build per-row one-hot factors
-  A[h, e] = (value[e] + 16) if hi[e] == h else 0      (HI, E)
+  A[h, e] = (value[e] + 64) if hi[e] == h else 0      (HI, E)
   B[l, e] = 1 if lo[e] == l else 0                    (128, E)
 and paint the whole (HI, 128) row image with ONE int8 MXU matmul
-X = A @ B^T: a cell gets value+16 where a diff lands (site uniqueness
+X = A @ B^T: a cell gets value+64 where a diff lands (site uniqueness
 per row makes sums collision-free) and 0 elsewhere, so
-  image = where(X >= 16, X - 16, base).
+  image = where(X >= 64, X - 64, base).
+Values are 6-bit: codes 0-15 plus the zero-run markers 16-47 that
+scan.reconstruct_delta decodes in its unmask pass.
 Sentinel-padded slots carry pos >= L with value 0: they either fall
 past the padded image (hi >= HI, dropped by the one-hot) or write 0
 into padding cells the caller slices off — both harmless.
@@ -40,14 +42,14 @@ def _kernel(hi_max, rb, keys_ref, base_ref, out_ref):
     iota_lo = jax.lax.broadcasted_iota(jnp.int32, (128, E), 0)
     for r in range(rb):                               # static unroll
         k2 = keys_ref[pl.ds(r, 1), :]                 # (1, E) int32
-        hi2 = k2 >> 11                                # pos >> 7
-        lo2 = (k2 >> 4) & 127
-        v16 = (k2 & 15) + 16
-        a = jnp.where(iota_hi == hi2, v16, 0).astype(jnp.int8)
-        b = (iota_lo == lo2).astype(jnp.int8)
+        hi2 = k2 >> 13                                # pos >> 7
+        lo2 = (k2 >> 6) & 127
+        v64 = (k2 & 63) + 64       # 6-bit values: codes 0-15 + the
+        a = jnp.where(iota_hi == hi2, v64, 0).astype(jnp.int8)  # run
+        b = (iota_lo == lo2).astype(jnp.int8)         # markers 16-47
         x = jax.lax.dot_general(a, b, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.int32)
-        img = jnp.where(x >= 16, x - 16, base)
+        img = jnp.where(x >= 64, x - 64, base)
         out_ref[pl.ds(r * hi_max, hi_max), :] = img.astype(jnp.uint8)
 
 
@@ -60,7 +62,9 @@ def reconstruct_image(pos: jnp.ndarray, val: jnp.ndarray,
     """(B, out_width) uint8 codes from per-row sorted unique diffs.
 
     pos (B, E) integer site positions (>= n_sites means padding),
-    val (B, E) uint8 codes (0 at padding), base (n_sites,) uint8.
+    val (B, E) uint8 codes 0-15 or zero-run markers 16-47 (0 at
+    padding; marker decode happens in scan.reconstruct_delta's unmask
+    pass — this kernel just paints values), base (n_sites,) uint8.
     out_width defaults to n_sites; columns past n_sites are zero, so
     asking for the natural 128-padded width avoids a slice copy.
     """
@@ -69,7 +73,7 @@ def reconstruct_image(pos: jnp.ndarray, val: jnp.ndarray,
     l_pad = hi_max * 128
     w = n_sites if out_width is None else out_width
     rb = 8 if B % 8 == 0 else 1
-    keys = (pos.astype(jnp.int32) << 4) | val.astype(jnp.int32)
+    keys = (pos.astype(jnp.int32) << 6) | val.astype(jnp.int32)
     base_pad = jnp.pad(base, (0, l_pad - n_sites)).reshape(hi_max, 128)
     img = pl.pallas_call(
         functools.partial(_kernel, hi_max, rb),

@@ -610,16 +610,56 @@ def _delta_lib():
 _delta_tls = threading.local()
 
 
+def _rle_rewrite(row: np.ndarray, p: np.ndarray, v: np.ndarray):
+    """Python mirror of the C encoder's in-place zero-run rewrite
+    (fasta_io.cpp ufa_delta_extract): maximal runs of row zeros whose
+    plain encoding takes >2 entries become (s, 16) + (e, 32 + row[e])
+    markers (start only when the run reaches the row end).  Keeps the
+    no-native path's output identical to the native one."""
+    L = row.shape[0]
+    op, ov = [], []
+    i, c = 0, len(p)
+    while i < c:
+        if v[i] != 0:
+            op.append(p[i]); ov.append(v[i]); i += 1
+            continue
+        s = e = int(p[i])
+        while s > 0 and row[s - 1] == 0:
+            s -= 1
+        e += 1
+        while e < L and row[e] == 0:
+            e += 1
+        j = i
+        while j < c and p[j] < e:
+            j += 1
+        j2 = j + (1 if e < L and j < c and p[j] == e else 0)
+        mcost = 2 if e < L else 1
+        if j2 - i > mcost:
+            op.append(s); ov.append(16)
+            if e < L:
+                op.append(e); ov.append(32 + int(row[e]))
+            i = j2
+        else:
+            for k in range(i, j):
+                op.append(p[k]); ov.append(0)
+            i = j
+    return op, ov
+
+
 def delta_encode(codes: np.ndarray, ok: np.ndarray, base: np.ndarray):
     """Host-side: diff (B, L) uint8 rows against `base`.
 
     Returns (pos (B, E) uint16, val (B, E) uint8) with E the smallest
     bucket holding the fattest row, or None when a row exceeds the
     largest bucket (caller falls back to the 4-bit packed upload —
-    beyond ~L/8 diffs the delta stops paying).  Padding slots carry
-    pos = L + slot so the device-side rebuild drops them (unique,
-    ascending, out of range).  Rows with ok=False encode as empty
-    (their scores are masked downstream).
+    beyond ~L/8 diffs the delta stops paying).  Long masked runs
+    (N/'-' stretches encoding to 0 — the dominant diff source in real
+    genomes, median ~3k sites/row on the bundled data) compress to
+    start/end markers (val 16-47, see _rle_rewrite) instead of
+    per-site entries, which is what keeps real data on the delta path
+    at all.  Padding slots carry pos = L + slot so the device-side
+    rebuild drops them (unique, ascending, out of range).  Rows with
+    ok=False encode as empty (their scores are masked downstream).
 
     The diff scan runs in the native library when available (a numpy
     nonzero over (B, L) costs ~0.7s/batch — 25x the C++ XOR scan)."""
@@ -661,8 +701,15 @@ def delta_encode(codes: np.ndarray, ok: np.ndarray, base: np.ndarray):
     diff = codes != base[None, :]
     if not ok.all():
         diff &= ok[:, None]
-    counts = diff.sum(axis=1)
-    top = int(counts.max()) if B else 0
+    rewritten = []
+    top = 0
+    for r in range(B):
+        cols = np.nonzero(diff[r])[0]
+        op, ov = _rle_rewrite(codes[r], cols, codes[r, cols])
+        if len(op) > DELTA_BUCKETS[-1]:
+            return None
+        rewritten.append((op, ov))
+        top = max(top, len(op))
     E = next((b for b in DELTA_BUCKETS if b >= top), None)
     if E is None:
         return None
@@ -670,12 +717,25 @@ def delta_encode(codes: np.ndarray, ok: np.ndarray, base: np.ndarray):
     pos = np.broadcast_to(
         np.arange(L, L + E, dtype=pdt)[None, :], (B, E)).copy()
     val = np.zeros((B, E), dtype=np.uint8)
-    rows, cols = np.nonzero(diff)
-    slot = np.arange(len(rows)) - np.repeat(np.cumsum(counts) - counts,
-                                            counts)
-    pos[rows, slot] = cols
-    val[rows, slot] = codes[rows, cols]
+    for r, (op, ov) in enumerate(rewritten):
+        pos[r, :len(op)] = op
+        val[r, :len(ov)] = ov
     return pos, val
+
+
+def _unmask_runs(img: jnp.ndarray) -> jnp.ndarray:
+    """Decode zero-run markers painted into a reconstructed image:
+    value 16 starts a run of zeros, 32+code ends it (carrying the true
+    code of the first site after the run).  A cumsum along sites turns
+    the start/end deltas into an inside-run mask; a run with no end
+    marker extends to the row end (trailing masked tails)."""
+    v = img.astype(jnp.int32)
+    s_m = (v >= 16) & (v < 32)
+    e_m = v >= 32
+    inside = jnp.cumsum(s_m.astype(jnp.int32) - e_m.astype(jnp.int32),
+                        axis=1) > 0
+    out = jnp.where(e_m, v - 32, jnp.where(s_m, 0, v))
+    return jnp.where(inside, 0, out).astype(jnp.uint8)
 
 
 def reconstruct_delta(base: jnp.ndarray, pos: jnp.ndarray,
@@ -687,7 +747,12 @@ def reconstruct_delta(base: jnp.ndarray, pos: jnp.ndarray,
     On TPU the rebuild runs as a one-hot-factorised MXU matmul (see
     ops/pallas_recon.py) — XLA scatter at this scale is ~100x slower
     on TPU and miscompiles at batch size (drops updates; measured on
-    v5e).  Elsewhere a plain scatter is used."""
+    v5e).  Elsewhere a plain scatter is used.
+
+    Zero-run markers (val 16-47, emitted for real genomes' masked
+    N/'-' stretches) are decoded by a cumsum unmask pass, gated by a
+    runtime cond so marker-free uploads (synthetic or clean data) pay
+    nothing beyond the val inspection."""
     w = int(base.shape[0]) if width is None else width
     if jax.default_backend() == "tpu":
         from . import pallas_recon
@@ -696,15 +761,20 @@ def reconstruct_delta(base: jnp.ndarray, pos: jnp.ndarray,
             # rebuild straight at the target width: base padding is
             # 30KB, vs re-padding the 122MB image afterwards
             base_w = jnp.pad(base, (0, w - L))
-            return pallas_recon.reconstruct_image(pos, val, base_w, w)
-        return pallas_recon.reconstruct_image(pos, val, base, L,
-                                              out_width=w)
-    B, E = pos.shape
-    codes = jnp.broadcast_to(base[None, :], (B, base.shape[0]))
-    rows = jax.lax.broadcasted_iota(jnp.int32, (B, E), 0)
-    out = codes.at[rows, pos.astype(jnp.int32)].set(
-        val, mode="drop", unique_indices=True, indices_are_sorted=True)
-    return _to_width(out, w)
+            img = pallas_recon.reconstruct_image(pos, val, base_w, w)
+        else:
+            img = pallas_recon.reconstruct_image(pos, val, base, L,
+                                                 out_width=w)
+    else:
+        B, E = pos.shape
+        codes = jnp.broadcast_to(base[None, :], (B, base.shape[0]))
+        rows = jax.lax.broadcasted_iota(jnp.int32, (B, E), 0)
+        img = _to_width(
+            codes.at[rows, pos.astype(jnp.int32)].set(
+                val, mode="drop", unique_indices=True,
+                indices_are_sorted=True), w)
+    return jax.lax.cond(jnp.any(val >= 16), _unmask_runs,
+                        lambda x: x, img)
 
 
 @functools.partial(jax.jit, donate_argnums=1)
