@@ -118,7 +118,7 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix=""):
           f"(L={L} Q={Q} B={B} K={K}, W={int(qd.q_full.shape[1])}, "
           f"device={jax.devices()[0]})", file=sys.stderr)
 
-    # device-resident kernel rate (the compute ceiling).  Best of 3
+    # device-resident kernel rate (the compute ceiling).  Best of 5
     # timed repeats: the dev TPU sits behind a shared remote tunnel
     # whose latency varies minute-to-minute (h2d probes range 30-70
     # MB/s across sessions), and a transient stall inside the one
@@ -343,7 +343,7 @@ def orchestrate():
         sections.append("realdata")
     if os.environ.get("BENCH_SCALE", "1") != "0":
         sections.append("scale")
-    timeouts = {"scan": 1800, "q1000": 1200, "align": 900,
+    timeouts = {"scan": 1800, "q1000": 1800, "align": 900,
                 "realdata": 1500, "scale": 2700}
 
     results: dict = {}

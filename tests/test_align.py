@@ -179,13 +179,18 @@ def test_device_batch_4bit_pack_paths():
     from uvaia_tpu.io.fasta import FastaRecord
 
     ref = np.frombuffer(b"ACGT" * 16, np.uint8)
-    seq16 = b"ACGTRYKMSWBDHVNA" * 4           # 15 distinct values
+    seq15 = b"ACGTRYKMSWBDHVNA" * 4            # 15 distinct values
+    # full 16-letter alphabet + a SHORTER second row, so the padding
+    # byte 0 must alias into the LUT without burning a slot
+    seq16 = b"ACGTRYKMSWBDHVNU" * 4
     seq_many = bytes(range(65, 91)) + b"ACGTAC"  # 26 distinct values
-    for seq in (seq16, seq_many):
-        db = _make_device_batch(ref, [FastaRecord(name="x", seq=seq)])
-        got = np.asarray(db.arr_d)[0, :len(seq)]
-        np.testing.assert_array_equal(
-            got, np.frombuffer(seq, np.uint8))
+    for seqs in ([seq15], [seq16, b"ACGT" * 8], [seq_many]):
+        recs = [FastaRecord(name=f"x{i}", seq=s)
+                for i, s in enumerate(seqs)]
+        db = _make_device_batch(ref, recs)
+        for i, s in enumerate(seqs):
+            got = np.asarray(db.arr_d)[i, :len(s)]
+            np.testing.assert_array_equal(got, np.frombuffer(s, np.uint8))
 
 
 def test_uncertified_sidecar(tmp_path, monkeypatch):

@@ -149,8 +149,12 @@ def _make_device_batch(ref_arr, recs) -> _DeviceBatch:
     # halving the upload
     present = np.zeros(256, dtype=bool)
     present[arr.reshape(-1)] = True
+    # byte 0 appears only as row padding (FASTA bytes are ASCII
+    # letters) and the DP masks past each row's length, so it need
+    # not burn one of the 16 LUT slots: it aliases to vals[0]
+    present[0] = False
     vals = np.nonzero(present)[0].astype(np.uint8)
-    if len(vals) <= 16:
+    if 0 < len(vals) <= 16:
         table = np.zeros(256, dtype=np.uint8)
         table[vals] = np.arange(len(vals), dtype=np.uint8)
         idx = table[arr]

@@ -190,8 +190,12 @@ class ParallelXzFastaWriter:
         self.n_written += 1
         if self._sz >= self._chunk:
             self._submit()
-            # bound in-flight chunks so memory stays ~workers x chunk
-            self._drain(block=len(self._futs) > 2 * self._workers)
+            # bound in-flight chunks so memory stays ~workers x chunk;
+            # block on the OLDEST future only — draining the whole
+            # queue would stall the producer for a full pipeline depth
+            while len(self._futs) > 2 * self._workers:
+                self._fh.write(self._futs.popleft().result())
+            self._drain(block=False)
 
     def close(self) -> None:
         if self._buf:

@@ -726,6 +726,18 @@ def align_batch(ref: np.ndarray, queries: np.ndarray, qlens: np.ndarray,
             aligned[b] = row
             walk_cost[b] = cost
             decoded[b] = True
+    fallback = np.asarray(done) & ~decoded
+    if fallback.any():
+        # event-capacity overflow / decode failure: dense per-character
+        # walk for those rows (same fallback _collect_group uses)
+        al_d, done_d, _edge, wc_d = gotoh_traceback(
+            tb, jnp.asarray(ref), jnp.asarray(queries), t_end, lo, n)
+        al_d, done_d, wc_d = (np.asarray(al_d), np.asarray(done_d),
+                              np.asarray(wc_d))
+        for b in np.nonzero(fallback & done_d)[0]:
+            aligned[b] = al_d[b, :n]
+            walk_cost[b] = wc_d[b]
+            decoded[b] = True
     ok, consistent, wander = certify(score, edge_min, done & decoded,
                                      walk_cost, qlens, n, lo, width)
     return aligned, np.asarray(score), ok, consistent, wander
