@@ -129,6 +129,9 @@ def _add_legacy(sub):
     p.add_argument("-r", "--reference", required=True)
     p.add_argument("fasta")
     p.add_argument("-o", "--output", default=None)
+    p.add_argument("-t", "--nthreads", type=int, default=None,
+                   help="accepted for compatibility (uvaia.c:43; "
+                   "device-parallel here)")
     return p
 
 
