@@ -51,7 +51,8 @@ class NearestConfig:
     checkpoint: str | None = None    # snapshot path (resume if it exists)
     checkpoint_every: float = 60.0   # seconds between snapshots
     prune: bool = True               # two-phase upper-bound prefilter
-                                     # (exact; single-device path only)
+                                     # (exact; single-device AND
+                                     # sharded paths)
 
     def clamp(self) -> "NearestConfig":
         self.query_ambiguity = min(max(self.query_ambiguity, 0.001), 1.0)
@@ -117,8 +118,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
     t0 = time.time()
     pack = build_query_pack(query_path, trim=cfg.trim, acgt=cfg.acgt,
                             ambiguity=cfg.query_ambiguity,
-                            keep_resolved=cfg.keep_resolved if
-                            cfg.keep_resolved else None)
+                            keep_resolved=cfg.keep_resolved)
     log(f"Prepared {pack.n_query} query sequences in "
         f"{time.time()-t0:.2f}s; scanning with top-k={cfg.nbest}, "
         f"batch={cfg.pool}")
@@ -132,43 +132,55 @@ def _run_nearest(ref_paths: list[str], query_path: str,
     sharded = bool(cfg.n_devices and cfg.n_devices > 1)
     if sharded:
         from ..parallel.mesh import make_mesh, make_sharded_scan_step
+        if cfg.site_shards < 1 or cfg.n_devices % cfg.site_shards:
+            raise SystemExit(
+                f"--site-shards {cfg.site_shards} must divide "
+                f"--devices {cfg.n_devices} (mesh is db x site)")
         n_db = cfg.n_devices // cfg.site_shards
         cfg.pool = -(-cfg.pool // n_db) * n_db   # round up to divide evenly
         qd = scan.build_device_data(pack, k=cfg.nbest,
                                     site_shards=cfg.site_shards)
         mesh = make_mesh(n_db, cfg.site_shards)
-        sh_step = make_sharded_scan_step(qd, mesh)
-        sh_step_delta = make_sharded_scan_step(qd, mesh, delta=True)
-        delta_base = np.asarray(qd.delta_base)
 
-        def step_fn(st, batch, payload):
-            ridx = batch.base_idx + np.arange(batch.codes.shape[0],
-                                              dtype=np.int32)
-            if payload[0] == "delta":  # sparse-delta upload (see ops/scan)
-                return sh_step_delta(st, jnp.asarray(payload[1]),
-                                     jnp.asarray(payload[2]),
-                                     jnp.asarray(batch.ok),
-                                     jnp.asarray(ridx))
-            return sh_step(st, jnp.asarray(payload[1]),
-                           jnp.asarray(batch.ok), jnp.asarray(ridx))
+        def make_step_fn():
+            # dense sharded steps — only the non-prune loop uses these
+            # (the sharded prune path builds its own survivor ops)
+            sh_step = make_sharded_scan_step(qd, mesh)
+            sh_step_delta = make_sharded_scan_step(qd, mesh, delta=True)
+
+            def step_fn(st, batch, payload):
+                ridx = batch.base_idx + np.arange(batch.codes.shape[0],
+                                                  dtype=np.int32)
+                if payload[0] == "delta":   # sparse-delta (see ops/scan)
+                    return sh_step_delta(st, jnp.asarray(payload[1]),
+                                         jnp.asarray(payload[2]),
+                                         jnp.asarray(batch.ok),
+                                         jnp.asarray(ridx))
+                return sh_step(st, jnp.asarray(payload[1]),
+                               jnp.asarray(batch.ok), jnp.asarray(ridx))
+            return step_fn
         log(f"Sharded scan over mesh (db={n_db}, site={cfg.site_shards})")
     else:
         qd = scan.build_device_data(pack, k=cfg.nbest)
-        delta_base = np.asarray(qd.delta_base)
 
-        def step_fn(st, batch, payload):
-            # sparse-delta upload when the batch is close to the query
-            # majority (the realistic case: ~10-50x fewer H2D bytes);
-            # 4-bit packed upload otherwise — bit-identical either way.
-            # The payload was encoded on the EncodedStream thread while
-            # the previous batch's upload/step was in flight.
-            if payload[0] == "delta":
-                return scan.scan_step_delta(
-                    qd, st, jnp.asarray(payload[1]), jnp.asarray(payload[2]),
+        def make_step_fn():
+            def step_fn(st, batch, payload):
+                # sparse-delta upload when the batch is close to the
+                # query majority (the realistic case: ~10-50x fewer H2D
+                # bytes); 4-bit packed upload otherwise — bit-identical
+                # either way.  The payload was encoded on the
+                # EncodedStream thread while the previous batch's
+                # upload/step was in flight.
+                if payload[0] == "delta":
+                    return scan.scan_step_delta(
+                        qd, st, jnp.asarray(payload[1]),
+                        jnp.asarray(payload[2]),
+                        jnp.asarray(batch.ok), np.int32(batch.base_idx))
+                return scan.scan_step_packed(
+                    qd, st, jnp.asarray(payload[1]),
                     jnp.asarray(batch.ok), np.int32(batch.base_idx))
-            return scan.scan_step_packed(
-                qd, st, jnp.asarray(payload[1]),
-                jnp.asarray(batch.ok), np.int32(batch.base_idx))
+            return step_fn
+    delta_base = np.asarray(qd.delta_base)
     state = scan.init_state(pack.n_query, cfg.nbest)
 
     # ---- checkpoint / resume -----------------------------------------
@@ -257,7 +269,9 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         nonlocal last_print
         if total - last_print >= cfg.print_interval:
             last_print = total
-            rate = total / max(time.time() - t1, 1e-9)
+            # rate over THIS run's work: total includes the resumed
+            # offset but t1 is this process's start
+            rate = (total - base0) / max(time.time() - t1, 1e-9)
             log(f"Total: {streamer.stats.count} sequences analysed, "
                 f"{resumed_written + writer.n_written} saved, "
                 f"{streamer.stats.n_invalid} "
@@ -363,7 +377,6 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             retained = {}
             buf_n = jnp.int32(0)
 
-        delta_base = np.asarray(qd.delta_base)
         from .stream import EncodedStream
         for batch, payload in EncodedStream(streamer, delta_base):
             if payload[0] == "delta":
@@ -403,6 +416,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             f"{total} references (losslessly)")
     else:
         from .stream import EncodedStream
+        step_fn = make_step_fn()
         for batch, payload in EncodedStream(streamer, delta_base):
             # a due checkpoint snapshots the state BEFORE this step (its
             # buffers are donated into the step), consistent with the

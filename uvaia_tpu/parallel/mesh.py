@@ -37,7 +37,11 @@ from ..ops import scan
 
 
 def make_mesh(n_db: int, n_site: int = 1, devices=None) -> Mesh:
-    devices = devices if devices is not None else jax.devices()
+    # local_devices, not devices: under jax.distributed each host runs
+    # its own single-controller scan over its OWN chips (multihost.py
+    # merges per-host top-k over DCN afterwards) — the global device
+    # list would hand every host process 0's chips
+    devices = devices if devices is not None else jax.local_devices()
     n = n_db * n_site
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")

@@ -31,7 +31,9 @@ from ..engine.query import log
 from ..io.compress import open_write
 from ..ops.scan import IDX_SENTINEL
 
-NAME_W = 256          # fixed-width name slots for the cross-host gather
+NAME_W = 256          # minimum name-slot width for the cross-host gather
+                      # (widened to the global max name length, so long
+                      # FASTA headers are never truncated)
 
 
 def assign_files(paths: list[str], n_processes: int,
@@ -83,17 +85,37 @@ def run_nearest_multihost(ref_paths: list[str], query_path: str,
     my_files = assign_files(ref_paths, num_processes, process_id)
     log(f"[host {process_id}/{num_processes}] scanning "
         f"{len(my_files)} of {len(ref_paths)} database files")
-    part_cfg = replace(cfg, output=f"{cfg.prefix}.h{process_id}")
+    # per-host output AND checkpoint paths: on a shared filesystem a
+    # single checkpoint path would be overwritten by every host, and
+    # resume would fail the config-key check on all but the last writer
+    part_cfg = replace(
+        cfg, output=f"{cfg.prefix}.h{process_id}",
+        checkpoint=(f"{cfg.checkpoint}.h{process_id}"
+                    if cfg.checkpoint else None))
     res = run_nearest(my_files, query_path, part_cfg)
 
     k = res.indices.shape[1]
-    names = np.zeros((res.indices.shape[0], k, NAME_W), dtype=np.uint8)
+    used = [res.names.get(int(ri), f"db_{int(ri)}").encode()
+            for row in res.indices for ri in row
+            if int(ri) != int(IDX_SENTINEL)]
+    local_w = max([len(b) for b in used] or [1])
+    if num_processes > 1:
+        # agree on one slot width across hosts before the fixed-shape
+        # gather (names must never truncate — the merged CSV joins
+        # against the per-host outputs by name)
+        from jax.experimental import multihost_utils
+        widths = np.asarray(multihost_utils.process_allgather(
+            np.int32(local_w)))
+        name_w = max(NAME_W, int(widths.max()))
+    else:
+        name_w = max(NAME_W, local_w)
+    names = np.zeros((res.indices.shape[0], k, name_w), dtype=np.uint8)
     for qi in range(res.indices.shape[0]):
         for slot in range(k):
             ri = int(res.indices[qi, slot])
             if ri == int(IDX_SENTINEL):
                 continue
-            b = res.names.get(ri, f"db_{ri}").encode()[:NAME_W]
+            b = res.names.get(ri, f"db_{ri}").encode()
             names[qi, slot, :len(b)] = np.frombuffer(b, dtype=np.uint8)
 
     if num_processes > 1:
@@ -119,7 +141,7 @@ def merge_and_write(pack, g_scores, g_idx, g_names, path: str) -> int:
     ascending (host, local_index) == single-process first-seen order
     (host file ranges are contiguous).
     """
-    P, Q, k, _ = g_scores.shape
+    P, Q, k, name_w = g_names.shape
     n_rows = 0
     with open_write(path) as fh:
         fh.write((CSV_HEADER_ACGT if pack.acgt
@@ -128,7 +150,7 @@ def merge_and_write(pack, g_scores, g_idx, g_names, path: str) -> int:
             s = g_scores[:, qi].reshape(P * k, 6)
             li = g_idx[:, qi].reshape(P * k)
             host = np.repeat(np.arange(P), k).astype(np.int64)
-            nm = g_names[:, qi].reshape(P * k, NAME_W)
+            nm = g_names[:, qi].reshape(P * k, name_w)
             valid = li != int(IDX_SENTINEL)
             s, li, host, nm = s[valid], li[valid], host[valid], nm[valid]
             order = np.lexsort((li, host, -s[:, 5], -s[:, 4], -s[:, 3],

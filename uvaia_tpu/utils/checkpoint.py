@@ -65,7 +65,18 @@ def save(path: str, ckpt: ScanCheckpoint) -> None:
     try:
         with os.fdopen(fd, "wb") as f:
             f.write(buf.getvalue())
+            # fsync before rename: on journaled filesystems the rename
+            # can commit before the data pages, and a power loss would
+            # leave an empty file at the checkpoint path
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        try:
+            dfd = os.open(d, os.O_RDONLY)
+            os.fsync(dfd)
+            os.close(dfd)
+        except OSError:
+            pass      # directory fsync is best-effort (not all FSs)
     except BaseException:
         if os.path.exists(tmp):
             os.unlink(tmp)
