@@ -90,23 +90,30 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
     delta_base = majority_code(pack.codes)
     delta_base_d = jnp.asarray(delta_base)
 
-    def keep_rule(ref_codes, ok):
-        d_cons = dist_ops.cons_mismatches(ref_codes, cons_sites_d,
-                                          cons_codes_d, cfg.acgt)
+    # the query tables ride as jit ARGUMENTS, not closure captures:
+    # captured device arrays inline into the HLO as constants, and the
+    # (Q, P, 16) weight table is tens of MB at contract scale (the
+    # hazard scan.py's QueryDeviceData docstring documents)
+    tables = (cons_sites_d, cons_codes_d, idx_d, weights, delta_base_d)
+
+    def keep_rule(tb, ref_codes, ok):
+        c_sites, c_codes, t_idx, t_w, _ = tb
+        d_cons = dist_ops.cons_mismatches(ref_codes, c_sites,
+                                          c_codes, cfg.acgt)
         d_q = dist_ops.pair_mismatches(
-            jnp.take(ref_codes, idx_d, axis=1), weights)
+            jnp.take(ref_codes, t_idx, axis=1), t_w)
         mindist = d_cons + jnp.min(d_q, axis=1)
         # C keep rule incl. the skipped-stage-3 quirk (see module docstring)
         keep = (2 * d_cons <= dist) | (mindist <= dist)
         return ok & keep, mindist
 
     @jax.jit
-    def step(packed, ok):
-        return keep_rule(unpack_codes(packed, L), ok)
+    def step(tb, packed, ok):
+        return keep_rule(tb, unpack_codes(packed, L), ok)
 
     @jax.jit
-    def step_delta(pos, val, ok):
-        return keep_rule(reconstruct_delta(delta_base_d, pos, val), ok)
+    def step_delta(tb, pos, val, ok):
+        return keep_rule(tb, reconstruct_delta(tb[4], pos, val), ok)
 
     streamer = RefStreamer(ref_paths, L, cfg.pool,
                            ref_ambiguity=cfg.ref_ambiguity)
@@ -125,26 +132,30 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
             writer.write(batch.names[i], batch.seq(int(i)))
 
     from .stream import EncodedStream
-    for batch, payload in EncodedStream(streamer, delta_base):
-        if payload[0] == "delta":   # sparse-delta upload (see ops/scan)
-            keep, _ = step_delta(jnp.asarray(payload[1]),
-                                 jnp.asarray(payload[2]),
-                                 jnp.asarray(batch.ok))
-        else:
-            keep, _ = step(jnp.asarray(payload[1]),
-                           jnp.asarray(batch.ok))
+    try:
+        for batch, payload in EncodedStream(streamer, delta_base):
+            if payload[0] == "delta":  # sparse-delta upload (see ops/scan)
+                keep, _ = step_delta(tables, jnp.asarray(payload[1]),
+                                     jnp.asarray(payload[2]),
+                                     jnp.asarray(batch.ok))
+            else:
+                keep, _ = step(tables, jnp.asarray(payload[1]),
+                               jnp.asarray(batch.ok))
+            if pending is not None:
+                drain(pending)
+            pending = (keep, batch)
+            if streamer.stats.count - last_print >= cfg.print_interval:
+                last_print = streamer.stats.count
+                log(f"{streamer.stats.count} sequences analysed in total, "
+                    f"{writer.n_written} saved, {streamer.stats.n_invalid} "
+                    f"rejected due to high ambiguity; "
+                    f"{time.time()-t1:.3f} secs passed")
         if pending is not None:
             drain(pending)
-        pending = (keep, batch)
-        if streamer.stats.count - last_print >= cfg.print_interval:
-            last_print = streamer.stats.count
-            log(f"{streamer.stats.count} sequences analysed in total, "
-                f"{writer.n_written} saved, {streamer.stats.n_invalid} "
-                f"rejected due to high ambiguity; "
-                f"{time.time()-t1:.3f} secs passed")
-    if pending is not None:
-        drain(pending)
-    writer.close()
+    finally:
+        # a mid-stream error (e.g. length-mismatch SystemExit) must
+        # still flush buffered + in-flight compressed chunks
+        writer.close()
     log(f"Total of {streamer.stats.count} sequences read, "
         f"{writer.n_written} within radius (kept), "
         f"{streamer.stats.n_invalid} too ambiguous (excluded). "

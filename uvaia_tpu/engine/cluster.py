@@ -116,6 +116,7 @@ class MedoidIndex:
         self.capacity = capacity
         self.n = 0
         self._assign = None
+        self._delta_base = delta_base          # host copy for encoding
         self._delta_base_d = (None if delta_base is None
                               else jnp.asarray(delta_base))
         # store sized in x4 tiers: distance kernels only ever see the
@@ -160,8 +161,7 @@ class MedoidIndex:
             lambda store, rows, at: _jax.lax.dynamic_update_slice(
                 store, rows, (at, 0)), donate_argnums=0)
 
-    def assign(self, codes: np.ndarray, ok: np.ndarray, distance: int,
-               delta_base: np.ndarray):
+    def assign(self, codes: np.ndarray, ok: np.ndarray, distance: int):
         """Fused batch step: one (delta-encoded) upload, and only O(B)
         + O(B^2) bool leaves the device — never the (B, M) distance
         matrix (57MB per batch at M=14k medoids measured; the D2H
@@ -208,7 +208,9 @@ class MedoidIndex:
             self._assign = jax.jit(assign_fn,
                                    static_argnames=("use_delta",))
         from ..ops import scan as scan_ops
-        enc = scan_ops.delta_encode(codes, ok, delta_base)
+        # encode against the SAME base the device rebuild uses — taking
+        # a base parameter here invited silently-wrong reconstructions
+        enc = scan_ops.delta_encode(codes, ok, self._delta_base)
         dummy = jnp.zeros((1, 1), jnp.uint8)
         if enc is not None:
             first, mask = self._assign(
@@ -307,8 +309,7 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
         # fused device step: first-hit medoid + within-batch proximity
         # mask (one delta upload, O(B)+O(B^2 bool) download — never the
         # (B, M) distance matrix)
-        d_first, d_self = index.assign(codes, batch.ok, cfg.distance,
-                                       ref_codes)
+        d_first, d_self = index.assign(codes, batch.ok, cfg.distance)
         new_rows: list[int] = []                     # batch rows that
         new_cl: list[int] = []                       # ...opened clusters
         for b in range(n):
@@ -407,13 +408,18 @@ def _merge_clusters(index: MedoidIndex, clusters: list[Cluster],
     if len(clusters) < 2:
         return clusters
     M = len(clusters)
-    codes = np.stack([encode(c.seq) for c in clusters])
-    # upload once for all blocks; pad rows to the distance tile (zero
-    # rows produce distance 0 to each other — sliced off below)
+    assert M == index.n, "medoid store out of sync with cluster list"
+    # the medoid store ALREADY holds these rows on device (append /
+    # replace keep it in sync: store row i == clusters[i]) — re-encoding
+    # 250k genomes on the host cost ~7.5GB RAM and a full re-upload
     tile = MedoidIndex.STORE_TILE
     M_pad = M if M <= tile else -(-M // tile) * tile
-    codes_d = index.jnp.asarray(
-        np.pad(codes, ((0, M_pad - M), (0, 0))))
+    cap = index._codes.shape[0]
+    if cap >= M_pad:
+        codes_d = index._codes[:M_pad]
+    else:   # store tier smaller than the padded tile count
+        codes_d = index.jnp.pad(index._codes,
+                                ((0, M_pad - cap), (0, 0)))
     parent = list(range(M))
 
     def find(x):
@@ -423,7 +429,7 @@ def _merge_clusters(index: MedoidIndex, clusters: list[Cluster],
         return x
 
     for start in range(0, M, block):
-        rows = codes[start:start + block]
+        rows = codes_d[start:start + block]   # device slice, no upload
         close = index.close_vs(rows, codes_d, distance)[:, :M]
         ii, jj = np.nonzero(close)
         for i, j in zip(ii.tolist(), jj.tolist()):

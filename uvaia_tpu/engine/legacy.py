@@ -141,7 +141,10 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
 
     trim = max(0, min(cfg.trim, int(L / 2.1)))
     qdata = dist_ops.build_legacy_query_data(q_codes, trim)
-    score_fn = jax.jit(lambda r: dist_ops.legacy_scores(qdata, r))
+    # qdata rides as a jit ARGUMENT (pytree of device arrays): closing
+    # over it would inline hundreds of MB of per-query feature planes
+    # into the compiled HLO as constants at contract scale
+    score_fn = jax.jit(dist_ops.legacy_scores)
 
     # score all refs in device batches.  The (R, Q) store is compact:
     # the integer counters live as uint16 when L permits, only
@@ -159,7 +162,7 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
     for start in range(0, R, cfg.batch):
         chunk = rseqs[start:start + cfg.batch]
         codes = np.stack([encode(s) for s in chunk])
-        s = np.asarray(score_fn(jnp.asarray(codes)))
+        s = np.asarray(score_fn(qdata, jnp.asarray(codes)))
         sl = slice(start, start + len(chunk))
         all_s0[sl] = s[..., 0]
         all_s1[sl] = s[..., 1]

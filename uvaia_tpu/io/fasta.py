@@ -34,13 +34,20 @@ def read_fasta(path: str | Path) -> Iterator[FastaRecord]:
     library is unavailable)."""
     from .compress import sniff_codec
     if sniff_codec(path) != "bz2":
+        yielded = False
         try:
             from .native import read_fasta_native
             for name, seq in read_fasta_native(path):
+                yielded = True
                 yield FastaRecord(name, seq)
             return
         except RuntimeError:
-            pass
+            # fall back ONLY when the native reader could not start: a
+            # mid-stream error (truncated/corrupt file) after records
+            # were already emitted must surface — restarting with the
+            # Python reader would silently duplicate the emitted head
+            if yielded:
+                raise
     yield from _read_fasta_py(path)
 
 

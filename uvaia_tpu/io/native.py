@@ -48,7 +48,10 @@ def get_lib():
         if os.environ.get("UVAIA_TPU_NO_NATIVE"):
             _failed = True
             return None
-        if not _SO.exists() or _SO.stat().st_mtime < _SRC.stat().st_mtime:
+        # a packaged tree may ship the .so without the source; only
+        # rebuild when the source is present and newer
+        if not _SO.exists() or (_SRC.exists() and
+                                _SO.stat().st_mtime < _SRC.stat().st_mtime):
             if not _build():
                 _failed = True
                 return None
