@@ -132,9 +132,11 @@ def test_pallas_corr_matches_weight_tables():
 
     rng = np.random.default_rng(13)
     B, Q, A = 48, 12, 200
-    # heavy ambiguity mix incl. zeros and pure bases
-    codes = np.array([0, 1, 2, 4, 8, 3, 5, 6, 7, 9, 10, 11, 12, 13, 14],
-                     dtype=np.uint8)
+    # heavy ambiguity mix incl. zeros, pure bases, and 15 (no input
+    # character encodes to 15 today, but the exactness pin covers ALL
+    # code matrices: the kernel once dropped 15-vs-15 text matches)
+    codes = np.array([0, 1, 2, 4, 8, 3, 5, 6, 7, 9, 10, 11, 12, 13, 14,
+                      15], dtype=np.uint8)
     ra = codes[rng.integers(0, len(codes), (B, A))]
     qa = codes[rng.integers(0, len(codes), (Q, A))]
 

@@ -17,6 +17,7 @@ for compatibility but the device does the parallel work here.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -169,6 +170,15 @@ def main(argv=None) -> int:
     except KeyboardInterrupt:
         print("uvaia-tpu: interrupted", file=sys.stderr)
         return 130
+    except BrokenPipeError:
+        # `... --stdout | head`: the consumer closed the pipe; exit
+        # silently per convention (devnull dup stops the interpreter
+        # re-raising on its own stdout flush at shutdown)
+        try:
+            os.dup2(os.open(os.devnull, os.O_WRONLY), sys.stdout.fileno())
+        except OSError:
+            pass
+        return 0
 
 
 def _dispatch(args) -> int:

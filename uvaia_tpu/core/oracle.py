@@ -120,9 +120,7 @@ def rank_refs(scores: np.ndarray, k: int) -> np.ndarray:
     keeps the first-seen among fully tied items, min_heap.c:93-117)."""
     n = scores.shape[0]
     order = np.lexsort(
-        tuple(-scores[:, j] for j in range(scores.shape[1] - 1, -1, -1))
-        + ()
-    )
+        tuple(-scores[:, j] for j in range(scores.shape[1] - 1, -1, -1)))
     # np.lexsort is stable, so equal six-tuples stay in index order.
     return order[: min(k, n)]
 

@@ -129,7 +129,6 @@ def pltpu_roll(a: jnp.ndarray, shift: int) -> jnp.ndarray:
 def _cummin_lanes(a: jnp.ndarray, Wp: int) -> jnp.ndarray:
     """Prefix min along the lane axis in log2(Wp) shift+min steps."""
     slots = jax.lax.broadcasted_iota(jnp.int32, (1, Wp), 1)
-    inf = INF
     d = 1
     while d < Wp:
         shifted = jnp.where(slots >= d, pltpu_roll(a, d), INF)

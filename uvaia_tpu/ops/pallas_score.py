@@ -26,14 +26,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
+def _dot(x, y):
+    """The one MXU boundary shared by every kernel here: int8 operands,
+    int32 accumulation, contraction over the trailing (site) axis."""
+    return jax.lax.dot_general(
+        x.astype(jnp.int8), y.astype(jnp.int8),
+        (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+
+def _pop4(c):
+    """Popcount of a 4-bit IUPAC mask, elementwise int32."""
+    return (((c >> 0) & 1) + ((c >> 1) & 1)
+            + ((c >> 2) & 1) + ((c >> 3) & 1))
+
+
 def _features(codes_i32):
     """(T, St) int32 codes -> (a bits[4], m bits[4], v) int32 planes.
 
     Stays in int32 — Mosaic has no int8 elementwise multiply; the dot
     operands are cast to int8 at the MXU boundary instead."""
     bits = [((codes_i32 >> b) & 1) for b in range(4)]
-    pop = bits[0] + bits[1] + bits[2] + bits[3]
-    pure = pop == 1
+    pure = _pop4(codes_i32) == 1
     a = [jnp.where(pure, b, 0) for b in bits]
     v = (codes_i32 != 0).astype(jnp.int32)
     return a, bits, v
@@ -53,18 +67,12 @@ def _kernel(r_ref, q_ref, aa_ref, mm_ref, vv_ref):
     ra, rm, rv = _features(rc)
     qa, qm, qv = _features(qc)
 
-    def dot(x, y):
-        return jax.lax.dot_general(
-            x.astype(jnp.int8), y.astype(jnp.int8),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-
-    s_aa = dot(ra[0], qa[0])
-    s_mm = dot(rm[0], qm[0])
+    s_aa = _dot(ra[0], qa[0])
+    s_mm = _dot(rm[0], qm[0])
     for b in range(1, 4):
-        s_aa += dot(ra[b], qa[b])
-        s_mm += dot(rm[b], qm[b])
-    s_vv = dot(rv, qv)
+        s_aa += _dot(ra[b], qa[b])
+        s_mm += _dot(rm[b], qm[b])
+    s_vv = _dot(rv, qv)
 
     aa_ref[...] += s_aa
     mm_ref[...] += s_mm
@@ -99,18 +107,12 @@ def _kernel_full(r_ref, q_ref, cons_ref, aa_ref, mm_ref, vv_ref, c_ref):
     ra, rm, rv = _features(rc)
     qa, qm, qv = _features(qc)
 
-    def dot(x, y):
-        return jax.lax.dot_general(
-            x.astype(jnp.int8), y.astype(jnp.int8),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-
-    s_aa = dot(ra[0], qa[0])
-    s_mm = dot(rm[0], qm[0])
+    s_aa = _dot(ra[0], qa[0])
+    s_mm = _dot(rm[0], qm[0])
     for b in range(1, 4):
-        s_aa += dot(ra[b], qa[b])
-        s_mm += dot(rm[b], qm[b])
-    s_vv = dot(rv, qv)
+        s_aa += _dot(ra[b], qa[b])
+        s_mm += _dot(rm[b], qm[b])
+    s_vv = _dot(rv, qv)
 
     aa_ref[...] += s_aa
     mm_ref[...] += s_mm
@@ -119,8 +121,7 @@ def _kernel_full(r_ref, q_ref, cons_ref, aa_ref, mm_ref, vv_ref, c_ref):
     @pl.when(j == 0)
     def _():
         cons = cons_ref[...].astype(jnp.int32)        # (1, st)
-        cpop = (((cons >> 0) & 1) + ((cons >> 1) & 1)
-                + ((cons >> 2) & 1) + ((cons >> 3) & 1))
+        cpop = _pop4(cons)
         v_rc = ((rc != 0) & (cons != 0)).astype(jnp.int32)
         eq = ((rc == cons).astype(jnp.int32)) * v_rc
         acgt_c = jnp.sum(eq * (cpop == 1), axis=1)
@@ -183,17 +184,21 @@ def pair_counter_mats(ref_sub: jnp.ndarray, q_sub: jnp.ndarray,
 # Derivation (both sums over the amb-restricted columns; pc = popcount
 # of the 4-bit mask intersection; amb(x) = popcount(x) >= 2):
 #   corr_t = sum_s [q == r, both ambiguous]
-#          = sum_{c in AMB10} oh_c(q) . oh_c(r)            (10 dots)
+#          = sum_{c in AMB_CODES} oh_c(q) . oh_c(r)        (11 dots)
 #   corr_p = sum_s [both ambiguous] (1 - [q&r == 0] - pc(q&r))
 #     [q&r == 0, both ambiguous] happens ONLY for the three
-#     complementary two-base pairs (M-K, R-Y, S-W): any three-base
-#     code intersects every other ambiguity code, so
+#     complementary two-base pairs (M-K, R-Y, S-W): any three-or-more-
+#     base code intersects every other ambiguity code, so
 #   corr_p = amb(q).amb(r)                                  (1 dot)
 #          - sum_{(a,b) in COMP2 pairs, both orders} oh_a(q).oh_b(r)
 #                                                           (6 dots)
 #          - sum_b (bit_b*amb)(q) . (bit_b*amb)(r)          (4 dots)
 
-AMB10 = (3, 5, 6, 9, 10, 12, 7, 11, 13, 14)    # two-base, three-base
+# every popcount>=2 code: two-base, three-base, and 15 (all four
+# bases).  encode() maps no input character to 15 today, but the XLA
+# path's IS_AMBIG table counts it, and the kernels are pinned exactly
+# equal on ALL code matrices, not just reachable ones.
+AMB_CODES = (3, 5, 6, 9, 10, 12, 7, 11, 13, 14, 15)
 COMP2 = ((3, 12), (5, 10), (6, 9))             # M-K, R-Y, S-W
 
 
@@ -208,32 +213,22 @@ def _kernel_corr(r_ref, q_ref, t_ref, p_ref):
     rc = r_ref[...].astype(jnp.int32)
     qc = q_ref[...].astype(jnp.int32)
 
-    def dot(x, y):
-        return jax.lax.dot_general(
-            x.astype(jnp.int8), y.astype(jnp.int8),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
+    r_amb = (_pop4(rc) >= 2).astype(jnp.int32)
+    q_amb = (_pop4(qc) >= 2).astype(jnp.int32)
 
-    def pop(c):
-        return (((c >> 0) & 1) + ((c >> 1) & 1)
-                + ((c >> 2) & 1) + ((c >> 3) & 1))
+    oh_r = {c: (rc == c).astype(jnp.int32) for c in AMB_CODES}
+    oh_q = {c: (qc == c).astype(jnp.int32) for c in AMB_CODES}
 
-    r_amb = (pop(rc) >= 2).astype(jnp.int32)
-    q_amb = (pop(qc) >= 2).astype(jnp.int32)
-
-    oh_r = {c: (rc == c).astype(jnp.int32) for c in AMB10}
-    oh_q = {c: (qc == c).astype(jnp.int32) for c in AMB10}
-
-    s_t = dot(oh_r[AMB10[0]], oh_q[AMB10[0]])
-    for c in AMB10[1:]:
-        s_t += dot(oh_r[c], oh_q[c])
+    s_t = _dot(oh_r[AMB_CODES[0]], oh_q[AMB_CODES[0]])
+    for c in AMB_CODES[1:]:
+        s_t += _dot(oh_r[c], oh_q[c])
     t_ref[...] += s_t
 
-    s_p = dot(r_amb, q_amb)
+    s_p = _dot(r_amb, q_amb)
     for a, b in COMP2:
-        s_p -= dot(oh_r[a], oh_q[b]) + dot(oh_r[b], oh_q[a])
+        s_p -= _dot(oh_r[a], oh_q[b]) + _dot(oh_r[b], oh_q[a])
     for b in range(4):
-        s_p -= dot(((rc >> b) & 1) * r_amb, ((qc >> b) & 1) * q_amb)
+        s_p -= _dot(((rc >> b) & 1) * r_amb, ((qc >> b) & 1) * q_amb)
     p_ref[...] += s_p
 
 
@@ -282,16 +277,10 @@ def _acgt_pair_dots(r_feats, other_ref):
     qa, _, _ = _features(qc)
     qp = (qa[0] + qa[1] + qa[2] + qa[3])
 
-    def dot(x, y):
-        return jax.lax.dot_general(
-            x.astype(jnp.int8), y.astype(jnp.int8),
-            (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32)
-
-    s_pp = dot(rp, qp)
-    s_aa = dot(ra[0], qa[0])
+    s_pp = _dot(rp, qp)
+    s_aa = _dot(ra[0], qa[0])
     for b in range(1, 4):
-        s_aa += dot(ra[b], qa[b])
+        s_aa += _dot(ra[b], qa[b])
     return s_pp, s_aa
 
 
@@ -331,8 +320,7 @@ def _kernel_acgt_main(r_ref, q_ref, cons_ref, pp_ref, aa_ref, c_ref):
     @pl.when(j == 0)
     def _():
         cons = cons_ref[...].astype(jnp.int32)        # (1, st)
-        cpop = (((cons >> 0) & 1) + ((cons >> 1) & 1)
-                + ((cons >> 2) & 1) + ((cons >> 3) & 1))
+        cpop = _pop4(cons)
         both = r_feats[1] * (cpop == 1)
         mm_c = jnp.sum(both * (rc != cons), axis=1)
         va_c = jnp.sum(both, axis=1)
