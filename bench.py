@@ -35,8 +35,9 @@ Sections and their keys:
   realdata  — end-to-end nearest on the bundled 9185-genome DB
       (skip with BENCH_REALDATA=0)
   scale     — BASELINE configs 4/5 evidence: ball + cluster + nearest
-      on a generated database (BENCH_SCALE_N genomes, default 25000;
-      set 250000 for the full config-4 run; BENCH_SCALE=0 skips)
+      on a generated database (BENCH_SCALE_N genomes, default 10000;
+      set 250000 for the full config-4 run — the section timeout
+      scales with N; BENCH_SCALE=0 skips)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -364,8 +365,15 @@ def orchestrate():
         sections.append("realdata")
     if os.environ.get("BENCH_SCALE", "1") != "0":
         sections.append("scale")
+    # the scale section's wall time is ~linear in BENCH_SCALE_N
+    # (measured at 250k: ball+cluster+nearest, 2 repeats each + gen +
+    # warmup ~ 70 min); size its timeout to N so the full config-4 run
+    # is never killed mid-flight.  BENCH_SCALE_TIMEOUT overrides.
+    scale_n = int(os.environ.get("BENCH_SCALE_N", 10_000))
+    scale_to = int(os.environ.get("BENCH_SCALE_TIMEOUT",
+                                  max(2700, int(scale_n * 0.025))))
     timeouts = {"scan": 1800, "q1000": 1800, "align": 900,
-                "realdata": 1500, "scale": 2700}
+                "realdata": 1500, "scale": scale_to}
 
     results: dict = {}
     for sec in sections:

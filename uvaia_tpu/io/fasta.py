@@ -79,60 +79,24 @@ class FastaWriter:
     """Append-style FASTA writer to a (possibly xz-compressed) stream.
 
     Mirrors ``save_sequence_to_compress_stream`` (nearest.c:416-426).
-
-    With ``threaded=True`` the xz/gz compression runs on a background
-    thread fed by a bounded queue, overlapping with device compute —
-    the TPU engines' analogue of the reference keeping lzma inside its
-    single-writer region while OpenMP workers continue (nearest.c:308).
-    ``close()`` drains the queue and joins, so file size is final when
-    it returns (the checkpoint logic depends on that).
+    For high-volume xz output the engines use ParallelXzFastaWriter
+    below; this plain writer serves the low-volume paths (legacy tool,
+    arbitrary-codec outputs).
     """
 
     def __init__(self, path: str | Path, preset: int = 6,
-                 append: bool = False, threaded: bool = False,
-                 maxsize: int = 4096):
+                 append: bool = False):
         self.path = str(path)
         self._fh = open_write(path, preset=preset, append=append)
         self.n_written = 0
-        self._q = None
-        self._err: BaseException | None = None
-        if threaded:
-            import queue
-            import threading
-            self._q = queue.Queue(maxsize=maxsize)
-            self._thread = threading.Thread(target=self._drain, daemon=True)
-            self._thread.start()
-
-    def _drain(self) -> None:
-        try:
-            while True:
-                item = self._q.get()
-                if item is None:
-                    return
-                self._fh.write(item)
-        except BaseException as e:   # surfaced on write()/close()
-            self._err = e
 
     def write(self, name: str, seq: bytes | str) -> None:
         if isinstance(seq, str):
             seq = seq.encode("ascii")
-        rec = b">" + name.encode("utf-8") + b"\n" + seq + b"\n"
-        if self._q is not None:
-            if self._err is not None:
-                raise self._err
-            self._q.put(rec)
-        else:
-            self._fh.write(rec)
+        self._fh.write(b">" + name.encode("utf-8") + b"\n" + seq + b"\n")
         self.n_written += 1
 
     def close(self) -> None:
-        if self._q is not None:
-            self._q.put(None)
-            self._thread.join()
-            self._q = None
-            if self._err is not None:
-                self._fh.close()
-                raise self._err
         self._fh.close()
 
     def __enter__(self):
