@@ -125,20 +125,23 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix=""):
           f"(L={L} Q={Q} B={B} K={K}, W={int(qd.q_full.shape[1])}, "
           f"device={jax.devices()[0]})", file=sys.stderr)
 
-    # device-resident kernel rate (the compute ceiling).  Best of 5
-    # timed repeats: the dev TPU sits behind a shared remote tunnel
-    # whose latency varies minute-to-minute (h2d probes range 30-70
-    # MB/s across sessions), and a transient stall inside the one
-    # timed window under-reports the chip by 20%+.  Each repeat is a
-    # full real measurement; max is the honest chip-compute estimate.
+    # device-resident kernel rate (the compute ceiling): all STEPS
+    # iterations run inside ONE dispatch (scan.scan_steps_repeat's
+    # on-device fori_loop), so the timing contains chip compute plus a
+    # single transport round-trip — a Python loop of scan_step calls
+    # over this remote tunnel pays per-step dispatch latency that
+    # under-reports the chip 20-40% at STEPS=20.  Best of 5 timed
+    # repeats on top (tunnel weather still affects the one round-trip).
+    state = scan.scan_steps_repeat(qd, state, ref_codes0, ok,
+                                   np.int32(0), STEPS)   # compile+warm
+    _ = np.asarray(state[0])
     rates = []
-    for _ in range(5):
+    for r in range(5):
         t0 = time.time()
-        for i in range(STEPS):
-            state, flags = scan.scan_step(qd, state, ref_codes0, ok,
-                                          np.int32((i + 1) * B))
+        state = scan.scan_steps_repeat(qd, state, ref_codes0, ok,
+                                       np.int32((r + 1) * STEPS * B),
+                                       STEPS)
         _ = np.asarray(state[0])
-        _ = np.asarray(flags)
         rates.append(round(STEPS * B / (time.time() - t0), 1))
         emit(**{key_prefix + "kernel_genomes_per_sec": max(rates),
                 key_prefix + "kernel_rates_all": rates})

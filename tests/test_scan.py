@@ -248,3 +248,34 @@ def test_prune_and_hold_delta_equals_packed():
         qd, st, jnp.asarray(scan.pack_codes(ref_codes)), jnp.asarray(ok))
     np.testing.assert_array_equal(np.asarray(sv_d), np.asarray(sv_p))
     np.testing.assert_array_equal(np.asarray(codes_d), np.asarray(codes_p))
+
+
+def test_scan_steps_repeat_equals_step_loop():
+    """The single-dispatch bench loop == a Python loop of scan_step
+    with the same carry-tied byte perturbation applied host-side."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(23)
+    L, Q, B, k, n_steps = 300, 4, 16, 3, 4
+    pack = make_pack(rng, n_query=Q, L=L)
+    qd = scan.build_device_data(pack, k=k)
+    W = int(qd.q_full.shape[1])
+    refs = random_alignment(rng, B, L, mut=0.05)
+    ref_codes = np.asarray(scan._to_width(
+        jnp.asarray(np.stack([encode(r) for r in refs])), W))
+    ok = jnp.ones(B, bool)
+
+    st_fused = scan.scan_steps_repeat(
+        qd, scan.init_state(Q, k), jnp.asarray(ref_codes), ok,
+        np.int32(0), n_steps)
+
+    st = scan.init_state(Q, k)
+    for i in range(n_steps):
+        idx0 = int(np.asarray(st[1])[0, 0])
+        ref = ref_codes.copy()
+        ref[0, 0] = (idx0 & 0x7) | 1
+        st, _ = scan.scan_step(qd, st, jnp.asarray(ref), ok,
+                               np.int32(i * B))
+    np.testing.assert_array_equal(np.asarray(st_fused[0]),
+                                  np.asarray(st[0]))
+    np.testing.assert_array_equal(np.asarray(st_fused[1]),
+                                  np.asarray(st[1]))

@@ -777,11 +777,40 @@ def reconstruct_delta(base: jnp.ndarray, pos: jnp.ndarray,
                         lambda x: x, img)
 
 
+def _scan_body(qd: QueryDeviceData, state, ref_codes, ok, base_idx):
+    scores, _ = score_batch(qd, ref_codes)
+    return merge_topk(qd, state, scores, ok, base_idx)
+
+
 @functools.partial(jax.jit, donate_argnums=1)
 def scan_step(qd: QueryDeviceData, state, ref_codes, ok, base_idx):
     """One database batch: score + merge. Returns (state, is_best)."""
-    scores, _ = score_batch(qd, ref_codes)
-    return merge_topk(qd, state, scores, ok, base_idx)
+    return _scan_body(qd, state, ref_codes, ok, base_idx)
+
+
+@functools.partial(jax.jit, static_argnums=5, donate_argnums=1)
+def scan_steps_repeat(qd: QueryDeviceData, state, ref_codes, ok,
+                      base_idx, n_steps: int):
+    """``n_steps`` scan_step iterations over the same device-resident
+    batch in ONE dispatch (bench utility).
+
+    Measures the chip-compute ceiling: a Python-loop-of-scan_step
+    measurement pays one host->device dispatch per step, which over a
+    remote transport (h2d ~30-60 MB/s tunnel) dominates the timing at
+    small step counts and under-reports the chip 20-40%.  One byte of
+    the batch is tied to the loop carry so XLA cannot hoist the
+    otherwise loop-invariant scoring out of the fori_loop (which would
+    turn the measurement into a single-step one).
+    """
+    B = ref_codes.shape[0]
+
+    def body(i, st):
+        ref = ref_codes.at[0, 0].set(
+            (st[1][0, 0] & 0x7).astype(ref_codes.dtype) | 1)
+        st, _ = _scan_body(qd, st, ref, ok, base_idx + i * B)
+        return st
+
+    return jax.lax.fori_loop(0, n_steps, body, state)
 
 
 @functools.partial(jax.jit, donate_argnums=1)
