@@ -64,8 +64,11 @@ def test_pallas_delta_reconstruction_matches_encode():
     np.testing.assert_array_equal(rec[3], base)
 
 
-def test_pallas_fused_cons_matches_xla():
-    """Fused mats+consensus kernel == the XLA site_partials path."""
+@pytest.mark.parametrize("Q", [6, 100])   # <=64 tiled vs query-plane path
+def test_pallas_fused_cons_matches_xla(Q):
+    """Fused mats+consensus kernels == the XLA site_partials path
+    (both the small-pack tiled kernel and the query-plane-resident
+    kernel used for 64 < Q <= 1024)."""
     import jax.numpy as jnp
     from uvaia_tpu.core.encoding import encode
     from uvaia_tpu.engine.query import QueryPack
@@ -73,7 +76,7 @@ def test_pallas_fused_cons_matches_xla():
     from test_scan import random_alignment
 
     rng = np.random.default_rng(12)
-    L, Q, B = 700, 6, 24
+    L, B = 700, 24
     qseqs = random_alignment(rng, Q, L)
     pack = QueryPack(names=[f"q{i}" for i in range(Q)],
                      codes=np.stack([encode(s) for s in qseqs]),

@@ -260,7 +260,11 @@ def corr_via_pallas(r_amb_codes: jnp.ndarray, q_amb_codes: jnp.ndarray,
     (code 0 is not ambiguous)."""
     B, A = r_amb_codes.shape
     Q = q_amb_codes.shape[0]
-    bt, qt, at = 256, min(256, -(-Q // 128) * 128), 512
+    # qt as wide as possible: the ref one-hot planes rebuild per query
+    # tile, and at Q=1000 the amb column set covers ~40% of the genome
+    # (the corr pass rivals the main kernel) — same lever as the main
+    # kernel's wide-qt note above
+    bt, qt, at = 256, min(512, -(-Q // 128) * 128), 512
     pad = lambda n, m: (-n) % m
     r = jnp.pad(r_amb_codes, ((0, pad(B, bt)), (0, pad(A, at))))
     q = jnp.pad(q_amb_codes, ((0, pad(Q, qt)), (0, pad(A, at))))
@@ -458,17 +462,22 @@ def mats_and_cons_via_pallas(ref_codes: jnp.ndarray, q_full: jnp.ndarray,
     guarantees this; zero columns count nothing)."""
     B, S = ref_codes.shape
     Q = q_full.shape[0]
+    pad = lambda n, m: (-n) % m
     # measured on v5e at the bench shape (B=4096, Q=64, S=29952):
     # (512, 64, 1024) = 2.92ms vs (256, 128, 512) = 3.36ms.  For big
     # query packs the reference tile is re-fetched per query tile, so
     # qt should be as wide as VMEM allows: at B=2048/Q=1000,
-    # (256, 512, 512) = 7.5ms vs (256, 256, 512) = 47ms.
+    # (256, 512, 512) = 7.5ms vs (256, 256, 512) = 47ms.  A
+    # query-plane-resident variant (precompute (9, Q, S) int8 planes,
+    # single query tile) was built and measured SLOWER end-to-end at
+    # Q=1000 (135k vs 144k genomes/s): the plane re-reads per ref tile
+    # (~9 GB/step at the VMEM-forced bt=128) cost more than the
+    # per-visit query feature rebuild they replaced.
     if Q <= 64:
         bt, qt, st = 512, 64, 1024
     else:
         bt, st = 256, 512
         qt = min(512, -(-Q // 128) * 128)
-    pad = lambda n, m: (-n) % m
     r = jnp.pad(ref_codes, ((0, pad(B, bt)), (0, pad(S, st))))
     q = jnp.pad(q_full, ((0, pad(Q, qt)), (0, pad(S, st))))
     c = jnp.pad(cons_full, (0, pad(S, st)))
