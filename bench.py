@@ -257,8 +257,10 @@ def section_realdata():
         cfg = NearestConfig(nbest=8, exclude_self=True,
                             output=f"{d}/warm")
         r = run_nearest([db], qp, cfg)          # compile+warm
-        dt = None                               # best of 2
-        for _ in range(2):
+        dt = None       # best of 3: this section round-trips the
+        for _ in range(3):  # tunnel per batch and is the most
+                            # window-sensitive metric (observed 136 vs
+                            # 1750 genomes/s across same-code windows)
             t0 = time.time()
             r = run_nearest([db], qp,
                             NearestConfig(nbest=8, exclude_self=True,
