@@ -28,7 +28,14 @@ from jax.experimental import pallas as pl
 
 def _dot(x, y):
     """The one MXU boundary shared by every kernel here: int8 operands,
-    int32 accumulation, contraction over the trailing (site) axis."""
+    int32 accumulation, contraction over the trailing (site) axis.
+
+    int4 operands were tried (every operand here is a 0/1 plane, and
+    halved staging would admit the qt=1024 tiles the 16MB scoped-vmem
+    limit rejects): a standalone gridless int4 dot compiles and is
+    exact on this v5e toolchain, but the real gridded kernels fail
+    Mosaic lowering ("failed to legalize operation 'arith.cmpi'"), so
+    int8 stays."""
     return jax.lax.dot_general(
         x.astype(jnp.int8), y.astype(jnp.int8),
         (((1,), (1,)), ((), ())),
