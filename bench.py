@@ -20,6 +20,8 @@ window under-reports the chip accordingly.  Each repeat is a complete
 real run; the scan section reports all samples alongside the best.
 
 Sections and their keys:
+  acgt      — kernel rate in --acgt mode (unambiguous-SNP scoring),
+      same Q=64 shape as scan
   scan      — headline kernel rate (+ streamed/packed/h2d): every timed
       streamed step sparse-delta-encodes a DISTINCT host batch against
       the query majority (scan.delta_encode, native C++ scan) and
@@ -86,7 +88,8 @@ def make_data(rng, n, L, n_frac=0.02, amb_frac=0.0005, mut=0.002,
 # ----------------------------------------------------------------------
 # sections (each runs in its own subprocess)
 
-def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix=""):
+def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
+                 acgt=False):
     import jax
     import jax.numpy as jnp
     from uvaia_tpu.core.encoding import ENCODE_LUT
@@ -99,7 +102,7 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix=""):
     backbone = alphabet[rng.integers(0, 4, size=L)]
     queries = make_data(rng, Q, L, backbone=backbone)
     pack = QueryPack(names=[f"q{i}" for i in range(Q)],
-                     codes=ENCODE_LUT[queries], acgt=False, trim=0)
+                     codes=ENCODE_LUT[queries], acgt=acgt, trim=0)
     pack.create_indices()
     qd = scan.build_device_data(pack, k=K)
 
@@ -332,6 +335,9 @@ def run_section(name, L, Q, B, K, STEPS):
     _cache()
     if name == "scan":
         section_scan(L, Q, B, K, STEPS)
+    elif name == "acgt":
+        section_scan(L, Q, B, K, STEPS, kernel_only=True,
+                     key_prefix="acgt_", acgt=True)
     elif name == "q1000":
         section_scan(L, 1000, B, K, max(10, STEPS // 2),
                      kernel_only=True, key_prefix="q1000_")
@@ -363,7 +369,7 @@ def collect(tail: str) -> dict:
 
 def orchestrate():
     retries = int(os.environ.get("BENCH_RETRIES", 3))
-    sections = ["scan", "q1000"]
+    sections = ["scan", "acgt", "q1000"]
     if os.environ.get("BENCH_ALIGN", "1") != "0":
         sections.append("align")
     if os.environ.get("BENCH_REALDATA", "1") != "0":
@@ -377,7 +383,7 @@ def orchestrate():
     scale_n = int(os.environ.get("BENCH_SCALE_N", 10_000))
     scale_to = int(os.environ.get("BENCH_SCALE_TIMEOUT",
                                   max(2700, int(scale_n * 0.025))))
-    timeouts = {"scan": 1800, "q1000": 1800, "align": 900,
+    timeouts = {"scan": 1800, "acgt": 1800, "q1000": 1800, "align": 900,
                 "realdata": 1500, "scale": scale_to}
 
     results: dict = {}
