@@ -201,9 +201,28 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
         emit(streamed_genomes_per_sec=round(packed_rate, 1))
 
 
+def _write_align_queries(f, ref, nq, rng):
+    """nq mutated copies of ref: 5-60 SNPs + one indel (1-11 bp) each —
+    the real-shape uvaialign input."""
+    for b in range(nq):
+        q = bytearray(ref)
+        for _ in range(int(rng.integers(5, 60))):
+            q[rng.integers(0, len(q))] = b"ACGT"[rng.integers(0, 4)]
+        p = int(rng.integers(0, len(q) - 20))
+        ln = int(rng.integers(1, 12))
+        if rng.random() < 0.5:
+            del q[p:p + ln]
+        else:
+            q[p:p] = bytes(bytearray(
+                b"ACGT"[i] for i in rng.integers(0, 4, ln)))
+        f.write(f">q{b}\n{bytes(q).decode()}\n")
+
+
 def section_align(L):
     """Two-pass aligner rate on 30kb queries (warm, end-to-end through
-    run_align incl. xz output)."""
+    run_align incl. xz output), plus the BASELINE config-2 shape
+    (5 000 unaligned queries in one run, key align_5k_seqs_per_sec;
+    skip with BENCH_ALIGN_5K=0)."""
     import tempfile
     from uvaia_tpu.engine.align import AlignConfig, run_align
 
@@ -215,18 +234,7 @@ def section_align(L):
         with open(f"{d}/ref.fa", "w") as f:
             f.write(">ref\n" + ref.decode() + "\n")
         with open(f"{d}/q.fa", "w") as f:
-            for b in range(NQ):
-                q = bytearray(ref)
-                for _ in range(int(rng.integers(5, 60))):
-                    q[rng.integers(0, len(q))] = b"ACGT"[rng.integers(0, 4)]
-                p = int(rng.integers(0, len(q) - 20))
-                ln = int(rng.integers(1, 12))
-                if rng.random() < 0.5:
-                    del q[p:p + ln]
-                else:
-                    q[p:p] = bytes(bytearray(
-                        b"ACGT"[i] for i in rng.integers(0, 4, ln)))
-                f.write(f">q{b}\n{bytes(q).decode()}\n")
+            _write_align_queries(f, ref, NQ, rng)
         run_align(f"{d}/ref.fa", [f"{d}/q.fa"],
                   AlignConfig(output=f"{d}/warm"))      # compile+warm
         dt = None                       # best of 3 (see section_scan on
@@ -237,6 +245,18 @@ def section_align(L):
             dt = min(dt or 1e9, time.time() - t0)
             assert stats.n_output == NQ
             emit(align_seqs_per_sec=round(NQ / dt, 1))
+
+        if os.environ.get("BENCH_ALIGN_5K", "1") != "0":
+            NQ5 = 5000
+            with open(f"{d}/q5k.fa", "w") as f:
+                _write_align_queries(f, ref, NQ5, rng)
+            t0 = time.time()
+            stats = run_align(f"{d}/ref.fa", [f"{d}/q5k.fa"],
+                              AlignConfig(output=f"{d}/out5k"))
+            dt5 = time.time() - t0
+            assert stats.n_output == NQ5
+            emit(align_5k_seqs_per_sec=round(NQ5 / dt5, 1),
+                 align_5k_wall_s=round(dt5, 2))
 
 
 def section_realdata():
@@ -383,7 +403,7 @@ def orchestrate():
     scale_n = int(os.environ.get("BENCH_SCALE_N", 10_000))
     scale_to = int(os.environ.get("BENCH_SCALE_TIMEOUT",
                                   max(2700, int(scale_n * 0.025))))
-    timeouts = {"scan": 1800, "acgt": 1800, "q1000": 1800, "align": 900,
+    timeouts = {"scan": 1800, "acgt": 1800, "q1000": 1800, "align": 1500,
                 "realdata": 1500, "scale": scale_to}
 
     results: dict = {}
