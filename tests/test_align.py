@@ -214,3 +214,18 @@ def test_uncertified_sidecar(tmp_path, monkeypatch):
     assert stats.uncertified == 1
     names = open("u.uncertified.txt").read().split()
     assert names == ["nheavy"]
+
+
+def test_dispatch_chunk_fits_int32_offsets():
+    """A dispatch chunk's traceback buffer must keep B * n_p * w_p
+    below 2^31 (the kernel computes flat int32 offsets); pool=1024 at
+    30kb genomes overflowed before the TB_IDX_CAP clamp."""
+    from uvaia_tpu.engine import align as al
+    for n, width in [(29903, 3073), (29903, 129), (200000, 2049)]:
+        n_p = -(-n // 128) * 128
+        w_p = -(-width // 128) * 128
+        max_rows = max(1, min(al.TB_BUDGET, al.TB_IDX_CAP)
+                       // max(n_p * w_p, 1))
+        if max_rows > 64:
+            max_rows -= max_rows % 64
+        assert max_rows * n_p * w_p < 2 ** 31

@@ -32,7 +32,11 @@ from .query import log
 @dataclass
 class AlignConfig:
     ambiguity: float = 0.5
-    pool: int = 512               # queries aligned per device batch
+    pool: int = 1024              # queries aligned per device batch
+                                  # (5k-run sweep: 512 -> 312 seqs/s,
+                                  # 1024 -> 574, 2048 -> 500; 1024
+                                  # balances tunnel-RTT amortisation
+                                  # against pipelining granularity)
     band: int = 1024              # max band width before giving up
     slack: int = 64               # band slack beyond the length offset
     to_stdout: bool = False
@@ -97,7 +101,14 @@ def _qc(rec: FastaRecord, n: int, ambiguity: float, stats: AlignStats) -> bool:
     return True
 
 
-TB_BUDGET = 6 << 30     # traceback buffer cap (bytes): B * n * W
+# traceback buffer cap (bytes): B * n * W.  The effective cap is
+# min(TB_BUDGET, 2^31 - 1): the traceback kernel computes flat int32
+# offsets into the buffer, so a single dispatch chunk must keep
+# B * n_p * w_p below 2^31 (pool=1024 at 30kb genomes overflowed to a
+# Python-int error before this clamp; pool=512 sat at 1.6e9, just
+# under).
+TB_BUDGET = 6 << 30
+TB_IDX_CAP = (1 << 31) - 1
 E_DIFF = 1024           # sparse D2H: max (pos, char) diffs per row
 
 
@@ -187,7 +198,7 @@ def _dispatch_group(db: _DeviceBatch, items, lo, width):
     # (width rounded to 128) — budget on the padded sizes
     n_p = -(-n // 128) * 128
     w_p = -(-width // 128) * 128
-    max_rows = max(1, TB_BUDGET // max(n_p * w_p, 1))
+    max_rows = max(1, min(TB_BUDGET, TB_IDX_CAP) // max(n_p * w_p, 1))
     if max_rows > 64:
         max_rows -= max_rows % 64     # keep split-chunk shapes canonical
     pending = []
@@ -319,23 +330,20 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
             f"{writer.path}.")
 
     stats = AlignStats()
-    batch: list[FastaRecord] = []
 
-    def flush():
-        if not batch:
-            return
-        out: dict[int, bytes] = {}
+    def dispatch_pool(batch):
+        """Upload one pool and queue its aligner programs (async).
+        Route each row to a canonical zero-centred band bucket from
+        its length offset ALONE — no device score pass.  certify in
+        _collect_group is the soundness gate: a row whose optimum
+        wanders beyond its routed band fails its certificate and
+        escalates (x4 width), so routing is purely a performance
+        guess.  The previous score-based router paid a second full
+        DP forward every flush to avoid escalations that, on real
+        genomes (small indels, SNPs), almost never happen — the
+        extra pass cost more than it saved (measured: 0.21s of a
+        0.58s 256-row flush)."""
         db = _make_device_batch(ref_arr, batch)   # single H2D upload
-        # Route each row to a canonical zero-centred band bucket from
-        # its length offset ALONE — no device score pass.  certify in
-        # _collect_group is the soundness gate: a row whose optimum
-        # wanders beyond its routed band fails its certificate and
-        # escalates (x4 width), so routing is purely a performance
-        # guess.  The previous score-based router paid a second full
-        # DP forward every flush to avoid escalations that, on real
-        # genomes (small indels, SNPs), almost never happen — the
-        # extra pass cost more than it saved (measured: 0.21s of a
-        # 0.58s 256-row flush).
         levels = _band_levels(cfg.band)
         buckets: dict[int, list] = {}
         cap_rows: list = []
@@ -347,8 +355,8 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
                     break
             else:
                 cap_rows.append((r, bi))
-        # dispatch ALL buckets first (async), then fetch — device
-        # compute overlaps the per-group transfer latency
+        # dispatch ALL buckets (async) — device compute overlaps the
+        # per-group transfer latency AND the next pool's read/QC
         pending = []
         for h, bitems in sorted(buckets.items()):
             pending += _dispatch_group(db, bitems, -h, 2 * h + 1)
@@ -364,8 +372,13 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
             lo, width = _choose_band(n, [len(r.seq) for r, _ in items],
                                      cfg.slack)
             pending += _dispatch_group(db, items, lo, width)
-        for handle in pending:
-            _collect_group(db, handle, out, stats, cfg)
+        return db, pending, batch
+
+    def collect_pool(handle):
+        db, pending, batch = handle
+        out: dict[int, bytes] = {}
+        for h in pending:
+            _collect_group(db, h, out, stats, cfg)
         for r in batch:
             seq = out.get(id(r))
             if seq is None:
@@ -375,24 +388,59 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
                 sys.stdout.write(f">{r.name}\n{seq.decode('ascii')}\n")
             else:
                 writer.write(r.name, seq)
-        batch.clear()
 
-    last_print = 0
-    for path in fasta_paths:
-        log(f"Started  reading file {path}")
-        for rec in read_fasta(path):
-            stats.count += 1
-            if not _qc(rec, n, cfg.ambiguity, stats):
-                continue
-            batch.append(rec)
-            if len(batch) >= cfg.pool:
-                flush()
-            if stats.count - last_print >= cfg.print_interval:
-                last_print = stats.count
-                log(f"{stats.count}\t sequences read, {stats.n_output} \t"
-                    f"aligned. {time.time()-t0:.3f} secs elapsed.")
-        log(f"Finished reading file {path}.")
-    flush()
+    # Reader thread: read + QC the next pool while the device aligns
+    # the current one (the same prefetch shape as engine/stream.py);
+    # the main loop additionally keeps ONE pool dispatched ahead, so
+    # result collection of pool i overlaps pool i+1's device compute.
+    import queue as _queue
+    import threading as _threading
+    pool_q: _queue.Queue = _queue.Queue(maxsize=2)
+    read_err: list[BaseException] = []
+
+    def _reader():
+        batch: list[FastaRecord] = []
+        last_print = 0
+        try:
+            for path in fasta_paths:
+                log(f"Started  reading file {path}")
+                for rec in read_fasta(path):
+                    stats.count += 1
+                    if not _qc(rec, n, cfg.ambiguity, stats):
+                        continue
+                    batch.append(rec)
+                    if len(batch) >= cfg.pool:
+                        pool_q.put(batch)
+                        batch = []
+                    if stats.count - last_print >= cfg.print_interval:
+                        last_print = stats.count
+                        log(f"{stats.count}\t sequences read, "
+                            f"{stats.n_output} \taligned. "
+                            f"{time.time()-t0:.3f} secs elapsed.")
+                log(f"Finished reading file {path}.")
+            if batch:
+                pool_q.put(batch)
+        except BaseException as e:      # surfaced after the queue drains
+            read_err.append(e)
+        finally:
+            pool_q.put(None)
+
+    reader = _threading.Thread(target=_reader, daemon=True)
+    reader.start()
+    prev = None
+    while True:
+        batch = pool_q.get()
+        if batch is None:
+            break
+        cur = dispatch_pool(batch)
+        if prev is not None:
+            collect_pool(prev)
+        prev = cur
+    if prev is not None:
+        collect_pool(prev)
+    reader.join()
+    if read_err:
+        raise read_err[0]
 
     if writer is not None:
         writer.close()
