@@ -397,6 +397,18 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
     import threading as _threading
     pool_q: _queue.Queue = _queue.Queue(maxsize=2)
     read_err: list[BaseException] = []
+    abort = _threading.Event()     # set on a consumer-side exception so
+                                   # the reader never blocks forever on
+                                   # the bounded queue
+
+    def _put(item) -> bool:
+        while not abort.is_set():
+            try:
+                pool_q.put(item, timeout=0.5)
+                return True
+            except _queue.Full:
+                continue
+        return False
 
     def _reader():
         batch: list[FastaRecord] = []
@@ -405,12 +417,15 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
             for path in fasta_paths:
                 log(f"Started  reading file {path}")
                 for rec in read_fasta(path):
+                    if abort.is_set():
+                        return
                     stats.count += 1
                     if not _qc(rec, n, cfg.ambiguity, stats):
                         continue
                     batch.append(rec)
                     if len(batch) >= cfg.pool:
-                        pool_q.put(batch)
+                        if not _put(batch):
+                            return
                         batch = []
                     if stats.count - last_print >= cfg.print_interval:
                         last_print = stats.count
@@ -419,25 +434,29 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
                             f"{time.time()-t0:.3f} secs elapsed.")
                 log(f"Finished reading file {path}.")
             if batch:
-                pool_q.put(batch)
+                _put(batch)
         except BaseException as e:      # surfaced after the queue drains
             read_err.append(e)
         finally:
-            pool_q.put(None)
+            _put(None)
 
     reader = _threading.Thread(target=_reader, daemon=True)
     reader.start()
     prev = None
-    while True:
-        batch = pool_q.get()
-        if batch is None:
-            break
-        cur = dispatch_pool(batch)
+    try:
+        while True:
+            batch = pool_q.get()
+            if batch is None:
+                break
+            cur = dispatch_pool(batch)
+            if prev is not None:
+                collect_pool(prev)
+            prev = cur
         if prev is not None:
             collect_pool(prev)
-        prev = cur
-    if prev is not None:
-        collect_pool(prev)
+    except BaseException:
+        abort.set()
+        raise
     reader.join()
     if read_err:
         raise read_err[0]
