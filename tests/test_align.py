@@ -229,3 +229,32 @@ def test_dispatch_chunk_fits_int32_offsets():
         if max_rows > 64:
             max_rows -= max_rows % 64
         assert max_rows * n_p * w_p < 2 ** 31
+
+
+def test_run_align_multi_file_pipelined(tmp_path, monkeypatch):
+    """Several input files through the prefetch-reader + 1-ahead
+    dispatch pipeline: every record lands exactly once, in output,
+    with a pool smaller than each file (forces multiple in-flight
+    pools)."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(21)
+    n = 250
+    ref = rand_dna(rng, n)
+    with open("ref.fa", "w") as f:
+        f.write(f">r\n{ref.decode()}\n")
+    names = []
+    for fi in range(3):
+        with open(f"q{fi}.fa", "w") as f:
+            for i in range(7):
+                q = bytearray(ref)
+                q[rng.integers(0, n)] = ord("ACGT"[rng.integers(0, 4)])
+                nm = f"f{fi}_s{i}"
+                names.append(nm)
+                f.write(f">{nm}\n{bytes(q).decode()}\n")
+    stats = run_align("ref.fa", [f"q{i}.fa" for i in range(3)],
+                      AlignConfig(pool=4, output="mf"))
+    assert stats.count == 21
+    assert stats.n_output == 21
+    out = {r.name: r.seq for r in read_fasta_all("mf.aln.xz")}
+    assert sorted(out) == sorted(names)
+    assert all(len(s) == n for s in out.values())
