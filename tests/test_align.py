@@ -5,7 +5,7 @@ import lzma
 import numpy as np
 
 from uvaia_tpu.engine.align import AlignConfig, run_align
-from uvaia_tpu.io.fasta import read_fasta_all
+from uvaia_tpu.io.fasta import FastaRecord, read_fasta_all
 
 from test_gotoh import rand_dna
 
@@ -217,18 +217,46 @@ def test_uncertified_sidecar(tmp_path, monkeypatch):
 
 
 def test_dispatch_chunk_fits_int32_offsets():
-    """A dispatch chunk's traceback buffer must keep B * n_p * w_p
-    below 2^31 (the kernel computes flat int32 offsets); pool=1024 at
-    30kb genomes overflowed before the TB_IDX_CAP clamp."""
+    """A dispatch chunk's PADDED traceback buffer must keep
+    B_pad * n_p * w_p below 2^31 (the kernels compute flat int32
+    offsets and _pad_idx rounds the batch up to b_mult rows).  The
+    1409-width case is the regression: max_rows computed to 46 but the
+    old fixed 64-row padding pushed the kernel batch back over the
+    cap (reachable via the cap-rows band for a query ~1.2kb shorter
+    than a 30kb reference — inside the reference's 2/3..3/2 gate)."""
     from uvaia_tpu.engine import align as al
-    for n, width in [(29903, 3073), (29903, 129), (200000, 2049)]:
+    for n, width in [(29903, 3073), (29903, 129), (29903, 1409),
+                     (29903, 15001), (200000, 2049), (5_000_000, 641)]:
         n_p = -(-n // 128) * 128
         w_p = -(-width // 128) * 128
-        max_rows = max(1, min(al.TB_BUDGET, al.TB_IDX_CAP)
-                       // max(n_p * w_p, 1))
-        if max_rows > 64:
-            max_rows -= max_rows % 64
+        max_rows, b_mult = al._chunk_plan(n, width)
+        if max_rows == 0:
+            # undispatchable: even one padded row overflows
+            assert 1 * n_p * w_p >= 2 ** 31
+            continue
+        assert max_rows % b_mult == 0
+        # worst chunk: full max_rows; worst tail chunk: 1 row padded
+        # to b_mult — both must fit
         assert max_rows * n_p * w_p < 2 ** 31
+        assert b_mult * n_p * w_p < 2 ** 31
+        assert max_rows * n_p * w_p <= al.TB_BUDGET
+
+
+def test_dispatch_group_skips_undispatchable_band(tmp_path):
+    """b_mult == 0 (traceback index budget exceeded at this n/width)
+    must skip the rows with failed_band counted, not dispatch garbage."""
+    from uvaia_tpu.engine import align as al
+    n, width = 5_000_000, 641
+    assert al._chunk_plan(n, width) == (0, 0)
+
+    class _DB:
+        ref_arr = np.zeros(n, dtype=np.uint8)
+
+    stats = al.AlignStats()
+    rec = FastaRecord(name="big", seq=b"ACGT")
+    pending = al._dispatch_group(_DB(), [(rec, 0)], -320, width, stats)
+    assert pending == []
+    assert stats.failed_band == 1
 
 
 def test_run_align_multi_file_pipelined(tmp_path, monkeypatch):

@@ -64,11 +64,11 @@ def test_pallas_delta_reconstruction_matches_encode():
     np.testing.assert_array_equal(rec[3], base)
 
 
-@pytest.mark.parametrize("Q", [6, 100])   # <=64 tiled vs query-plane path
+@pytest.mark.parametrize("Q", [6, 100])   # small-Q vs wide-query-tile
 def test_pallas_fused_cons_matches_xla(Q):
     """Fused mats+consensus kernels == the XLA site_partials path
-    (both the small-pack tiled kernel and the query-plane-resident
-    kernel used for 64 < Q <= 1024)."""
+    (Q=6 covers the small-pack tile; Q=100 covers the wide-qt tiled
+    kernel used above 64 queries)."""
     import jax.numpy as jnp
     from uvaia_tpu.core.encoding import encode
     from uvaia_tpu.engine.query import QueryPack

@@ -74,8 +74,9 @@ def _add_align(sub):
     p.add_argument("--stdout", action="store_true",
                    help="print alignment to stdout instead of xz file")
     p.add_argument("-a", "--ambiguity", type=float, default=0.5)
-    p.add_argument("-p", "--pool", type=int, default=512,
-                   help="query sequences aligned per device batch")
+    p.add_argument("-p", "--pool", type=int, default=1024,
+                   help="query sequences aligned per device batch "
+                        "(1024 measured fastest on 30kb genomes)")
     p.add_argument("--band", type=int, default=1024,
                    help="DP band width (auto-widened on demand)")
     p.add_argument("-r", "--reference", required=True)

@@ -26,6 +26,7 @@ import numpy as np
 from ..core.encoding import encode, composition
 from ..io.fasta import FastaRecord, ParallelXzFastaWriter, read_fasta
 from ..ops import gotoh
+from ..utils.prefetch import Prefetcher
 from .query import log
 
 
@@ -180,31 +181,53 @@ def _make_device_batch(ref_arr, recs) -> _DeviceBatch:
                         lens_d=jnp.asarray(lens))
 
 
-def _pad_idx(db: _DeviceBatch, idxs: list[int]):
-    """Row-index vector padded to a 64-multiple (+ its host lens)."""
-    B_pad = _round_up(len(idxs), 64)
+def _pad_idx(db: _DeviceBatch, idxs: list[int], b_mult: int = 64):
+    """Row-index vector padded to a b_mult-multiple (+ its host lens)."""
+    B_pad = _round_up(len(idxs), b_mult)
     idx = np.full(B_pad, idxs[0], dtype=np.int32)
     idx[:len(idxs)] = idxs
     return jnp.asarray(idx), db.lens[idx]
 
 
-def _dispatch_group(db: _DeviceBatch, items, lo, width):
+def _chunk_plan(n: int, width: int) -> tuple[int, int]:
+    """(max_rows, b_mult) for one dispatch chunk at this (n, width).
+
+    The traceback kernels compute flat int32 offsets into the packed
+    tb temp, and _pad_idx pads the dispatched batch up to b_mult rows,
+    so the budget must hold for the PADDED batch: B_pad * n_p * w_p
+    < 2^31 (the Pallas forward pads n and width to 128).  A plan that
+    ignored the padding would overflow exactly at cap-band widths —
+    the 2/3..3/2 length gate (align.c:190-193) admits length offsets
+    up to ~n/2, where max_rows lands below 64 but the old fixed
+    64-row padding pushed the kernel batch back over the cap.
+    b_mult == 0 means even one padded row overflows: the row cannot
+    be tracebacked at this (n, width) and must be skipped."""
+    n_p = -(-n // 128) * 128
+    w_p = -(-width // 128) * 128
+    cap = min(TB_BUDGET, TB_IDX_CAP) // max(n_p * w_p, 1)
+    b_mult = max((b for b in (64, 32, 16, 8, 1) if b <= cap), default=0)
+    if b_mult == 0:
+        return 0, 0
+    return cap - cap % b_mult, b_mult
+
+
+def _dispatch_group(db: _DeviceBatch, items, lo, width, stats):
     """Queue one group's aligner program (async).  Splits so the
     packed traceback temp (B*n*W bytes in HBM) stays under budget.
     Returns a list of pending (items, lens, meta_dev, aligned_dev, lo,
     width) tuples."""
     n = db.ref_arr.shape[0]
-    # the Pallas forward's traceback buffer is (n rounded to 128) x
-    # (width rounded to 128) — budget on the padded sizes
-    n_p = -(-n // 128) * 128
-    w_p = -(-width // 128) * 128
-    max_rows = max(1, min(TB_BUDGET, TB_IDX_CAP) // max(n_p * w_p, 1))
-    if max_rows > 64:
-        max_rows -= max_rows % 64     # keep split-chunk shapes canonical
+    max_rows, b_mult = _chunk_plan(n, width)
+    if max_rows == 0:
+        for r, _ in items:
+            log(f"Sequence {r.name}: band {width} at reference length "
+                f"{n} exceeds the traceback index budget; skipped")
+            stats.failed_band += 1
+        return []
     pending = []
     for start in range(0, len(items), max_rows):
         part = items[start:start + max_rows]
-        idx_d, lens = _pad_idx(db, [i for _, i in part])
+        idx_d, lens = _pad_idx(db, [i for _, i in part], b_mult)
         meta_d = gotoh.align_rows(
             db.ref_d, db.arr_d, db.lens_d, idx_d, lo, width, gotoh.EV_CAP)
         pending.append((part, lens, meta_d, lo, width))
@@ -239,8 +262,11 @@ def _collect_group(db: _DeviceBatch, handle, out, stats, cfg):
             walk_cost[i] = cost
     if dense:
         # event-capacity overflow (> EV_CAP kind changes, i.e. > 96 gap
-        # runs — pathological rows): dense per-character walk fallback
-        idx_d, _ = _pad_idx(db, [items[i][1] for i in dense])
+        # runs — pathological rows): dense per-character walk fallback.
+        # Same padded-batch index budget as the dispatch (b_mult > 0:
+        # this group was dispatched, so the plan is dispatchable).
+        _, b_mult = _chunk_plan(n, width)
+        idx_d, _ = _pad_idx(db, [items[i][1] for i in dense], b_mult)
         meta2, aligned2 = gotoh.align_rows_dense(
             db.ref_d, db.arr_d, db.lens_d, idx_d, lo, width, E_DIFF)
         (_s2, _e2, _d2, wc2, count2, pos2,
@@ -292,7 +318,7 @@ def _collect_group(db: _DeviceBatch, handle, out, stats, cfg):
 
 def _align_group(db: _DeviceBatch, items, lo, width, out, stats, cfg):
     """Synchronous dispatch + collect (escalations, small groups)."""
-    for handle in _dispatch_group(db, items, lo, width):
+    for handle in _dispatch_group(db, items, lo, width, stats):
         _collect_group(db, handle, out, stats, cfg)
 
 
@@ -359,7 +385,7 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
         # per-group transfer latency AND the next pool's read/QC
         pending = []
         for h, bitems in sorted(buckets.items()):
-            pending += _dispatch_group(db, bitems, -h, 2 * h + 1)
+            pending += _dispatch_group(db, bitems, -h, 2 * h + 1, stats)
         # rows whose length offset exceeds every canonical band get a
         # structural band covering their end diagonals (grouped by
         # offset so mixed groups don't inflate W); certify's
@@ -371,7 +397,7 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
         for items in cap_groups.values():
             lo, width = _choose_band(n, [len(r.seq) for r, _ in items],
                                      cfg.slack)
-            pending += _dispatch_group(db, items, lo, width)
+            pending += _dispatch_group(db, items, lo, width, stats)
         return db, pending, batch
 
     def collect_pool(handle):
@@ -389,77 +415,43 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
             else:
                 writer.write(r.name, seq)
 
-    # Reader thread: read + QC the next pool while the device aligns
-    # the current one (the same prefetch shape as engine/stream.py);
-    # the main loop additionally keeps ONE pool dispatched ahead, so
-    # result collection of pool i overlaps pool i+1's device compute.
-    import queue as _queue
-    import threading as _threading
-    pool_q: _queue.Queue = _queue.Queue(maxsize=2)
-    read_err: list[BaseException] = []
-    abort = _threading.Event()     # set on a consumer-side exception so
-                                   # the reader never blocks forever on
-                                   # the bounded queue
-
-    def _put(item) -> bool:
-        while not abort.is_set():
-            try:
-                pool_q.put(item, timeout=0.5)
-                return True
-            except _queue.Full:
-                continue
-        return False
-
-    def _reader():
+    # Reader thread (shared utils.prefetch.Prefetcher): read + QC the
+    # next pool while the device aligns the current one; the main loop
+    # additionally keeps ONE pool dispatched ahead, so result
+    # collection of pool i overlaps pool i+1's device compute.
+    def _pools():
         batch: list[FastaRecord] = []
         last_print = 0
-        try:
-            for path in fasta_paths:
-                log(f"Started  reading file {path}")
-                for rec in read_fasta(path):
-                    if abort.is_set():
-                        return
-                    stats.count += 1
-                    if not _qc(rec, n, cfg.ambiguity, stats):
-                        continue
-                    batch.append(rec)
-                    if len(batch) >= cfg.pool:
-                        if not _put(batch):
-                            return
-                        batch = []
-                    if stats.count - last_print >= cfg.print_interval:
-                        last_print = stats.count
-                        log(f"{stats.count}\t sequences read, "
-                            f"{stats.n_output} \taligned. "
-                            f"{time.time()-t0:.3f} secs elapsed.")
-                log(f"Finished reading file {path}.")
-            if batch:
-                _put(batch)
-        except BaseException as e:      # surfaced after the queue drains
-            read_err.append(e)
-        finally:
-            _put(None)
+        for path in fasta_paths:
+            log(f"Started  reading file {path}")
+            for rec in read_fasta(path):
+                if reader.aborted():
+                    return
+                stats.count += 1
+                if not _qc(rec, n, cfg.ambiguity, stats):
+                    continue
+                batch.append(rec)
+                if len(batch) >= cfg.pool:
+                    yield batch
+                    batch = []
+                if stats.count - last_print >= cfg.print_interval:
+                    last_print = stats.count
+                    log(f"{stats.count}\t sequences read, "
+                        f"{stats.n_output} \taligned. "
+                        f"{time.time()-t0:.3f} secs elapsed.")
+            log(f"Finished reading file {path}.")
+        if batch:
+            yield batch
 
-    reader = _threading.Thread(target=_reader, daemon=True)
-    reader.start()
+    reader = Prefetcher(_pools, maxsize=2)
     prev = None
-    try:
-        while True:
-            batch = pool_q.get()
-            if batch is None:
-                break
-            cur = dispatch_pool(batch)
-            if prev is not None:
-                collect_pool(prev)
-            prev = cur
+    for batch in reader:
+        cur = dispatch_pool(batch)
         if prev is not None:
             collect_pool(prev)
-    except BaseException:
-        abort.set()
-        raise
-    reader.join()
-    if read_err:
-        raise read_err[0]
+        prev = cur
+    if prev is not None:
+        collect_pool(prev)
 
     if writer is not None:
         writer.close()

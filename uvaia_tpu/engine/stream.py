@@ -14,8 +14,6 @@ per-record Python reader (bz2, or native lib unavailable).
 from __future__ import annotations
 
 import ctypes
-import queue
-import threading
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -23,6 +21,7 @@ import numpy as np
 from ..core.encoding import ENCODE_LUT
 from ..io.compress import sniff_codec
 from ..io.fasta import read_fasta
+from ..utils.prefetch import Prefetcher
 
 
 @dataclass
@@ -75,19 +74,10 @@ class RefStreamer:
         self.skip_records = skip_records   # resume: raw records to skip
         self.initial_base = initial_base   # resume: accepted-count offset
         self.stats = StreamStats()
-        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._thread = threading.Thread(target=self._produce, daemon=True)
-        self._err: BaseException | None = None
+        self._pf = Prefetcher(self._batches, maxsize=prefetch)
 
     def __iter__(self):
-        self._thread.start()
-        while True:
-            item = self._q.get()
-            if item is None:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        return iter(self._pf)
 
     # ------------------------------------------------------------------
 
@@ -176,78 +166,74 @@ class RefStreamer:
 
     # ------------------------------------------------------------------
 
-    def _produce(self):
-        try:
-            base = self.initial_base
-            skip = self.skip_records
-            acc_names: list[str] = []
-            acc_codes = np.zeros((self.batch, self.n_sites), dtype=np.uint8)
-            acc_raw = np.zeros((self.batch, self.n_sites), dtype=np.uint8)
-            n = 0
+    def _batches(self):
+        """Generator run on the Prefetcher's thread."""
+        base = self.initial_base
+        skip = self.skip_records
+        acc_names: list[str] = []
+        acc_codes = np.zeros((self.batch, self.n_sites), dtype=np.uint8)
+        acc_raw = np.zeros((self.batch, self.n_sites), dtype=np.uint8)
+        n = 0
 
-            def put(codes, ok, names, count, raw):
-                nonlocal base
-                self._q.put(RefBatch(
-                    codes, ok, names, base, count, raw=raw,
-                    records_read=self.stats.count,
-                    n_invalid=self.stats.n_invalid,
-                    same_name=self.stats.same_name))
-                base += count
+        def mk(codes, ok, names, count, raw):
+            nonlocal base
+            b = RefBatch(codes, ok, names, base, count, raw=raw,
+                         records_read=self.stats.count,
+                         n_invalid=self.stats.n_invalid,
+                         same_name=self.stats.same_name)
+            base += count
+            return b
 
-            for names, raw, codes, valid in self._records():
-                if skip:                     # resume: fast-skip records
-                    if skip >= len(names):
-                        skip -= len(names)
-                        continue
-                    names = names[skip:]
-                    raw = raw[skip:]
-                    codes = None if codes is None else codes[skip:]
-                    valid = None if valid is None else valid[skip:]
-                    skip = 0
-                if codes is None:
-                    codes = ENCODE_LUT[raw]
-                if valid is None:
-                    valid = (codes != 0).sum(axis=1)
-                keep = valid >= self.min_valid
-                excl = None
-                if self.exclude_names:
-                    # name exclusion precedes the quality check, as in
-                    # nearest.c:255-270
-                    excl = np.array([nm in self.exclude_names
-                                     for nm in names])
-                    keep &= ~excl
-                if n == 0 and len(names) == self.batch and keep.all():
-                    # common fast path: full clean chunk, no copies
-                    self.stats.count += self.batch
-                    put(codes, np.ones(self.batch, dtype=bool), names,
-                        self.batch, raw)
+        for names, raw, codes, valid in self._records():
+            if skip:                     # resume: fast-skip records
+                if skip >= len(names):
+                    skip -= len(names)
                     continue
-                for i in range(len(names)):
-                    self.stats.count += 1
-                    if not keep[i]:
-                        if excl is not None and excl[i]:
-                            self.stats.same_name += 1
-                        else:
-                            self.stats.n_invalid += 1
-                        continue
-                    acc_codes[n] = codes[i]
-                    acc_raw[n] = raw[i]
-                    acc_names.append(names[i])
-                    n += 1
-                    if n == self.batch:
-                        put(acc_codes, np.ones(self.batch, dtype=bool),
-                            acc_names, n, acc_raw)
-                        acc_names, n = [], 0
-                        acc_codes = np.zeros_like(acc_codes)
-                        acc_raw = np.zeros_like(acc_raw)
-            if n:
-                ok = np.zeros(self.batch, dtype=bool)
-                ok[:n] = True
-                put(acc_codes, ok, acc_names, n, acc_raw)
-        except BaseException as e:  # surfaced on the consumer side
-            self._err = e
-        finally:
-            self._q.put(None)
+                names = names[skip:]
+                raw = raw[skip:]
+                codes = None if codes is None else codes[skip:]
+                valid = None if valid is None else valid[skip:]
+                skip = 0
+            if codes is None:
+                codes = ENCODE_LUT[raw]
+            if valid is None:
+                valid = (codes != 0).sum(axis=1)
+            keep = valid >= self.min_valid
+            excl = None
+            if self.exclude_names:
+                # name exclusion precedes the quality check, as in
+                # nearest.c:255-270
+                excl = np.array([nm in self.exclude_names
+                                 for nm in names])
+                keep &= ~excl
+            if n == 0 and len(names) == self.batch and keep.all():
+                # common fast path: full clean chunk, no copies
+                self.stats.count += self.batch
+                yield mk(codes, np.ones(self.batch, dtype=bool), names,
+                         self.batch, raw)
+                continue
+            for i in range(len(names)):
+                self.stats.count += 1
+                if not keep[i]:
+                    if excl is not None and excl[i]:
+                        self.stats.same_name += 1
+                    else:
+                        self.stats.n_invalid += 1
+                    continue
+                acc_codes[n] = codes[i]
+                acc_raw[n] = raw[i]
+                acc_names.append(names[i])
+                n += 1
+                if n == self.batch:
+                    yield mk(acc_codes, np.ones(self.batch, dtype=bool),
+                             acc_names, n, acc_raw)
+                    acc_names, n = [], 0
+                    acc_codes = np.zeros_like(acc_codes)
+                    acc_raw = np.zeros_like(acc_raw)
+        if n:
+            ok = np.zeros(self.batch, dtype=bool)
+            ok[:n] = True
+            yield mk(acc_codes, ok, acc_names, n, acc_raw)
 
 
 class EncodedStream:
@@ -268,32 +254,16 @@ class EncodedStream:
         self._scan = scan
         self.streamer = streamer
         self.delta_base = delta_base
-        self._q: queue.Queue = queue.Queue(maxsize=prefetch)
-        self._thread = threading.Thread(target=self._produce, daemon=True)
-        self._err: BaseException | None = None
+        self._pf = Prefetcher(self._batches, maxsize=prefetch)
 
-    def _produce(self):
-        try:
-            for batch in self.streamer:
-                enc = self._scan.delta_encode(batch.codes, batch.ok,
-                                              self.delta_base)
-                if enc is not None:
-                    self._q.put((batch, ("delta", enc[0], enc[1])))
-                else:
-                    self._q.put((batch,
-                                 ("packed",
-                                  self._scan.pack_codes(batch.codes))))
-        except BaseException as e:   # surfaced on the consumer side
-            self._err = e
-        finally:
-            self._q.put(None)
+    def _batches(self):
+        for batch in self.streamer:
+            enc = self._scan.delta_encode(batch.codes, batch.ok,
+                                          self.delta_base)
+            if enc is not None:
+                yield batch, ("delta", enc[0], enc[1])
+            else:
+                yield batch, ("packed", self._scan.pack_codes(batch.codes))
 
     def __iter__(self):
-        self._thread.start()
-        while True:
-            item = self._q.get()
-            if item is None:
-                if self._err is not None:
-                    raise self._err
-                return
-            yield item
+        return iter(self._pf)
