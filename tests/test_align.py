@@ -242,6 +242,39 @@ def test_dispatch_chunk_fits_int32_offsets():
         assert max_rows * n_p * w_p <= al.TB_BUDGET
 
 
+def test_run_align_small_chunk_plan_end_to_end(tmp_path, monkeypatch):
+    """Force max_rows < 64 (b_mult 8) via a tiny TB budget and run the
+    whole aligner: chunks must pad to b_mult (not 64) and outputs stay
+    correct — the end-to-end form of the padded-batch budget fix."""
+    from uvaia_tpu.engine import align as al
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(31)
+    n = 600
+    ref = rand_dna(rng, n)
+    with open("ref.fa", "w") as f:
+        f.write(f">r\n{ref.decode()}\n")
+    with open("q.fa", "w") as f:
+        for i in range(20):
+            q = bytearray(ref)
+            q[7 + i] = ord("A") if ref[7 + i] != ord("A") else ord("C")
+            del q[100:103]
+            f.write(f">q{i}\n{bytes(q).decode()}\n")
+
+    n_p, w_p = 640, 256           # padded (n, width) for band level 64
+    monkeypatch.setattr(al, "TB_BUDGET", n_p * w_p * 10)
+    max_rows, b_mult = al._chunk_plan(n, 129)
+    assert b_mult == 8 and max_rows == 8   # the sub-64 plan is in force
+
+    stats = run_align("ref.fa", ["q.fa"], AlignConfig(output="out"))
+    assert stats.n_output == 20 and stats.failed_band == 0
+    import lzma
+    text = lzma.open("out.aln.xz", "rt").read()
+    assert text.count(">") == 20
+    for row in text.split(">")[1:]:
+        body = "".join(row.splitlines()[1:])
+        assert len(body) == n and body.count("-") == 3
+
+
 def test_dispatch_group_skips_undispatchable_band(tmp_path):
     """b_mult == 0 (traceback index budget exceeded at this n/width)
     must skip the rows with failed_band counted, not dispatch garbage."""
