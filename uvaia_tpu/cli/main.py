@@ -239,5 +239,22 @@ def _dispatch(args) -> int:
     return 2
 
 
+def _tool_main(cmd: str):
+    """Entry point for the reference-named binaries (uvaia, uvaialign,
+    uvaiaball, uvaiaclust, uvaia_legacy — src/Makefile.am:7-22): same
+    parser, subcommand pre-selected, so reference users can switch
+    without relearning the invocation."""
+    def run(argv=None) -> int:
+        return main([cmd] + list(sys.argv[1:] if argv is None else argv))
+    return run
+
+
+main_nearest = _tool_main("nearest")
+main_align = _tool_main("align")
+main_ball = _tool_main("ball")
+main_cluster = _tool_main("cluster")
+main_legacy = _tool_main("legacy")
+
+
 if __name__ == "__main__":
     sys.exit(main())
