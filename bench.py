@@ -75,12 +75,14 @@ def make_data(rng, n, L, n_frac=0.02, amb_frac=0.0005, mut=0.002,
     if backbone is None:
         backbone = alphabet[rng.integers(0, 4, size=L)]
     seqs = np.tile(backbone, (n, 1))
-    mut_mask = rng.random((n, L)) < mut
+    # float32 masks: half the RNG bytes of the default float64 on a
+    # host where memcpy is the bench-setup wall
+    mut_mask = rng.random((n, L), dtype=np.float32) < mut
     seqs[mut_mask] = alphabet[rng.integers(0, 4, size=mut_mask.sum())]
-    n_mask = rng.random((n, L)) < n_frac
+    n_mask = rng.random((n, L), dtype=np.float32) < n_frac
     seqs[n_mask] = ord("N")
     amb = np.frombuffer(b"RYMKSW", dtype=np.uint8)
-    a_mask = rng.random((n, L)) < amb_frac
+    a_mask = rng.random((n, L), dtype=np.float32) < amb_frac
     seqs[a_mask] = amb[rng.integers(0, len(amb), size=a_mask.sum())]
     return seqs
 
@@ -106,7 +108,11 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
     pack.create_indices()
     qd = scan.build_device_data(pack, k=K)
 
-    NB = 8                                   # distinct host batches
+    # kernel-only sections (acgt, q1000) use a single device-resident
+    # batch; building all 8 distinct host batches there wasted ~24GB
+    # of host RNG (3 float64 masks per 4096x30k batch) on this 1-core
+    # VM — enough to push a section past its timeout.
+    NB = 8 if not kernel_only else 1         # distinct host batches
     host_codes = [ENCODE_LUT[make_data(rng, B, L, backbone=backbone)]
                   for _ in range(NB)]
     ok = jnp.ones(B, dtype=bool)
