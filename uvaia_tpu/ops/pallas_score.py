@@ -52,10 +52,14 @@ def _features(codes_i32):
     """(T, St) int32 codes -> (a bits[4], m bits[4], v) int32 planes.
 
     Stays in int32 — Mosaic has no int8 elementwise multiply; the dot
-    operands are cast to int8 at the MXU boundary instead."""
+    operands are cast to int8 at the MXU boundary instead.
+
+    This decode runs per tile VISIT and is the kernel's VPU wall at
+    small query counts (the 9 int8 dots keep the MXU <15% busy), so
+    the op count matters: the pure-base plane for bit b is simply the
+    one-hot test ``c == 1<<b`` (1 op) — no popcount, no select."""
     bits = [((codes_i32 >> b) & 1) for b in range(4)]
-    pure = _pop4(codes_i32) == 1
-    a = [jnp.where(pure, b, 0) for b in bits]
+    a = [(codes_i32 == (1 << b)).astype(jnp.int32) for b in range(4)]
     v = (codes_i32 != 0).astype(jnp.int32)
     return a, bits, v
 
@@ -220,8 +224,10 @@ def _kernel_corr(r_ref, q_ref, t_ref, p_ref):
     rc = r_ref[...].astype(jnp.int32)
     qc = q_ref[...].astype(jnp.int32)
 
-    r_amb = (_pop4(rc) >= 2).astype(jnp.int32)
-    q_amb = (_pop4(qc) >= 2).astype(jnp.int32)
+    # popcount >= 2 == "not a power of two and nonzero"; c & (c-1) is
+    # nonzero exactly then (0 & -1 == 0, so code 0 stays non-ambiguous)
+    r_amb = ((rc & (rc - 1)) != 0).astype(jnp.int32)
+    q_amb = ((qc & (qc - 1)) != 0).astype(jnp.int32)
 
     oh_r = {c: (rc == c).astype(jnp.int32) for c in AMB_CODES}
     oh_q = {c: (qc == c).astype(jnp.int32) for c in AMB_CODES}
