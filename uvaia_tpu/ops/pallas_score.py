@@ -91,13 +91,19 @@ def _kernel(r_ref, q_ref, aa_ref, mm_ref, vv_ref):
 
 
 def _kernel_full(r_ref, q_ref, cons_ref, aa_ref, mm_ref, vv_ref, c_ref):
-    """_kernel + the five consensus-stage counters, so the reference
-    codes are read from HBM exactly once per (i, k) tile:
-      c[:, 0] acgt_c   — text match at a pure-consensus site
-      c[:, 1] text_c   — code equality (both valid)
-      c[:, 2] part_c   — mask intersection
-      c[:, 3] valid_c  — both nonzero
-      c[:, 4] valid    — ref nonzero (per-ref valid site count)
+    """_kernel + the consensus-stage counters, so the reference codes
+    are read from HBM exactly once per (i, k) tile.
+
+    Three of the five consensus counters ride the MAIN dots for free:
+    the caller appends three synthetic query rows (pure-masked
+    consensus -> acgt_c in the aa column, all-15 -> valid in the vv
+    column, raw consensus -> valid_c in the vv column).  Only text_c
+    and part_c need consensus-specific planes, and their site
+    reductions run on the MXU as skinny one-hot-weight dots instead of
+    VPU lane reductions (the old 5-reduction block was ~15% of kernel
+    time at the bench shape):
+      c[:, 0] text_c  — code equality (both valid)
+      c[:, 1] part_c  — mask intersection
     The consensus counters are query-independent: only the j == 0
     program accumulates them."""
     j = pl.program_id(1)
@@ -132,17 +138,13 @@ def _kernel_full(r_ref, q_ref, cons_ref, aa_ref, mm_ref, vv_ref, c_ref):
     @pl.when(j == 0)
     def _():
         cons = cons_ref[...].astype(jnp.int32)        # (1, st)
-        cpop = _pop4(cons)
-        v_rc = ((rc != 0) & (cons != 0)).astype(jnp.int32)
-        eq = ((rc == cons).astype(jnp.int32)) * v_rc
-        acgt_c = jnp.sum(eq * (cpop == 1), axis=1)
-        text_c = jnp.sum(eq, axis=1)
-        part_c = jnp.sum(((rc & cons) != 0).astype(jnp.int32), axis=1)
-        valid_c = jnp.sum(v_rc, axis=1)
-        valid = jnp.sum((rc != 0).astype(jnp.int32), axis=1)
-        upd = jnp.stack([acgt_c, text_c, part_c, valid_c, valid,
-                         valid * 0, valid * 0, valid * 0], axis=-1)
-        c_ref[...] += upd
+        st = cons.shape[1]
+        eq = ((rc == cons) & (cons != 0)).astype(jnp.int32)
+        inter = ((rc & cons) != 0).astype(jnp.int32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, st), 0)
+        w_t = (row == 0).astype(jnp.int32)
+        w_p = (row == 1).astype(jnp.int32)
+        c_ref[...] += _dot(eq, w_t) + _dot(inter, w_p)
 
 
 @functools.partial(jax.jit, static_argnames=("bt", "qt", "st", "interpret"))
@@ -462,7 +464,7 @@ def _pair_counter_full(ref_codes, q_full, cons_full,
                    jax.ShapeDtypeStruct((B, 8), jnp.int32)),
         interpret=interpret,
     )(ref_codes, q_full, cons_full[None, :])
-    return jnp.stack([aa, mm, vv], axis=-1), cons[:, :5]
+    return aa, mm, vv, cons
 
 
 def mats_and_cons_via_pallas(ref_codes: jnp.ndarray, q_full: jnp.ndarray,
@@ -472,10 +474,28 @@ def mats_and_cons_via_pallas(ref_codes: jnp.ndarray, q_full: jnp.ndarray,
     five consensus-stage counters in one HBM read of the reference
     codes.  Returns (mats (B, Q, 3), cons5 (B, 5)).  The site width of
     ref_codes, q_full and cons_full must already agree (site_partials
-    guarantees this; zero columns count nothing)."""
+    guarantees this; zero columns count nothing).
+
+    Three synthetic query rows are appended so three consensus
+    counters fall out of the main dots (see _kernel_full):
+      row Q   — consensus masked to its pure sites: its aa column is
+                acgt_c (rc == cons at a pure-consensus site implies rc
+                is that same pure base, so the one-hot product hits)
+      row Q+1 — code 15 everywhere: its vv column is the per-ref
+                valid-site count (15 is nonzero, never pure)
+      row Q+2 — the consensus itself: its vv column is valid_c
+    Their other counter columns are meaningless and dropped."""
     B, S = ref_codes.shape
     Q = q_full.shape[0]
     pad = lambda n, m: (-n) % m
+    cf = cons_full.astype(jnp.int32)
+    pure_c = ((cf & (cf - 1)) == 0) & (cf != 0)
+    row_x = jnp.where(pure_c, cons_full, 0).astype(q_full.dtype)
+    row_y = jnp.full((S,), 15, dtype=q_full.dtype)
+    row_z = cons_full.astype(q_full.dtype)
+    q_ext = jnp.concatenate(
+        [q_full, row_x[None], row_y[None], row_z[None]], axis=0)
+    Qe = Q + 3
     # measured on v5e at the bench shape (B=4096, Q=64, S=29952):
     # (512, 64, 1024) = 2.92ms vs (256, 128, 512) = 3.36ms.  For big
     # query packs the reference tile is re-fetched per query tile, so
@@ -486,16 +506,19 @@ def mats_and_cons_via_pallas(ref_codes: jnp.ndarray, q_full: jnp.ndarray,
     # Q=1000 (135k vs 144k genomes/s): the plane re-reads per ref tile
     # (~9 GB/step at the VMEM-forced bt=128) cost more than the
     # per-visit query feature rebuild they replaced.
-    if Q <= 64:
-        bt, qt, st = 512, 64, 1024
+    if Qe <= 72:
+        bt, st = 512, 1024
+        qt = -(-Qe // 8) * 8
     else:
         bt, st = 256, 512
-        qt = min(512, -(-Q // 128) * 128)
+        qt = min(512, -(-Qe // 128) * 128)
     r = jnp.pad(ref_codes, ((0, pad(B, bt)), (0, pad(S, st))))
-    q = jnp.pad(q_full, ((0, pad(Q, qt)), (0, pad(S, st))))
+    q = jnp.pad(q_ext, ((0, pad(Qe, qt)), (0, pad(S, st))))
     c = jnp.pad(cons_full, (0, pad(S, st)))
-    mats, cons5 = _pair_counter_full(r, q, c, bt=min(bt, r.shape[0]),
-                                     qt=min(qt, q.shape[0]),
-                                     st=min(st, r.shape[1]),
-                                     interpret=interpret)
-    return mats[:B, :Q], cons5[:B]
+    aa, mm, vv, cons = _pair_counter_full(
+        r, q, c, bt=min(bt, r.shape[0]), qt=min(qt, q.shape[0]),
+        st=min(st, r.shape[1]), interpret=interpret)
+    cons5 = jnp.stack([aa[:, Q], cons[:, 0], cons[:, 1], vv[:, Q + 2],
+                       vv[:, Q + 1]], axis=-1)
+    mats = jnp.stack([aa[:, :Q], mm[:, :Q], vv[:, :Q]], axis=-1)
+    return mats[:B], cons5[:B]
