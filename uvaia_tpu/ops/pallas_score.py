@@ -64,6 +64,22 @@ def _features(codes_i32):
     return a, bits, v
 
 
+def _features_rows(codes_ref):
+    """Feature planes for a kernel input ref.
+
+    A SWAR variant was built and measured (pltpu.bitcast int8->int32 so
+    each 32-bit VPU op decodes 4 codes: bits[b] = (w >> b) & 0x01010101,
+    pure-base = bits[b] & ~bits[b+1..3], bitcast back to int8 for the
+    MXU).  It was bit-exact on v5e but consistently SLOWER at the
+    headline shape — mats B=4096/Q=64: 9.4-13.5 ms vs 6.8 ms unpacked,
+    back-to-back same-window A/B — and neutral at Q=1000 (9.0 vs
+    9.3 ms): the (rows/4) relayouts around every bitcast cost more than
+    the 4x lane saving on the decode algebra, so the unpacked int32
+    decode stays (same verdict family as the int4-operand note in
+    `_dot`)."""
+    return _features(codes_ref[...].astype(jnp.int32))
+
+
 def _kernel(r_ref, q_ref, aa_ref, mm_ref, vv_ref):
     k = pl.program_id(2)
 
@@ -73,10 +89,8 @@ def _kernel(r_ref, q_ref, aa_ref, mm_ref, vv_ref):
         mm_ref[...] = jnp.zeros_like(mm_ref)
         vv_ref[...] = jnp.zeros_like(vv_ref)
 
-    rc = r_ref[...].astype(jnp.int32)
-    qc = q_ref[...].astype(jnp.int32)
-    ra, rm, rv = _features(rc)
-    qa, qm, qv = _features(qc)
+    ra, rm, rv = _features_rows(r_ref)
+    qa, qm, qv = _features_rows(q_ref)
 
     s_aa = _dot(ra[0], qa[0])
     s_mm = _dot(rm[0], qm[0])
@@ -119,10 +133,8 @@ def _kernel_full(r_ref, q_ref, cons_ref, aa_ref, mm_ref, vv_ref, c_ref):
     def _():
         c_ref[...] = jnp.zeros_like(c_ref)
 
-    rc = r_ref[...].astype(jnp.int32)
-    qc = q_ref[...].astype(jnp.int32)
-    ra, rm, rv = _features(rc)
-    qa, qm, qv = _features(qc)
+    ra, rm, rv = _features_rows(r_ref)
+    qa, qm, qv = _features_rows(q_ref)
 
     s_aa = _dot(ra[0], qa[0])
     s_mm = _dot(rm[0], qm[0])
@@ -137,8 +149,9 @@ def _kernel_full(r_ref, q_ref, cons_ref, aa_ref, mm_ref, vv_ref, c_ref):
 
     @pl.when(j == 0)
     def _():
-        cons = cons_ref[...].astype(jnp.int32)        # (1, st)
+        cons = cons_ref[...].astype(jnp.int32)        # (1, st), 0..15
         st = cons.shape[1]
+        rc = r_ref[...].astype(jnp.int32)
         eq = ((rc == cons) & (cons != 0)).astype(jnp.int32)
         inter = ((rc & cons) != 0).astype(jnp.int32)
         row = jax.lax.broadcasted_iota(jnp.int32, (8, st), 0)
