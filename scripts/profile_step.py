@@ -52,9 +52,13 @@ def loop_kernel(qd, ref_codes, carry, n):
 
 @functools.partial(jax.jit, static_argnums=(3,))
 def loop_score(qd, ref_codes, carry, n):
+    # consume one element of EVERY plane: reading only scores[0, 0, 0]
+    # lets XLA dead-code the ambiguity-correction kernel and the s1..s5
+    # assembly (they don't feed s0), which silently relabels that work
+    # as "merge" in the step - score difference
     def body(i, c):
-        scores, _ = scan.score_batch(qd, _tied(ref_codes, c))
-        return scores[0, 0, 0] + i * 0
+        planes, _ = scan.score_batch_planes(qd, _tied(ref_codes, c))
+        return sum(p[0, 0] for p in planes) + i * 0
     return jax.lax.fori_loop(0, n, body, carry)
 
 
