@@ -220,6 +220,14 @@ def pair_counter_mats(ref_sub: jnp.ndarray, q_sub: jnp.ndarray,
 #                                                           (6 dots)
 #          - sum_b (bit_b*amb)(q) . (bit_b*amb)(r)          (4 dots)
 
+# The decode (27 compare/select planes per tile visit) is the VPU wall
+# of this kernel — at Q=1000 corr+assembly is 7.6ms of a 17ms step
+# (scripts/profile_step.py).  An int8-NATIVE decode (keep codes int8,
+# where/compare/bitwise in int8, 4x lanes per VPU op) was tried and
+# fails Mosaic compilation on this v5e toolchain (remote tpu_compile
+# HTTP 500, same legalization family as the int4-operand note in
+# _dot), so the int32 decode stays.
+#
 # every popcount>=2 code: two-base, three-base, and 15 (all four
 # bases).  encode() maps no input character to 15 today, but the XLA
 # path's IS_AMBIG table counts it, and the kernels are pinned exactly
