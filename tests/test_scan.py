@@ -279,3 +279,38 @@ def test_scan_steps_repeat_equals_step_loop():
                                   np.asarray(st[0]))
     np.testing.assert_array_equal(np.asarray(st_fused[1]),
                                   np.asarray(st[1]))
+
+
+@pytest.mark.parametrize("acgt", [False, True])
+def test_merge_topk_plane_and_stacked_forms_agree(acgt):
+    """merge_topk accepts the six-(B, Q)-plane tuple (scan_step's form)
+    or a stacked (B, Q, 6) array (sharded/mesh callers): same state,
+    same is_best flags, for both the window and full merge branches."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(23)
+    L, k, B = 300, 4, 17
+    pack = make_pack(rng, n_query=5, L=L, acgt=acgt)
+    qd = scan.build_device_data(pack, k=k)
+    refs = random_alignment(rng, B, L, mut=0.08)
+    ref_codes = jnp.asarray(np.stack([encode(r) for r in refs]))
+    ok = jnp.asarray(np.r_[np.ones(B - 2, bool), False, True])
+
+    planes, _ = scan.score_batch_planes(qd, ref_codes)
+    stacked = jnp.stack(planes, axis=-1)
+    np.testing.assert_array_equal(
+        np.asarray(scan.score_batch(qd, ref_codes)[0]),
+        np.asarray(stacked))
+
+    for state in (scan.init_state(pack.n_query, k),       # full merge
+                  scan.scan_step(qd, scan.init_state(pack.n_query, k),
+                                 ref_codes, ok, np.int32(0))[0]):
+        st_p, best_p = scan.merge_topk(qd, state, planes, ok,
+                                       jnp.int32(100))
+        st_s, best_s = scan.merge_topk(qd, state, stacked, ok,
+                                       jnp.int32(100))
+        np.testing.assert_array_equal(np.asarray(best_p),
+                                      np.asarray(best_s))
+        np.testing.assert_array_equal(np.asarray(st_p[0]),
+                                      np.asarray(st_s[0]))
+        np.testing.assert_array_equal(np.asarray(st_p[1]),
+                                      np.asarray(st_s[1]))
