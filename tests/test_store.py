@@ -1,0 +1,237 @@
+"""Persistent-store (io/store.py) tests: ingest round-trip, streamer
+equivalence against the FASTA path, and full-engine CSV/dump parity.
+
+The store is the 'index' half of SURVEY.md §7's index-and-query
+engine; everything here pins that scanning a store is byte-equivalent
+to scanning the FASTA it was ingested from."""
+
+import lzma
+import os
+
+import numpy as np
+import pytest
+
+from uvaia_tpu.core.encoding import ENCODE_LUT
+from uvaia_tpu.io import store as store_mod
+from uvaia_tpu.io.fasta import read_fasta_all
+
+
+def _write_fasta(path, names, seqs):
+    op = lzma.open if str(path).endswith(".xz") else open
+    with op(path, "wt") as f:
+        for nm, sq in zip(names, seqs):
+            if isinstance(sq, bytes):
+                sq = sq.decode("latin1")
+            f.write(f">{nm}\n{sq}\n")
+
+
+def _mk_genomes(rng, n, L, tricky=True):
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    backbone = alphabet[rng.integers(0, 4, size=L)]
+    seqs = np.tile(backbone, (n, 1))
+    mut = rng.random((n, L)) < 0.01
+    seqs[mut] = alphabet[rng.integers(0, 4, size=mut.sum())]
+    out = []
+    for i in range(n):
+        s = bytearray(seqs[i].tobytes())
+        if tricky:
+            if i % 3 == 0:            # leading N + trailing gap runs
+                s[: L // 10] = b"N" * (L // 10)
+                s[-L // 12:] = b"-" * (L // 12)
+            if i % 4 == 1:            # mid-sequence gap run
+                s[L // 2: L // 2 + 7] = b"-" * 7
+            if i % 5 == 2:            # IUPAC + exception chars
+                s[10] = ord("R")
+                s[11] = ord("Y")
+                s[12] = ord("?")      # encodes to 0, decodes via exc
+                s[13] = ord("U")      # encodes as T, decodes via exc
+        out.append(bytes(s))
+    return out
+
+
+@pytest.fixture(scope="module")
+def tiny_db(tmp_path_factory):
+    d = tmp_path_factory.mktemp("store")
+    rng = np.random.default_rng(7)
+    L = 600
+    names = [f"seq_{i:03d}|x" for i in range(37)]
+    seqs = _mk_genomes(rng, 37, L)
+    fa = d / "db.fa.xz"
+    _write_fasta(fa, names, seqs)
+    st_path = d / "db.uvst"
+    stats = store_mod.ingest([str(fa)], str(st_path), block=8)
+    return dict(dir=d, fa=str(fa), store=str(st_path), names=names,
+                seqs=seqs, L=L, stats=stats)
+
+
+def test_ingest_roundtrip(tiny_db):
+    st = store_mod.Store(tiny_db["store"])
+    assert st.n_rows == len(tiny_db["names"])
+    assert st.n_sites == tiny_db["L"]
+    assert store_mod.is_store(tiny_db["store"])
+    assert not store_mod.is_store(tiny_db["fa"])
+    for r in range(st.n_rows):
+        assert st.name(r) == tiny_db["names"][r]
+        expect = tiny_db["seqs"][r].upper()
+        assert st.seq_row(r) == expect, f"row {r} decode mismatch"
+        np.testing.assert_array_equal(
+            st.codes_row(r),
+            ENCODE_LUT[np.frombuffer(expect, dtype=np.uint8)])
+        assert st.valid[r] == int(
+            np.count_nonzero(ENCODE_LUT[np.frombuffer(expect, np.uint8)]))
+
+
+def test_streamer_equivalence(tiny_db):
+    """StoreStreamer batches must mirror RefStreamer+EncodedStream:
+    same names/base_idx/records_read and payloads that rebuild the same
+    codes — including a pool that does not divide the store block."""
+    from uvaia_tpu.engine.stream import EncodedStream, RefStreamer
+    from uvaia_tpu.ops import scan
+
+    L = tiny_db["L"]
+    pool = 12                       # store block is 8: forces splicing
+    excl = {tiny_db["names"][5]}
+
+    ss = store_mod.StoreStreamer([tiny_db["store"]], L, pool,
+                                 ref_ambiguity=0.5, exclude_names=excl)
+    base = ss.base if ss.base is not None else np.zeros(L, np.uint8)
+    rs = RefStreamer([tiny_db["fa"]], L, pool, ref_ambiguity=0.5,
+                     exclude_names=excl)
+    got = list(ss)
+    want_b = list(EncodedStream(rs, base))
+
+    assert len(got) == len(want_b)
+    for (sb, sp), (rb, _rp) in zip(got, want_b):
+        assert sb.names == rb.names
+        assert sb.base_idx == rb.base_idx
+        assert sb.n == rb.n
+        assert sb.records_read == rb.records_read
+        np.testing.assert_array_equal(sb.ok, rb.ok)
+        # payload rebuilds the exact codes of the kept rows
+        if sp[0] == "delta":
+            import jax.numpy as jnp
+            codes = np.asarray(scan.reconstruct_delta(
+                jnp.asarray(base), jnp.asarray(sp[1]), jnp.asarray(sp[2])))
+        else:
+            codes = np.asarray(scan.unpack_codes(sp[1], L))
+        np.testing.assert_array_equal(codes[: sb.n], rb.codes[: rb.n])
+        # on-demand decode for dump survivors
+        for i in (0, sb.n - 1):
+            assert sb.seq(i) == rb.seq(i)
+    assert ss.stats.count == rs.stats.count
+    assert ss.stats.same_name == rs.stats.same_name == 1
+    assert ss.stats.n_invalid == rs.stats.n_invalid
+
+
+def test_streamer_skip_records(tiny_db):
+    from uvaia_tpu.engine.stream import RefStreamer
+
+    L = tiny_db["L"]
+    ss = store_mod.StoreStreamer([tiny_db["store"]], L, 8,
+                                 skip_records=13, initial_base=100)
+    rs = RefStreamer([tiny_db["fa"]], L, 8,
+                     skip_records=13, initial_base=100)
+    # the engine seeds the resumed count (nearest.py); StoreStreamer
+    # derives records_read from absolute row indices either way
+    rs.stats.count = 13
+    got = list(ss)
+    want = list(rs)
+    assert [b.names for b, _ in got] == [b.names for b in want]
+    assert [b.base_idx for b, _ in got] == [b.base_idx for b in want]
+    assert [b.records_read for b, _ in got] == \
+        [b.records_read for b in want]
+
+
+def test_nearest_store_equivalence(tiny_db, tmp_path):
+    """Full-engine parity: CSV rows and neighbour-dump content of a
+    store scan == the FASTA scan (prune on, the default path)."""
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+
+    qp = tmp_path / "q.fa"
+    _write_fasta(qp, tiny_db["names"][:5],
+                 [s.decode("latin1") for s in tiny_db["seqs"][:5]])
+
+    r_fa = run_nearest([tiny_db["fa"]], str(qp),
+                       NearestConfig(nbest=6, pool=16,
+                                     output=str(tmp_path / "fa")))
+    r_st = run_nearest([tiny_db["store"]], str(qp),
+                       NearestConfig(nbest=6, pool=16,
+                                     output=str(tmp_path / "st")))
+    assert list(r_fa.rows()) == list(r_st.rows())
+    assert r_fa.n_scanned == r_st.n_scanned
+    assert r_fa.n_invalid == r_st.n_invalid
+
+    def dump(prefix):
+        return [(r.name, r.seq) for r in
+                read_fasta_all(str(prefix) + ".aln.xz")]
+    assert dump(tmp_path / "fa") == dump(tmp_path / "st")
+
+
+def test_nearest_store_mixed_inputs_rejected(tiny_db, tmp_path):
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+
+    qp = tmp_path / "q.fa"
+    _write_fasta(qp, tiny_db["names"][:2],
+                 [s.decode("latin1") for s in tiny_db["seqs"][:2]])
+    with pytest.raises(SystemExit, match="mix"):
+        run_nearest([tiny_db["store"], tiny_db["fa"]], str(qp),
+                    NearestConfig(nbest=2, output=str(tmp_path / "mx")))
+
+
+def test_ball_store_equivalence(tiny_db, tmp_path):
+    from uvaia_tpu.engine.ball import BallConfig, run_ball
+
+    qp = tmp_path / "q.fa"
+    _write_fasta(qp, ["q0"], [tiny_db["seqs"][0].decode("latin1")])
+    s_fa = run_ball([tiny_db["fa"]], str(qp),
+                    BallConfig(distance=8, pool=16,
+                               output=str(tmp_path / "bfa")))
+    s_st = run_ball([tiny_db["store"]], str(qp),
+                    BallConfig(distance=8, pool=16,
+                               output=str(tmp_path / "bst")))
+    assert s_fa["kept"] == s_st["kept"]
+    assert s_fa["count"] == s_st["count"]
+    a = read_fasta_all(str(tmp_path / "bfa") + ".aln.xz")
+    b = read_fasta_all(str(tmp_path / "bst") + ".aln.xz")
+    assert [(r.name, r.seq) for r in a] == [(r.name, r.seq) for r in b]
+
+
+def test_packed_fallback_block(tmp_path):
+    """Rows whose diff count overflows every delta bucket force the
+    block to packed-only — the scan must still be exact."""
+    rng = np.random.default_rng(11)
+    L = 6000
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    backbone = alphabet[rng.integers(0, 4, size=L)]
+    seqs = []
+    for i in range(12):
+        if i < 6:
+            s = backbone.copy()     # delta-friendly block
+            mut = rng.random(L) < 0.01
+            s[mut] = alphabet[rng.integers(0, 4, size=mut.sum())]
+        else:
+            s = alphabet[rng.integers(0, 4, size=L)]  # ~75% diffs
+        seqs.append(s.tobytes())
+    names = [f"g{i}" for i in range(12)]
+    fa = tmp_path / "db.fa"
+    _write_fasta(fa, names, [s.decode() for s in seqs])
+    stp = tmp_path / "db.uvst"
+    stats = store_mod.ingest([str(fa)], str(stp), block=6)
+    assert stats.n_packed_blocks >= 1 and stats.n_delta_blocks >= 1
+
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+    qp = tmp_path / "q.fa"
+    _write_fasta(qp, names[:2], [seqs[0].decode(), seqs[7].decode()])
+    r_fa = run_nearest([str(fa)], str(qp),
+                       NearestConfig(nbest=4, pool=6,
+                                     output=str(tmp_path / "fa")))
+    r_st = run_nearest([str(stp)], str(qp),
+                       NearestConfig(nbest=4, pool=6,
+                                     output=str(tmp_path / "st")))
+    assert list(r_fa.rows()) == list(r_st.rows())
+
+
+def test_ingest_refuses_overwrite(tiny_db):
+    with pytest.raises(SystemExit, match="exists"):
+        store_mod.ingest([tiny_db["fa"]], tiny_db["store"])
+    assert store_mod.is_store(tiny_db["store"])

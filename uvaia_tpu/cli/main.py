@@ -118,6 +118,22 @@ def _add_cluster(sub):
     return p
 
 
+def _add_ingest(sub):
+    p = sub.add_parser(
+        "ingest", help="index an aligned reference database once into a "
+        "persistent binary store; nearest/ball then scan it with zero "
+        "decompression (pass the store directory wherever a reference "
+        "FASTA is accepted)")
+    p.add_argument("-o", "--output", required=True,
+                   help="store directory to create (must not exist)")
+    p.add_argument("--block", type=int, default=4096,
+                   help="rows per store block (default 4096, matching "
+                        "the default scan pool)")
+    p.add_argument("fasta", nargs="+",
+                   help="aligned reference database(s), xz/gz/bz2/raw")
+    return p
+
+
 def _add_legacy(sub):
     p = sub.add_parser("legacy", help="in-memory searcher (pre-2022 "
                        "uvaia behaviour)")
@@ -149,6 +165,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_ball(sub)
     _add_cluster(sub)
     _add_legacy(sub)
+    _add_ingest(sub)
     return ap
 
 
@@ -227,6 +244,23 @@ def _dispatch(args) -> int:
                             reference=args.reference, output=args.output,
                             save_interval=args.save_interval)
         run_cluster(args.fasta, cfg)
+        return 0
+    if args.cmd == "ingest":
+        from ..io.store import ingest
+
+        def _progress(n, dt, _last=[0.0]):
+            if dt - _last[0] >= 10.0:
+                _last[0] = dt
+                print(f"ingested {n} sequences, {n/max(dt,1e-9):,.0f} "
+                      f"genomes/sec", file=sys.stderr)
+        st = ingest(args.fasta, args.output, block=args.block,
+                    progress=_progress)
+        print(f"Ingested {st.n_rows} sequences x {st.n_sites} sites into "
+              f"{args.output} ({st.bytes/1e6:.1f} MB, "
+              f"{st.n_delta_blocks} delta + {st.n_packed_blocks} "
+              f"packed-only blocks) in {st.seconds:.1f}s "
+              f"({st.n_rows/max(st.seconds,1e-9):,.0f} genomes/sec)",
+              file=sys.stderr)
         return 0
     if args.cmd == "legacy":
         from ..engine.legacy import LegacyConfig, run_legacy

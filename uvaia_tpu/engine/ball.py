@@ -87,7 +87,19 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
         dist_ops.mismatch_weights(q_sub, cfg.acgt), 8, axis=1))
 
     from ..ops.scan import majority_code, reconstruct_delta, unpack_codes
+    from ..io import store as store_mod
+    n_store = sum(store_mod.is_store(p) for p in ref_paths)
+    if n_store and n_store != len(ref_paths):
+        raise SystemExit(
+            "reference inputs mix ingested stores and FASTA files; "
+            "scan them in separate runs (or ingest the FASTA too)")
+    store_mode = n_store > 0
     delta_base = majority_code(pack.codes)
+    if store_mode:
+        # stored diff lists are against the store's own base
+        sb = store_mod.peek_store_base(ref_paths[0])
+        if sb is not None:
+            delta_base = sb
     delta_base_d = jnp.asarray(delta_base)
 
     # the query tables ride as jit ARGUMENTS, not closure captures:
@@ -115,8 +127,9 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
     def step_delta(tb, pos, val, ok):
         return keep_rule(tb, reconstruct_delta(tb[4], pos, val), ok)
 
-    streamer = RefStreamer(ref_paths, L, cfg.pool,
-                           ref_ambiguity=cfg.ref_ambiguity)
+    streamer_cls = store_mod.StoreStreamer if store_mode else RefStreamer
+    streamer = streamer_cls(ref_paths, L, cfg.pool,
+                            ref_ambiguity=cfg.ref_ambiguity)
     # the kept set can be a large DB fraction (radius searches on
     # surveillance data keep whole lineages); multi-stream xz on a
     # thread pool keeps the writer off the streaming critical path
@@ -132,8 +145,9 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
             writer.write(batch.names[i], batch.seq(int(i)))
 
     from .stream import EncodedStream
+    pairs = streamer if store_mode else EncodedStream(streamer, delta_base)
     try:
-        for batch, payload in EncodedStream(streamer, delta_base):
+        for batch, payload in pairs:
             if payload[0] == "delta":  # sparse-delta upload (see ops/scan)
                 keep, _ = step_delta(tables, jnp.asarray(payload[1]),
                                      jnp.asarray(payload[2]),

@@ -129,6 +129,19 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         log("Considering text match and partially ambiguous "
             "(excluding only gaps and Ns).")
 
+    # persistent-store inputs (io/store.py): batches stream straight
+    # from mmap with zero decode/encode; the store's delta base replaces
+    # the query-majority base so uploads reuse the stored diff lists
+    from ..io import store as store_mod
+    n_store = sum(store_mod.is_store(p) for p in ref_paths)
+    if n_store and n_store != len(ref_paths):
+        raise SystemExit(
+            "reference inputs mix ingested stores and FASTA files; "
+            "scan them in separate runs (or ingest the FASTA too)")
+    store_mode = n_store > 0
+    store_base = store_mod.peek_store_base(ref_paths[0]) if store_mode \
+        else None
+
     sharded = bool(cfg.n_devices and cfg.n_devices > 1)
     if sharded:
         from ..parallel.mesh import make_mesh, make_sharded_scan_step
@@ -149,7 +162,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             sh_step_delta = make_sharded_scan_step(qd, mesh, delta=True)
 
             def step_fn(st, batch, payload):
-                ridx = batch.base_idx + np.arange(batch.codes.shape[0],
+                ridx = batch.base_idx + np.arange(payload[1].shape[0],
                                                   dtype=np.int32)
                 if payload[0] == "delta":   # sparse-delta (see ops/scan)
                     return sh_step_delta(st, jnp.asarray(payload[1]),
@@ -180,6 +193,10 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                     qd, st, jnp.asarray(payload[1]),
                     jnp.asarray(batch.ok), np.int32(batch.base_idx))
             return step_fn
+    if store_base is not None:
+        # before any step compiles: qd.delta_base rides into every
+        # jitted step (pytree field / shard_map closure)
+        qd.delta_base = jnp.asarray(store_base)
     delta_base = np.asarray(qd.delta_base)
     state = scan.init_state(pack.n_query, cfg.nbest)
 
@@ -206,10 +223,11 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             f"{resumed_written} sequences already dumped")
 
     exclude = set(pack.names) if cfg.exclude_self else None
-    streamer = RefStreamer(ref_paths, pack.n_sites, cfg.pool,
-                           ref_ambiguity=cfg.ref_ambiguity,
-                           exclude_names=exclude,
-                           skip_records=skip, initial_base=base0)
+    streamer_cls = store_mod.StoreStreamer if store_mode else RefStreamer
+    streamer = streamer_cls(ref_paths, pack.n_sites, cfg.pool,
+                            ref_ambiguity=cfg.ref_ambiguity,
+                            exclude_names=exclude,
+                            skip_records=skip, initial_base=base0)
     if ckpt is not None:
         streamer.stats.count = ckpt.records_read
         streamer.stats.n_invalid = ckpt.n_invalid
@@ -264,6 +282,11 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             writer.write(batch.names[i], batch.seq(int(i)))
 
     use_prune = cfg.prune
+    if store_mode:
+        pairs = streamer          # yields (batch, payload) from mmaps
+    else:
+        from .stream import EncodedStream
+        pairs = EncodedStream(streamer, delta_base)
 
     def _progress(total):
         nonlocal last_print
@@ -308,10 +331,9 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                 writer.write(nm, seq)
             retained = {}
 
-        from .stream import EncodedStream
-        for batch, payload in EncodedStream(streamer, delta_base):
+        for batch, payload in pairs:
             ridx = jnp.asarray(batch.base_idx +
-                               np.arange(batch.codes.shape[0],
+                               np.arange(payload[1].shape[0],
                                          dtype=np.int32))
             if payload[0] == "delta":  # sparse-delta upload (see ops/scan)
                 survive, bufs = prune_acc_delta(
@@ -377,8 +399,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             retained = {}
             buf_n = jnp.int32(0)
 
-        from .stream import EncodedStream
-        for batch, payload in EncodedStream(streamer, delta_base):
+        for batch, payload in pairs:
             if payload[0] == "delta":
                 survive, codes_d = scan.prune_and_hold_delta(
                     qd, state, jnp.asarray(payload[1]),
