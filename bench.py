@@ -34,12 +34,16 @@ Sections and their keys:
   q1000     — kernel rate at Q=1000 full mode (BASELINE config-3 shape)
   align     — two-pass banded-Gotoh aligner end-to-end on 30kb queries,
       xz output included (skip with BENCH_ALIGN=0)
-  realdata  — end-to-end nearest on the bundled 9185-genome DB
-      (skip with BENCH_REALDATA=0)
-  scale     — BASELINE configs 4/5 evidence: ball + cluster + nearest
-      on a generated database (BENCH_SCALE_N genomes, default 10000;
-      set 250000 for the full config-4 run — the section timeout
-      scales with N; BENCH_SCALE=0 skips)
+  realdata  — end-to-end nearest on the bundled 9185-genome DB, plus
+      the persistent-store path: one-time ingest then decode-free
+      indexed scans (keys ingest_genomes_per_sec /
+      indexed_scan_genomes_per_sec; skip all with BENCH_REALDATA=0)
+  scale     — BASELINE configs 4/5 evidence, TIME-BOXED: 10k probe of
+      every stage, then the largest N in {50k, 100k, 250k} whose
+      projected wall fits BENCH_SCALE_TIMEOUT (default 3600s) runs for
+      real — keys carry the actual N (ball/near/near_indexed/ingest/
+      cluster_<N>k_genomes_per_sec).  BENCH_SCALE_N forces a specific
+      N; BENCH_SCALE=0 skips
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -297,57 +301,104 @@ def section_realdata():
             dt = min(dt or 1e9, time.time() - t0)
             emit(realdata_e2e_genomes_per_sec=round(r.n_scanned / dt, 1))
 
+        # the index half (SURVEY §7): one-time ingest to the persistent
+        # store, then decode-free scans from its mmaps — repeat scans
+        # are what surveillance users actually run
+        from uvaia_tpu.io.store import ingest
+        st = ingest([db], f"{d}/db.uvst")
+        emit(ingest_genomes_per_sec=round(st.n_rows / st.seconds, 1))
+        run_nearest([f"{d}/db.uvst"], qp,
+                    NearestConfig(nbest=8, exclude_self=True,
+                                  output=f"{d}/warm_ix"))   # warm shapes
+        dt = None
+        for _ in range(3):
+            t0 = time.time()
+            r = run_nearest([f"{d}/db.uvst"], qp,
+                            NearestConfig(nbest=8, exclude_self=True,
+                                          output=f"{d}/out_ix"))
+            dt = min(dt or 1e9, time.time() - t0)
+            emit(indexed_scan_genomes_per_sec=round(r.n_scanned / dt, 1))
 
-def section_scale(n):
-    """BASELINE configs 4/5 evidence, driver-captured: generate an
-    n-genome synthetic surveillance DB (scripts/scale_bench.py model:
-    lineage centres + private SNPs + N runs) and run ball, cluster and
-    nearest end-to-end.  Keys carry the actual N so a reduced run is
-    never mistaken for the full 250k one."""
+
+def section_scale(n_forced):
+    """BASELINE configs 4/5 evidence, driver-captured and TIME-BOXED:
+    a 10k probe measures this host's per-genome cost of every stage
+    (gen, ingest, ball, nearest, indexed nearest, cluster), then the
+    LARGEST N in {250k, 100k, 50k} whose projected wall fits the
+    section budget runs for real.  Keys carry the actual N so a
+    reduced run is never mistaken for the full config-4 one; the probe
+    emits the 10k keys either way (round-over-round continuity).
+    BENCH_SCALE_N forces a specific N and skips the projection."""
     import tempfile
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
     import scale_bench
 
-    tag = f"{n//1000}k"
+    from uvaia_tpu.engine.ball import BallConfig, run_ball
+    from uvaia_tpu.engine.cluster import ClusterConfig, run_cluster
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+    from uvaia_tpu.io.store import ingest
+
+    budget = float(os.environ.get("BENCH_SCALE_TIMEOUT", 3600)) * 0.9
+    t_start = time.time()
+
     with tempfile.TemporaryDirectory() as d:
-        db = f"{d}/db.fa.gz"
-        scale_bench.gen(n, db)
-        qp = f"{d}/q.fa"
-        scale_bench._queries_from(db, 64, qp)
-        # warm-up DB: small enough to be cheap, batch-padded to the
-        # same compiled shapes — absorbs jit compiles / cache loads so
-        # the timed runs measure throughput, not the compiler
         wdb = f"{d}/warm.fa.gz"
         scale_bench.gen(512, wdb)
+        wq = f"{d}/wq.fa"
+        scale_bench._queries_from(wdb, 64, wq)
+        # absorb every jit compile / cache load on the warm-up DB so
+        # the timed runs measure throughput, not the compiler
+        run_ball([wdb], wq, BallConfig(distance=5, output=f"{d}/wb"))
+        run_nearest([wdb], wq, NearestConfig(nbest=50, output=f"{d}/wn"))
+        run_cluster([wdb], ClusterConfig(distance=3, output=f"{d}/wc"))
 
-        def best2(key, fn):
-            # best of 2 timed runs (tunnel-weather variance, see
-            # section_scan); each repeat is a full real run
-            dt = None
-            for _ in range(2):
+        def run_at(n, tag):
+            """Generate an n-genome DB and time every stage once.
+            Returns total seconds of the timed stages."""
+            rates = {}
+
+            def timed(key, fn):
                 t0 = time.time()
                 fn()
-                dt = min(dt or 1e9, time.time() - t0)
-                emit(**{key: round(n / dt, 1)})
+                dt = time.time() - t0
+                rates[key] = dt
+                emit(**{f"{key}_{tag}_genomes_per_sec": round(n / dt, 1)})
+                return dt
 
-        from uvaia_tpu.engine.ball import BallConfig, run_ball
-        run_ball([wdb], qp, BallConfig(distance=5, output=f"{d}/wb"))
-        best2(f"ball_{tag}_genomes_per_sec",
-              lambda: run_ball([db], qp,
-                               BallConfig(distance=5, output=f"{d}/ball")))
+            db = f"{d}/db_{tag}.fa.gz"
+            t0 = time.time()
+            scale_bench.gen(n, db)
+            gen_s = time.time() - t0
+            qp = f"{d}/q_{tag}.fa"
+            scale_bench._queries_from(db, 64, qp)
+            timed("ball", lambda: run_ball(
+                [db], qp, BallConfig(distance=5, output=f"{d}/b_{tag}")))
+            timed("near", lambda: run_nearest(
+                [db], qp, NearestConfig(nbest=50, output=f"{d}/n_{tag}")))
+            store = f"{d}/db_{tag}.uvst"
+            timed("ingest", lambda: ingest([db], store))
+            timed("near_indexed", lambda: run_nearest(
+                [store], qp,
+                NearestConfig(nbest=50, output=f"{d}/ni_{tag}")))
+            timed("cluster", lambda: run_cluster(
+                [db], ClusterConfig(distance=3, output=f"{d}/c_{tag}")))
+            os.unlink(db)
+            import shutil
+            shutil.rmtree(store)
+            return gen_s + sum(rates.values())
 
-        from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
-        run_nearest([wdb], qp, NearestConfig(nbest=50, output=f"{d}/wn"))
-        best2(f"near_{tag}_genomes_per_sec",
-              lambda: run_nearest([db], qp,
-                                  NearestConfig(nbest=50,
-                                                output=f"{d}/near")))
+        probe_s = run_at(10_000, "10k")
 
-        from uvaia_tpu.engine.cluster import ClusterConfig, run_cluster
-        run_cluster([wdb], ClusterConfig(distance=3, output=f"{d}/wc"))
-        best2(f"cluster_{tag}_genomes_per_sec",
-              lambda: run_cluster([db], ClusterConfig(distance=3,
-                                                      output=f"{d}/cl")))
+        if n_forced:
+            big = int(n_forced)
+        else:
+            left = budget - (time.time() - t_start)
+            big = next((n for n in (250_000, 100_000, 50_000)
+                        if probe_s * n / 10_000 <= 0.8 * left), None)
+            emit(scale_probe_seconds=round(probe_s, 1),
+                 scale_chosen_n=big or 0)
+        if big and big > 10_000:
+            run_at(big, f"{big//1000}k")
 
 
 def run_section(name, L, Q, B, K, STEPS):
@@ -372,7 +423,7 @@ def run_section(name, L, Q, B, K, STEPS):
     elif name == "realdata":
         section_realdata()
     elif name == "scale":
-        section_scale(int(os.environ.get("BENCH_SCALE_N", 10_000)))
+        section_scale(int(os.environ.get("BENCH_SCALE_N", 0)))
     else:
         raise SystemExit(f"unknown section {name}")
 
@@ -402,13 +453,13 @@ def orchestrate():
         sections.append("realdata")
     if os.environ.get("BENCH_SCALE", "1") != "0":
         sections.append("scale")
-    # the scale section's wall time is ~linear in BENCH_SCALE_N
-    # (measured at 250k: ball+cluster+nearest, 2 repeats each + gen +
-    # warmup ~ 70 min); size its timeout to N so the full config-4 run
-    # is never killed mid-flight.  BENCH_SCALE_TIMEOUT overrides.
-    scale_n = int(os.environ.get("BENCH_SCALE_N", 10_000))
+    # the scale section is TIME-BOXED: it probes at 10k and then runs
+    # the largest N in {50k, 100k, 250k} whose projected wall fits
+    # this timeout (see section_scale).  A forced BENCH_SCALE_N scales
+    # the timeout linearly instead.
+    scale_n = int(os.environ.get("BENCH_SCALE_N", 0))
     scale_to = int(os.environ.get("BENCH_SCALE_TIMEOUT",
-                                  max(2700, int(scale_n * 0.025))))
+                                  max(3600, int(scale_n * 0.03))))
     timeouts = {"scan": 1800, "acgt": 1800, "q1000": 1800, "align": 1500,
                 "realdata": 1500, "scale": scale_to}
 

@@ -75,6 +75,18 @@ def test_gate_dense(q1k, tmp_path, monkeypatch):
     assert _csv_sha("gate") == GOLDEN_CSV_SHA256
 
 
+def test_gate_indexed_store(q1k, tmp_path, monkeypatch):
+    """Ingest the real database into a persistent store (io/store.py)
+    and scan THAT: the decode-free indexed path must reproduce the
+    pinned config-1 CSV byte-for-byte."""
+    from uvaia_tpu.io.store import ingest
+
+    monkeypatch.chdir(tmp_path)
+    ingest([DB], "db.uvst")
+    run_nearest(["db.uvst"], q1k, _cfg("gate"))
+    assert _csv_sha("gate") == GOLDEN_CSV_SHA256
+
+
 def test_gate_sharded_virtual_mesh(q1k, tmp_path, monkeypatch):
     import jax
     if len(jax.devices()) < 8:

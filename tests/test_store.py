@@ -231,6 +231,29 @@ def test_packed_fallback_block(tmp_path):
     assert list(r_fa.rows()) == list(r_st.rows())
 
 
+def test_ingest_no_frames(tiny_db, tmp_path):
+    """frames=False store: no rowxz section, frame() returns None, and
+    the engines fall back to seq-byte dump writes (content parity)."""
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+
+    stp = tmp_path / "nf.uvst"
+    store_mod.ingest([tiny_db["fa"]], str(stp), block=8, frames=False)
+    st = store_mod.Store(stp)
+    assert st.frame_row(0) is None
+    qp = tmp_path / "q.fa"
+    _write_fasta(qp, tiny_db["names"][:2], tiny_db["seqs"][:2])
+    r_nf = run_nearest([str(stp)], str(qp),
+                       NearestConfig(nbest=3, pool=16,
+                                     output=str(tmp_path / "nf")))
+    r_fr = run_nearest([tiny_db["store"]], str(qp),
+                       NearestConfig(nbest=3, pool=16,
+                                     output=str(tmp_path / "fr")))
+    assert list(r_nf.rows()) == list(r_fr.rows())
+    a = read_fasta_all(str(tmp_path / "nf") + ".aln.xz")
+    b = read_fasta_all(str(tmp_path / "fr") + ".aln.xz")
+    assert [(r.name, r.seq) for r in a] == [(r.name, r.seq) for r in b]
+
+
 def test_ingest_refuses_overwrite(tiny_db):
     with pytest.raises(SystemExit, match="exists"):
         store_mod.ingest([tiny_db["fa"]], tiny_db["store"])

@@ -129,6 +129,9 @@ def _add_ingest(sub):
     p.add_argument("--block", type=int, default=4096,
                    help="rows per store block (default 4096, matching "
                         "the default scan pool)")
+    p.add_argument("--no-frames", action="store_true",
+                   help="skip pre-compressed dump frames (~3x faster "
+                        "ingest; scans then re-compress dump survivors)")
     p.add_argument("fasta", nargs="+",
                    help="aligned reference database(s), xz/gz/bz2/raw")
     return p
@@ -254,7 +257,7 @@ def _dispatch(args) -> int:
                 print(f"ingested {n} sequences, {n/max(dt,1e-9):,.0f} "
                       f"genomes/sec", file=sys.stderr)
         st = ingest(args.fasta, args.output, block=args.block,
-                    progress=_progress)
+                    progress=_progress, frames=not args.no_frames)
         print(f"Ingested {st.n_rows} sequences x {st.n_sites} sites into "
               f"{args.output} ({st.bytes/1e6:.1f} MB, "
               f"{st.n_delta_blocks} delta + {st.n_packed_blocks} "

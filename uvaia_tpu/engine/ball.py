@@ -138,11 +138,13 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
     last_print = 0
     pending = None
 
+    from .stream import dump_entry, write_dump
+
     def drain(pending):
         keep, batch = pending
         keep = np.asarray(keep)[: batch.n]
         for i in np.nonzero(keep)[0]:
-            writer.write(batch.names[i], batch.seq(int(i)))
+            write_dump(writer, dump_entry(batch, int(i)))
 
     from .stream import EncodedStream
     pairs = streamer if store_mode else EncodedStream(streamer, delta_base)

@@ -24,7 +24,7 @@ from ..io.fasta import ParallelXzFastaWriter
 from ..io.compress import open_write
 from ..ops import scan
 from .query import QueryPack, build_query_pack, log
-from .stream import RefStreamer
+from .stream import RefStreamer, dump_entry, write_dump
 
 CSV_HEADER_FULL = ("query,reference,rank,ACGT_matches,text_matches,"
                    "partial_matches,valid_pair_comparisons,"
@@ -279,7 +279,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         flags = np.asarray(flags)[: batch.n]
         for i in np.nonzero(flags)[0]:
             names[batch.base_idx + int(i)] = batch.names[i]
-            writer.write(batch.names[i], batch.seq(int(i)))
+            write_dump(writer, dump_entry(batch, int(i)))
 
     use_prune = cfg.prune
     if store_mode:
@@ -326,9 +326,9 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             state, flags, bufs = sv_flush(state, bufs)
             for slot in np.nonzero(np.asarray(flags))[0]:
                 g = int(idxs[slot])
-                nm, seq = retained[g]
-                names[g] = nm
-                writer.write(nm, seq)
+                entry = retained[g]
+                names[g] = entry[0]
+                write_dump(writer, entry)
             retained = {}
 
         for batch, payload in pairs:
@@ -346,7 +346,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             sv = np.nonzero(np.asarray(survive)[: batch.n])[0]
             for i in sv:
                 g = batch.base_idx + int(i)
-                retained[g] = (batch.names[i], batch.seq(int(i)))
+                retained[g] = dump_entry(batch, int(i))
             n_surv += len(sv)
             # rows past a shard's buffer end would be dropped by the
             # scatter: flush whenever the fullest shard could overflow
@@ -372,7 +372,12 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         # device buffer (no re-upload) and phase 2 flushes it when full.
         W = int(qd.q_full.shape[1])     # device-side padded site width
         cap = 2 * cfg.pool
-        flush_at = min(cap - cfg.pool, max(512, cfg.pool // 4))
+        # flush as late as safety allows (the next batch must fit):
+        # every flush costs a full cap-row scoring pass plus two
+        # host-device syncs, which over the remote tunnel measured
+        # ~0.1s each — the old max(512, pool//4) eagerness quadrupled
+        # the flush count for nothing (retained host copies are small)
+        flush_at = cap - cfg.pool
         buf = jnp.zeros((cap, W), dtype=jnp.uint8)
         buf_idx = jnp.full((cap,), scan.IDX_SENTINEL, dtype=jnp.int32)
         buf_n = jnp.int32(0)
@@ -393,9 +398,9 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             idxs = np.asarray(buf_idx)
             for slot in np.nonzero(flags)[0]:
                 g = int(idxs[slot])
-                nm, seq = retained[g]
-                names[g] = nm
-                writer.write(nm, seq)
+                entry = retained[g]
+                names[g] = entry[0]
+                write_dump(writer, entry)
             retained = {}
             buf_n = jnp.int32(0)
 
@@ -413,7 +418,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                 np.int32(batch.base_idx))
             for i in np.nonzero(np.asarray(survive))[0]:
                 g = batch.base_idx + int(i)
-                retained[g] = (batch.names[i], batch.seq(int(i)))
+                retained[g] = dump_entry(batch, int(i))
             n_surv += int(buf_n) - n_buf_prev
             n_buf_prev = int(buf_n)
             # rows past the buffer end are silently dropped by the

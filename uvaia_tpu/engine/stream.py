@@ -44,6 +44,30 @@ class RefBatch:
             return self.seqs[i]
         return self.raw[i].tobytes()
 
+    def frame(self, i: int):
+        """No pre-compressed dump frame on the FASTA path (store
+        batches override this — see io/store.StoreBatch.frame)."""
+        return None
+
+
+def dump_entry(batch, i: int):
+    """(name, seq-or-None, frame-or-None) for dump-writer retention:
+    store batches carry pre-compressed frames, FASTA batches raw
+    bytes."""
+    frame = batch.frame(i)
+    if frame is not None:
+        return (batch.names[i], None, frame)
+    return (batch.names[i], batch.seq(i), None)
+
+
+def write_dump(writer, entry) -> None:
+    """Write a dump_entry through a ParallelXzFastaWriter."""
+    name, seq, frame = entry
+    if frame is not None:
+        writer.write_compressed(frame)
+    else:
+        writer.write(name, seq)
+
 
 @dataclass
 class StreamStats:

@@ -168,6 +168,21 @@ class ParallelXzFastaWriter:
                 self._fh.write(self._futs.popleft().result())
             self._drain(block=False)
 
+    def write_compressed(self, frame: bytes) -> None:
+        """Append one record that is ALREADY a complete xz stream (the
+        store's pre-compressed dump frames, io/store.py): buffered
+        records are flushed first as their own stream so record order
+        is preserved, then the frame rides the queue as a resolved
+        future — zero compression work at scan time."""
+        import concurrent.futures as cf
+        if self._buf:
+            self._submit()
+        f: cf.Future = cf.Future()
+        f.set_result(frame)
+        self._futs.append(f)
+        self.n_written += 1
+        self._drain(block=False)
+
     def close(self) -> None:
         if self._buf:
             self._submit()

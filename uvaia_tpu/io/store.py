@@ -45,6 +45,14 @@ mmap-ed independently):
                      differs from the original byte (e.g. '?', 'U'):
                      applied last, making decode_row exact for ANY
                      input
+  rowxz.bin          per-row PRE-COMPRESSED dump frames: each row's
+                     ">name\nseq\n" as one complete xz stream (the
+                     multi-stream format every engine output already
+                     uses, io/fasta.ParallelXzFastaWriter).  The
+                     neighbour dump of a store scan is then pure file
+                     concatenation — measured 3.2s of a 6.2s real-DB
+                     indexed run was re-compressing survivor genomes
+  rowxz_offsets.npy  (n_rows+1,) int64 ends into rowxz.bin
 
 The delta sections are the fast path: a scan uploads the (pos, val)
 lists (~3 bytes/diff vs ~15KB/row packed) and the device rebuilds exact
@@ -106,6 +114,63 @@ class IngestStats:
     bytes: int = 0
 
 
+def _store_block_lib():
+    """Native one-pass block digest (fasta_io.cpp:ufa_store_block), or
+    None when the native library is unavailable."""
+    import ctypes
+    from . import native
+    lib = native.get_lib()
+    if lib is not None and not getattr(lib, "_store_configured", False):
+        lib.ufa_store_block.restype = ctypes.c_long
+        lib.ufa_store_block.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p]
+        lib._store_configured = True
+    return lib
+
+
+def _digest_block_native(lib, raw, codes):
+    """(packed, valid, runs, run_counts, exc_pos, exc_chr, exc_counts)
+    in ONE native pass (the numpy pipeline below needs ~8 passes over
+    the block and dominated real-DB ingest 30s/38.5s)."""
+    import ctypes
+    n, L = codes.shape
+    w2 = (L + 1) // 2
+    raw = np.ascontiguousarray(raw)
+    codes = np.ascontiguousarray(codes)
+    packed = np.empty((n, w2), dtype=np.uint8)
+    valid = np.empty(n, dtype=np.int64)
+    run_counts = np.empty(n, dtype=np.int64)
+    exc_counts = np.empty(n, dtype=np.int64)
+    runs_cap, exc_cap = 8 * n + 64, 8 * n + 64
+    while True:
+        runs = np.empty((runs_cap, 2), dtype=np.uint32)
+        exc_pos = np.empty(exc_cap, dtype=np.uint32)
+        exc_chr = np.empty(exc_cap, dtype=np.uint8)
+        rc = lib.ufa_store_block(
+            raw.ctypes.data_as(ctypes.c_void_p),
+            codes.ctypes.data_as(ctypes.c_void_p), n, L,
+            DECODE_LUT.ctypes.data_as(ctypes.c_void_p),
+            packed.ctypes.data_as(ctypes.c_void_p),
+            valid.ctypes.data_as(ctypes.c_void_p),
+            runs.ctypes.data_as(ctypes.c_void_p), runs_cap,
+            run_counts.ctypes.data_as(ctypes.c_void_p),
+            exc_pos.ctypes.data_as(ctypes.c_void_p),
+            exc_chr.ctypes.data_as(ctypes.c_void_p), exc_cap,
+            exc_counts.ctypes.data_as(ctypes.c_void_p))
+        if rc == 0:
+            break
+        runs_cap *= 8                   # gap-heavy block: grow and retry
+        exc_cap *= 8
+    nr, ne = int(run_counts.sum()), int(exc_counts.sum())
+    return (packed, valid.astype(np.int32), runs[:nr], run_counts,
+            exc_pos[:ne], exc_chr[:ne], exc_counts)
+
+
 def _gap_runs(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """(runs (R, 2) uint32 [start, len] in row-major order,
     counts (n,) int64 runs per row) for '-' characters in (n, L) raw."""
@@ -125,13 +190,17 @@ def _gap_runs(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
-           progress=None) -> IngestStats:
+           progress=None, frames: bool = True) -> IngestStats:
     """One streaming pass: FASTA/xz database(s) -> store directory.
 
     Rows are stored verbatim in input order (no QC — quality and name
     filters stay scan-time decisions driven by valid.npy and names, so
     one store serves every flag combination).  Unaligned input errors
     exactly like the scan would (RefStreamer length check).
+
+    ``frames=False`` skips the pre-compressed dump frames: ingest runs
+    ~3x faster (the per-row xz encode is ~2.2ms on the bench host) but
+    every later scan re-compresses its dump survivors.
     """
     from ..engine.stream import RefStreamer
     from ..io.fasta import read_fasta
@@ -157,11 +226,13 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     f_runs = open(outp / "gapruns.bin", "wb")
     f_epos = open(outp / "exc_pos.bin", "wb")
     f_echr = open(outp / "exc_chr.bin", "wb")
+    f_rowxz = open(outp / "rowxz.bin", "wb")
 
     valid_parts: list[np.ndarray] = []
     name_lens: list[np.ndarray] = []
     run_counts: list[np.ndarray] = []
     exc_counts: list[np.ndarray] = []
+    rowxz_lens: list[np.ndarray] = []
     blocks: list[tuple[int, int, int, int, int]] = []
     base: np.ndarray | None = None
     pos_off = val_off = 0
@@ -170,31 +241,51 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
 
     # ref_ambiguity=1.0 -> min_valid 0: keep every record (no QC here)
     streamer = RefStreamer(paths, L, block, ref_ambiguity=1.0)
+    digest_lib = _store_block_lib()
     for batch in streamer:
         n = batch.n
         codes = batch.codes[:n]
         raw = batch.raw[:n]
 
-        f_packed.write(scan.pack_codes(codes).tobytes())
-        valid_parts.append(
-            np.count_nonzero(codes, axis=1).astype(np.int32))
+        if digest_lib is not None:
+            # one native pass: pack + valid + gap runs + exceptions
+            (packed, vcounts, runs, counts, epos, echr,
+             ecnts) = _digest_block_native(digest_lib, raw, codes)
+        else:
+            packed = scan.pack_codes(codes)
+            vcounts = np.count_nonzero(codes, axis=1).astype(np.int32)
+            runs, counts = _gap_runs(raw)
+            decoded = DECODE_LUT[codes]
+            decoded[raw == ord("-")] = ord("-")
+            er, ec = np.nonzero(decoded != raw)
+            epos, echr = ec.astype(np.uint32), raw[er, ec]
+            ecnts = np.bincount(er, minlength=n).astype(np.int64)
+        f_packed.write(packed.tobytes())
+        valid_parts.append(vcounts)
         name_lens.append(np.array(
             [len(nm.encode("utf-8")) for nm in batch.names],
             dtype=np.int64))
         for nm in batch.names:
             f_names.write(nm.encode("utf-8"))
-
-        # exact-decode metadata: gap runs, then residual exceptions
-        runs, counts = _gap_runs(raw)
-        f_runs.write(runs.tobytes())
+        f_runs.write(np.ascontiguousarray(runs).tobytes())
         run_counts.append(counts)
-        decoded = DECODE_LUT[codes]
-        decoded[raw == ord("-")] = ord("-")
-        er, ec = np.nonzero(decoded != raw)
-        f_epos.write(ec.astype(np.uint32).tobytes())
-        f_echr.write(raw[er, ec].tobytes())
-        exc_counts.append(
-            np.bincount(er, minlength=n).astype(np.int64))
+        f_epos.write(np.ascontiguousarray(epos).tobytes())
+        f_echr.write(np.ascontiguousarray(echr).tobytes())
+        exc_counts.append(ecnts)
+
+        # pre-compressed dump frames (see layout comment): preset 0 is
+        # a one-time cost paid here so scan-time dumps are byte copies
+        if frames:
+            import lzma
+            xz_lens = np.empty(n, dtype=np.int64)
+            for i in range(n):
+                frame = lzma.compress(
+                    b">" + batch.names[i].encode("utf-8") + b"\n"
+                    + raw[i].tobytes() + b"\n",
+                    format=lzma.FORMAT_XZ, preset=0)
+                f_rowxz.write(frame)
+                xz_lens[i] = len(frame)
+            rowxz_lens.append(xz_lens)
 
         # sparse delta vs the first block's majority (scan.majority_code
         # docstring: any base is exact; a same-population base keeps the
@@ -220,7 +311,8 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
         if progress is not None:
             progress(n_rows, time.time() - t0)
 
-    for fh in (f_packed, f_names, f_dpos, f_dval, f_runs, f_epos, f_echr):
+    for fh in (f_packed, f_names, f_dpos, f_dval, f_runs, f_epos,
+               f_echr, f_rowxz):
         fh.close()
 
     def _offsets(parts):
@@ -235,6 +327,10 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     np.save(outp / "name_offsets.npy", _offsets(name_lens))
     np.save(outp / "gaprun_offsets.npy", _offsets(run_counts))
     np.save(outp / "exc_offsets.npy", _offsets(exc_counts))
+    if frames:
+        np.save(outp / "rowxz_offsets.npy", _offsets(rowxz_lens))
+    else:
+        os.unlink(outp / "rowxz.bin")
     np.save(outp / "blocks.npy",
             np.asarray(blocks, dtype=np.int64).reshape(-1, 5))
     if stats.n_delta_blocks and base is not None:
@@ -243,6 +339,7 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     meta = {"format": FORMAT, "version": VERSION, "n_rows": n_rows,
             "n_sites": L, "w2": w2, "block": block,
             "has_delta": stats.n_delta_blocks > 0,
+            "has_rowxz": frames,
             "sources": [str(p) for p in paths]}
     with open(outp / "meta.json", "w") as fh:
         json.dump(meta, fh, indent=1)
@@ -287,6 +384,12 @@ class Store:
         else:
             self.base = None
         self._runs = None
+        if self.meta.get("has_rowxz"):
+            self._rowxz = np.memmap(self.path / "rowxz.bin",
+                                    dtype=np.uint8, mode="r")
+            self._rowxz_off = np.load(self.path / "rowxz_offsets.npy")
+        else:
+            self._rowxz = None
 
     # -- names ----------------------------------------------------------
 
@@ -348,6 +451,14 @@ class Store:
             chars[self._exc_pos[e0:e1]] = self._exc_chr[e0:e1]
         return chars.tobytes()
 
+    def frame_row(self, r: int) -> bytes | None:
+        """Pre-compressed xz dump frame of row r (">name\\nseq\\n" as a
+        complete xz stream), or None for a store without frames."""
+        if self._rowxz is None:
+            return None
+        o0, o1 = self._rowxz_off[r], self._rowxz_off[r + 1]
+        return self._rowxz[o0:o1].tobytes()
+
 
 # ----------------------------------------------------------------------
 # streaming scans from stores
@@ -373,6 +484,15 @@ class StoreBatch:
         for store, rows in self.pieces:
             if i < len(rows):
                 return store.seq_row(int(rows[i]))
+            i -= len(rows)
+        raise IndexError(i)
+
+    def frame(self, i: int) -> bytes | None:
+        """Pre-compressed dump frame for row i (engines write it via
+        ParallelXzFastaWriter.write_compressed — no re-compression)."""
+        for store, rows in self.pieces:
+            if i < len(rows):
+                return store.frame_row(int(rows[i]))
             i -= len(rows)
         raise IndexError(i)
 

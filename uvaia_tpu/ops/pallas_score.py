@@ -529,7 +529,11 @@ def mats_and_cons_via_pallas(ref_codes: jnp.ndarray, q_full: jnp.ndarray,
     # per-visit query feature rebuild they replaced.
     if Qe <= 72:
         bt, st = 512, 1024
-        qt = -(-Qe // 8) * 8
+        # floor at 64: 64 and 72 are the hardware-verified lane tiles;
+        # tinier non-power-of-two tiles are only exercised in interpret
+        # mode, where a Mosaic layout failure would go unseen (padding
+        # columns are zero queries and cost ~nothing)
+        qt = max(64, -(-Qe // 8) * 8)
     else:
         bt, st = 256, 512
         qt = min(512, -(-Qe // 128) * 128)

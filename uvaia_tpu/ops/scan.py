@@ -424,13 +424,21 @@ def score_batch_planes(qd: QueryDeviceData, ref_codes: jnp.ndarray):
 # ----------------------------------------------------------------------
 # top-k state + merge
 
+# Single source of truth for the ranking-key definition: six int scores
+# packed two-per-int32 key with this shift (requires each score < 2**15,
+# qd.pack_keys).  _pack3 (stacked), _key_planes (plane form) and
+# prune_step's key-1 bound all derive from it — change the packing or
+# tie semantics HERE and everything (flags, merge, prune) stays agreed.
+KEY_SHIFT = 32768
+
+
 def _pack3(scores: jnp.ndarray) -> jnp.ndarray:
-    """(..., 6) -> (..., 3) packed keys. Requires each score < 2**15."""
+    """(..., 6) -> (..., 3) packed keys (KEY_SHIFT packing)."""
     s = scores.astype(jnp.int32)
     return jnp.stack([
-        s[..., 0] * 32768 + s[..., 1],
-        s[..., 2] * 32768 + s[..., 3],
-        s[..., 4] * 32768 + s[..., 5],
+        s[..., 0] * KEY_SHIFT + s[..., 1],
+        s[..., 2] * KEY_SHIFT + s[..., 3],
+        s[..., 4] * KEY_SHIFT + s[..., 5],
     ], axis=-1)
 
 
@@ -444,13 +452,23 @@ def init_state(n_query: int, k: int):
             jnp.full((n_query, k), IDX_SENTINEL, dtype=jnp.int32))
 
 
-def _lex_gt(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Lexicographic a > b over the trailing key axis."""
-    nk = a.shape[-1]
-    out = a[..., nk - 1] > b[..., nk - 1]
+def _lex_gt_planes(a: list, b: list) -> jnp.ndarray:
+    """Lexicographic a > b over parallel per-key plane lists (elements
+    broadcast against each other) — the one comparator every key
+    consumer shares (see KEY_SHIFT)."""
+    nk = len(a)
+    out = a[nk - 1] > b[nk - 1]
     for i in range(nk - 2, -1, -1):
-        out = (a[..., i] > b[..., i]) | ((a[..., i] == b[..., i]) & out)
+        out = (a[i] > b[i]) | ((a[i] == b[i]) & out)
     return out
+
+
+def _lex_gt(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lexicographic a > b over the trailing key axis (stacked form of
+    _lex_gt_planes)."""
+    nk = a.shape[-1]
+    return _lex_gt_planes([a[..., i] for i in range(nk)],
+                          [b[..., i] for i in range(nk)])
 
 
 def select_topk(qd: QueryDeviceData, scores, idx, k):
@@ -487,8 +505,8 @@ def _key_planes(qd, planes):
     form of _keys): full lane occupancy, no (.., 6)-minor layout."""
     p = [x.astype(jnp.int32) for x in planes]
     if qd.pack_keys:
-        return [p[0] * 32768 + p[1], p[2] * 32768 + p[3],
-                p[4] * 32768 + p[5]]
+        return [p[0] * KEY_SHIFT + p[1], p[2] * KEY_SHIFT + p[3],
+                p[4] * KEY_SHIFT + p[5]]
     return p
 
 
@@ -506,11 +524,7 @@ def batch_flags_and_idx(qd, state, scores, ok, base_idx, ref_idx=None):
     cand = [jnp.where(ok[:, None], k, INT32_MIN)
             for k in _key_planes(qd, planes)]          # nk x (B, Q)
     thr = _keys(qd, st_scores[:, qd.k - 1, :])         # (Q, nk)
-    nk = len(cand)
-    gt = cand[nk - 1] > thr[None, :, nk - 1]
-    for i in range(nk - 2, -1, -1):
-        t = thr[None, :, i]
-        gt = (cand[i] > t) | ((cand[i] == t) & gt)
+    gt = _lex_gt_planes(cand, [thr[None, :, i] for i in range(len(cand))])
     is_best = jnp.any(gt, axis=1) & ok
     if ref_idx is None:
         B = planes[0].shape[0]
@@ -928,7 +942,12 @@ def accumulate_survivors(buf, buf_idx, buf_n, ref_codes, survive, base_idx):
 
 @functools.partial(jax.jit, donate_argnums=1)
 def flush_survivors(qd: QueryDeviceData, state, buf, buf_idx, buf_n):
-    """Phase 2 over the survivor buffer (slots >= buf_n masked)."""
+    """Phase 2 over the survivor buffer (slots >= buf_n masked).
+
+    merge_topk's ascending-order invariant holds by construction:
+    accumulate_survivors appends in stream order, so buf_idx[0:buf_n]
+    is ascending and consecutive flushes cover disjoint increasing
+    index ranges."""
     cap = buf.shape[0]
     ok = jnp.arange(cap, dtype=jnp.int32) < buf_n
     return scan_step_gather(qd, state, buf, ok, buf_idx)
@@ -982,7 +1001,7 @@ def prune_step(qd: QueryDeviceData, state, ref_codes, ok):
         s1_ub = s0_ub + jnp.minimum(amb_r[:, None],
                                     qd.amb_tot_q[None, :])
 
-    key1_ub = s0_ub * 32768 + s1_ub if qd.pack_keys else s0_ub
+    key1_ub = s0_ub * KEY_SHIFT + s1_ub if qd.pack_keys else s0_ub
     thr = _keys(qd, st_scores[:, qd.k - 1, :])[..., 0]           # (Q,)
     return ok & jnp.any(key1_ub >= thr[None, :], axis=1)
 
@@ -990,7 +1009,13 @@ def prune_step(qd: QueryDeviceData, state, ref_codes, ok):
 @functools.partial(jax.jit, donate_argnums=1)
 def scan_step_gather(qd: QueryDeviceData, state, ref_codes, ok, ref_idx):
     """Phase 2: like scan_step but for a compacted survivor batch with
-    explicit (non-contiguous) global database indices."""
+    explicit (non-contiguous) global database indices.
+
+    CALLER CONTRACT: ref_idx must be ascending within the batch and
+    across successive calls (merge_topk's skip-fast-path tie semantics
+    rely on it); both callers — flush_survivors and the sharded flush
+    (parallel/mesh.py) — satisfy it because survivor compaction
+    preserves stream order."""
     planes, _ = score_batch_planes(qd, ref_codes)
     return merge_topk(qd, state, planes, ok, jnp.int32(0), ref_idx=ref_idx)
 
