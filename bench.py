@@ -319,6 +319,27 @@ def section_realdata():
             dt = min(dt or 1e9, time.time() - t0)
             emit(indexed_scan_genomes_per_sec=round(r.n_scanned / dt, 1))
 
+        # threaded multi-stream xz decode (fasta_io.cpp MtXzSource) on
+        # a repo-written dump (one xz stream per record).  NOTE: the
+        # bench VM has ONE core (nproc=1), so the ratio here is ~1.0 by
+        # construction — the span pipeline pays only on multicore
+        # hosts; this key exists to catch regressions, not to show the
+        # speedup this host cannot express.
+        from uvaia_tpu.io.native import read_fasta_native
+        dump = f"{d}/out_ix.aln.xz"
+        if os.path.exists(dump):
+            def reread(threads):
+                os.environ["UVAIA_TPU_XZ_THREADS"] = threads
+                t0 = time.time()
+                n = sum(1 for _ in read_fasta_native(dump))
+                return n, time.time() - t0
+            n1, t1s = reread("1")
+            nt, tts = reread(str(max(4, os.cpu_count() or 1)))
+            os.environ.pop("UVAIA_TPU_XZ_THREADS", None)
+            assert n1 == nt
+            emit(multistream_xz_reread_genomes_per_sec=round(nt / tts, 1),
+                 multistream_xz_rescan_ratio=round(t1s / tts, 3))
+
 
 def section_scale(n_forced):
     """BASELINE configs 4/5 evidence, driver-captured and TIME-BOXED:

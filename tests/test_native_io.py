@@ -119,3 +119,44 @@ def test_streamer_qc_native_equals_python(tmp_path, have_native,
     assert rows_native == rows_py
     assert inv_native == inv_py == 2          # 'bad' and 'deep'
     assert [n for n, _ in rows_native] == ["g1", "edge", "g2"]
+
+
+def test_multistream_xz_parallel_decode(tmp_path, monkeypatch):
+    """Multi-stream xz files (what every engine writer emits) decode
+    through the threaded span pipeline (fasta_io.cpp MtXzSource):
+    forced 4 threads must reproduce the serial read exactly, including
+    files with inter-stream padding (which python's lzma.open silently
+    truncates at)."""
+    import lzma
+
+    import numpy as np
+
+    from uvaia_tpu.io.native import read_fasta_native
+
+    rng = np.random.default_rng(5)
+    recs = [(f"s{i}", bytes(bytearray(
+        b"ACGT"[j] for j in rng.integers(0, 4, 1500)))) for i in range(90)]
+
+    multi = tmp_path / "multi.fa.xz"
+    with open(multi, "wb") as f:
+        for i in range(0, len(recs), 7):      # 13 independent streams
+            blob = b"".join(b">" + n.encode() + b"\n" + s + b"\n"
+                            for n, s in recs[i:i + 7])
+            f.write(lzma.compress(blob, preset=1))
+
+    padded = tmp_path / "padded.fa.xz"
+    with open(padded, "wb") as f:
+        for i in range(0, len(recs), 30):
+            blob = b"".join(b">" + n.encode() + b"\n" + s + b"\n"
+                            for n, s in recs[i:i + 30])
+            f.write(lzma.compress(blob, preset=1))
+            f.write(b"\x00" * 8)              # xz stream padding
+
+    want = [(n, s) for n, s in recs]
+    for path in (multi, padded):
+        monkeypatch.setenv("UVAIA_TPU_XZ_THREADS", "4")
+        got_mt = [(n, bytes(s)) for n, s in read_fasta_native(path)]
+        monkeypatch.setenv("UVAIA_TPU_XZ_THREADS", "1")
+        got_1 = [(n, bytes(s)) for n, s in read_fasta_native(path)]
+        assert got_mt == want, f"threaded decode mismatch for {path}"
+        assert got_1 == want, f"serial decode mismatch for {path}"

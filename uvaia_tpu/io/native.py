@@ -24,8 +24,8 @@ _failed = False
 
 
 def _build() -> bool:
-    cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_SO),
-           "-llzma", "-lz"]
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-pthread", str(_SRC),
+           "-o", str(_SO), "-llzma", "-lz"]
     try:
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=120)
     except (OSError, subprocess.TimeoutExpired):

@@ -23,6 +23,14 @@
 #include <string>
 #include <vector>
 
+#include <algorithm>
+#include <atomic>
+#include <condition_variable>
+#include <mutex>
+#include <thread>
+
+#include <unistd.h>
+
 #include <lzma.h>
 #include <zlib.h>
 
@@ -112,6 +120,196 @@ struct XzSource : Source {
     return static_cast<long>(n - strm.avail_out);
   }
 };
+
+// ---------------------------------------------------------------------
+// Parallel multi-stream xz decode.
+//
+// Every xz writer in this framework (io/fasta.ParallelXzFastaWriter,
+// the checkpoint-append path, the store's dump frames) emits files
+// that are concatenations of INDEPENDENT xz streams — decodable in
+// parallel, unlike the reference's single-stream reads (fastaseq.c:414
+// decodes serially whatever the file is).  Each stream's span is
+// recovered by walking stream footers/indexes backwards from EOF (the
+// same trick `xz --list` uses), then a small thread pool decodes
+// spans ahead of the consumer within a bounded window.  liblzma's own
+// lzma_stream_decoder_mt only parallelises when block headers carry
+// sizes (files from `xz -T`), which these files don't — hence the
+// explicit span walk.  Single-stream files and 1-thread configs keep
+// the serial XzSource path.
+
+static bool xz_stream_spans(FILE* f, std::vector<std::pair<long, long>>* spans) {
+  if (fseek(f, 0, SEEK_END) != 0) return false;
+  long pos = ftell(f);
+  if (pos < 32) return false;
+  uint8_t buf[12];
+  while (pos > 0) {
+    // skip stream padding (4-byte zero words)
+    for (;;) {
+      if (pos < 12) return false;
+      if (fseek(f, pos - 4, SEEK_SET) != 0) return false;
+      if (fread(buf, 1, 4, f) != 4) return false;
+      if (memcmp(buf, "\0\0\0\0", 4) == 0) {
+        pos -= 4;
+        continue;
+      }
+      break;
+    }
+    if (fseek(f, pos - 12, SEEK_SET) != 0) return false;
+    if (fread(buf, 1, 12, f) != 12) return false;
+    lzma_stream_flags flags;
+    if (lzma_stream_footer_decode(&flags, buf) != LZMA_OK) return false;
+    long index_size = static_cast<long>(flags.backward_size);
+    long index_off = pos - 12 - index_size;
+    if (index_off < 12) return false;
+    std::vector<uint8_t> ibuf(index_size);
+    if (fseek(f, index_off, SEEK_SET) != 0) return false;
+    if (fread(ibuf.data(), 1, index_size, f) !=
+        static_cast<size_t>(index_size)) return false;
+    lzma_index* idx = nullptr;
+    uint64_t memlimit = UINT64_MAX;
+    size_t in_pos = 0;
+    if (lzma_index_buffer_decode(&idx, &memlimit, nullptr, ibuf.data(),
+                                 &in_pos, index_size) != LZMA_OK)
+      return false;
+    long total = static_cast<long>(lzma_index_stream_size(idx));
+    lzma_index_end(idx, nullptr);
+    if (total <= 0 || total > pos) return false;
+    spans->push_back({pos - total, total});
+    pos -= total;
+  }
+  std::reverse(spans->begin(), spans->end());
+  return true;
+}
+
+struct MtXzSource : Source {
+  FILE* f;
+  int fd;
+  std::vector<std::pair<long, long>> spans;
+  unsigned nthreads;
+  size_t window;
+
+  std::mutex mu;
+  std::condition_variable cv_worker, cv_reader;
+  std::vector<std::thread> workers;
+  std::vector<std::vector<uint8_t>> out;   // decoded, slot per span
+  std::vector<uint8_t> ready;
+  size_t next_claim = 0;   // next span a worker may take
+  size_t next_emit = 0;    // next span the consumer reads
+  size_t emit_pos = 0;     // offset into out[next_emit]
+  bool stop = false, failed = false;
+
+  MtXzSource(FILE* f, std::vector<std::pair<long, long>> s, unsigned t)
+      : f(f), fd(fileno(f)), spans(std::move(s)), nthreads(t) {
+    window = 4 * nthreads;
+    out.resize(spans.size());
+    ready.assign(spans.size(), 0);
+    for (unsigned i = 0; i < nthreads; i++)
+      workers.emplace_back(&MtXzSource::work, this);
+  }
+
+  ~MtXzSource() override {
+    {
+      std::lock_guard<std::mutex> lk(mu);
+      stop = true;
+    }
+    cv_worker.notify_all();
+    for (auto& w : workers) w.join();
+    fclose(f);
+  }
+
+  bool decode_span(size_t i) {
+    std::vector<uint8_t> comp(spans[i].second);
+    long off = spans[i].first, len = spans[i].second;
+    for (long got = 0; got < len;) {
+      ssize_t r = pread(fd, comp.data() + got, len - got, off + got);
+      if (r <= 0) return false;
+      got += r;
+    }
+    std::vector<uint8_t> dec;
+    dec.reserve(comp.size() * 4);
+    lzma_stream strm = LZMA_STREAM_INIT;
+    if (lzma_stream_decoder(&strm, UINT64_MAX, LZMA_CONCATENATED)
+        != LZMA_OK) return false;
+    strm.next_in = comp.data();
+    strm.avail_in = comp.size();
+    std::vector<uint8_t> chunk(kChunk);
+    lzma_ret ret = LZMA_OK;
+    do {
+      strm.next_out = chunk.data();
+      strm.avail_out = chunk.size();
+      ret = lzma_code(&strm, LZMA_FINISH);
+      if (ret != LZMA_OK && ret != LZMA_STREAM_END) {
+        lzma_end(&strm);
+        return false;
+      }
+      dec.insert(dec.end(), chunk.data(),
+                 chunk.data() + (chunk.size() - strm.avail_out));
+    } while (ret != LZMA_STREAM_END);
+    lzma_end(&strm);
+    std::lock_guard<std::mutex> lk(mu);
+    out[i] = std::move(dec);
+    ready[i] = 1;
+    return true;
+  }
+
+  void work() {
+    for (;;) {
+      size_t i;
+      {
+        std::unique_lock<std::mutex> lk(mu);
+        cv_worker.wait(lk, [&] {
+          return stop || failed ||
+                 (next_claim < spans.size() &&
+                  next_claim < next_emit + window);
+        });
+        if (stop || failed || next_claim >= spans.size()) return;
+        i = next_claim++;
+      }
+      bool ok = decode_span(i);
+      if (!ok) {
+        std::lock_guard<std::mutex> lk(mu);
+        failed = true;
+      }
+      cv_reader.notify_all();
+    }
+  }
+
+  long read(uint8_t* buf, size_t n) override {
+    size_t got = 0;
+    while (got < n) {
+      std::unique_lock<std::mutex> lk(mu);
+      if (next_emit >= spans.size()) break;
+      cv_reader.wait(lk, [&] { return failed || ready[next_emit]; });
+      if (failed) return -1;
+      std::vector<uint8_t>& cur = out[next_emit];
+      size_t take = cur.size() - emit_pos;
+      if (take > n - got) take = n - got;
+      memcpy(buf + got, cur.data() + emit_pos, take);
+      emit_pos += take;
+      got += take;
+      if (emit_pos >= cur.size()) {
+        cur.clear();
+        cur.shrink_to_fit();
+        next_emit++;
+        emit_pos = 0;
+        lk.unlock();
+        cv_worker.notify_all();
+      }
+    }
+    return static_cast<long>(got);
+  }
+};
+
+static unsigned xz_threads_config() {
+  const char* env = getenv("UVAIA_TPU_XZ_THREADS");
+  if (env != nullptr) {
+    long v = atol(env);
+    return v < 1 ? 1 : (v > 32 ? 32 : static_cast<unsigned>(v));
+  }
+  unsigned hw = std::thread::hardware_concurrency();
+  unsigned t = hw > 1 ? hw - 1 : 1;
+  return t > 8 ? 8 : t;
+}
 
 struct Reader {
   Source* src = nullptr;
@@ -237,8 +435,25 @@ void* ufa_open(const char* path) {
   Reader* r = new Reader();
   r->buf.resize(kChunk);
   if (got >= 6 && memcmp(magic, "\xfd""7zXZ\x00", 6) == 0) {
-    rewind(probe);
-    r->src = new XzSource(probe);
+    unsigned threads = xz_threads_config();
+    std::vector<std::pair<long, long>> spans;
+    bool mt = false;
+    if (threads >= 2 && xz_stream_spans(probe, &spans)
+        && spans.size() >= 2) {
+      long biggest = 0;
+      for (auto& s : spans)
+        if (s.second > biggest) biggest = s.second;
+      // bound in-flight memory: each span decodes whole into RAM
+      mt = biggest <= (64L << 20);
+    }
+    if (mt) {
+      if (threads > spans.size())
+        threads = static_cast<unsigned>(spans.size());
+      r->src = new MtXzSource(probe, std::move(spans), threads);
+    } else {
+      rewind(probe);
+      r->src = new XzSource(probe);
+    }
   } else {
     fclose(probe);
     gzFile gf = gzopen(path, "rb");  // transparently handles gz and raw
