@@ -139,25 +139,52 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
           f"device={jax.devices()[0]})", file=sys.stderr)
 
     # device-resident kernel rate (the compute ceiling): all STEPS
-    # iterations run inside ONE dispatch (scan.scan_steps_repeat's
-    # on-device fori_loop), so the timing contains chip compute plus a
-    # single transport round-trip — a Python loop of scan_step calls
-    # over this remote tunnel pays per-step dispatch latency that
-    # under-reports the chip 20-40% at STEPS=20.  Best of 5 timed
-    # repeats on top (tunnel weather still affects the one round-trip).
-    state = scan.scan_steps_repeat(qd, state, ref_codes0, ok,
-                                   np.int32(0), STEPS)   # compile+warm
+    # iterations run inside ONE dispatch (an on-device fori_loop), so
+    # the timing contains chip compute plus a single transport
+    # round-trip — a Python loop of scan_step calls over this remote
+    # tunnel pays per-step dispatch latency that under-reports the chip
+    # 20-40% at STEPS=20.  Best of 5 timed repeats on top (tunnel
+    # weather still affects the one round-trip).
+    #
+    # Full mode scans the 4-bit PACKED batch (scan_steps_repeat_packed:
+    # the fused kernel unpacks nibbles in VMEM, halving its dominant
+    # HBM read — measured 1.13-1.21x the unpacked step at this shape,
+    # and packed is the form real uploads arrive in).  --acgt keeps the
+    # unpacked loop (its kernel has no packed variant yet).
+    packed_loop = not acgt
+    pk_res = jnp.asarray(scan.pack_codes(host_codes[0]))
+
+    def krepeat(st, base):
+        if packed_loop:
+            return scan.scan_steps_repeat_packed(qd, st, pk_res, ok,
+                                                 np.int32(base), STEPS)
+        return scan.scan_steps_repeat(qd, st, ref_codes0, ok,
+                                      np.int32(base), STEPS)
+
+    state = krepeat(state, 0)                            # compile+warm
     _ = np.asarray(state[0])
     rates = []
     for r in range(5):
         t0 = time.time()
-        state = scan.scan_steps_repeat(qd, state, ref_codes0, ok,
-                                       np.int32((r + 1) * STEPS * B),
-                                       STEPS)
+        state = krepeat(state, (r + 1) * STEPS * B)
         _ = np.asarray(state[0])
         rates.append(round(STEPS * B / (time.time() - t0), 1))
         emit(**{key_prefix + "kernel_genomes_per_sec": max(rates),
                 key_prefix + "kernel_rates_all": rates})
+    if packed_loop:
+        # unpacked-step continuity key (the r03 headline definition)
+        state = scan.scan_steps_repeat(qd, state, ref_codes0, ok,
+                                       np.int32(0), STEPS)
+        _ = np.asarray(state[0])
+        u = []
+        for r in range(2):
+            t0 = time.time()
+            state = scan.scan_steps_repeat(
+                qd, state, ref_codes0, ok,
+                np.int32((r + 7) * STEPS * B), STEPS)
+            _ = np.asarray(state[0])
+            u.append(round(STEPS * B / (time.time() - t0), 1))
+        emit(**{key_prefix + "kernel_unpacked_genomes_per_sec": max(u)})
     if kernel_only:
         return
 

@@ -449,6 +449,153 @@ def mats_and_cons_acgt_via_pallas(ref_codes, q_full, q_poly, cons_full,
     return mats[:B, :Q], cons5[:B]
 
 
+# ----------------------------------------------------------------------
+# packed-input variant: score straight from the 4-bit packed reference
+# matrix.  The scoring kernels are element-touch-bound (the (B, W)
+# uint8 code matrix is the dominant HBM read); feeding the (B, W/2)
+# packed matrix halves that read.  The per-tile unpack emits sites in
+# DE-INTERLEAVED order — concat(hi nibbles, lo nibbles) = sites
+# [0,2,4,...,1,3,5,...] of the tile — because a lane interleave is a
+# cross-lane shuffle Mosaic would serialise; instead the QUERY operands
+# are permuted once to the same order (site sums are permutation-
+# invariant when both operands agree).
+
+def _kernel_full_packed(rp_ref, q_ref, cons_ref, aa_ref, mm_ref, vv_ref,
+                        c_ref):
+    """_kernel_full with a packed (bt, st/2) reference block; q_ref and
+    cons_ref arrive in the de-interleaved per-tile site order."""
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        aa_ref[...] = jnp.zeros_like(aa_ref)
+        mm_ref[...] = jnp.zeros_like(mm_ref)
+        vv_ref[...] = jnp.zeros_like(vv_ref)
+
+    @pl.when((k == 0) & (j == 0))
+    def _():
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    pk = rp_ref[...].astype(jnp.int32)                   # (bt, st/2)
+    rc = jnp.concatenate([(pk >> 4) & 0xF, pk & 0xF], axis=1)
+
+    ra, rm, rv = _features(rc)
+    qa, qm, qv = _features_rows(q_ref)
+
+    s_aa = _dot(ra[0], qa[0])
+    s_mm = _dot(rm[0], qm[0])
+    for b in range(1, 4):
+        s_aa += _dot(ra[b], qa[b])
+        s_mm += _dot(rm[b], qm[b])
+    s_vv = _dot(rv, qv)
+
+    aa_ref[...] += s_aa
+    mm_ref[...] += s_mm
+    vv_ref[...] += s_vv
+
+    @pl.when(j == 0)
+    def _():
+        cons = cons_ref[...].astype(jnp.int32)        # (1, st), permuted
+        st = cons.shape[1]
+        eq = ((rc == cons) & (cons != 0)).astype(jnp.int32)
+        inter = ((rc & cons) != 0).astype(jnp.int32)
+        row = jax.lax.broadcasted_iota(jnp.int32, (8, st), 0)
+        w_t = (row == 0).astype(jnp.int32)
+        w_p = (row == 1).astype(jnp.int32)
+        c_ref[...] += _dot(eq, w_t) + _dot(inter, w_p)
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "qt", "st", "interpret"))
+def _pair_counter_full_packed(ref_packed, q_perm, cons_perm,
+                              bt: int, qt: int, st: int,
+                              interpret: bool = False):
+    B, S2 = ref_packed.shape
+    S = 2 * S2
+    Q = q_perm.shape[0]
+    grid = (B // bt, Q // qt, S // st)
+    out_spec = pl.BlockSpec((bt, qt), lambda i, j, k: (i, j))
+    aa, mm, vv, cons = pl.pallas_call(
+        _kernel_full_packed,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, st // 2), lambda i, j, k: (i, k)),
+            pl.BlockSpec((qt, st), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, st), lambda i, j, k: (0, k)),
+        ],
+        out_specs=(out_spec, out_spec, out_spec,
+                   pl.BlockSpec((bt, 8), lambda i, j, k: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 8), jnp.int32)),
+        interpret=interpret,
+    )(ref_packed, q_perm, cons_perm[None, :])
+    return aa, mm, vv, cons
+
+
+def deinterleave_perm(width: int, st: int) -> jnp.ndarray:
+    """(width,) int32 site permutation matching the packed kernel's
+    per-tile unpack order: within each st-site block, evens then odds.
+    perm[p] = the ORIGINAL site index that position p reads."""
+    import numpy as np
+    p = np.arange(width, dtype=np.int32)
+    blk, off = p // st, p % st
+    half = st // 2
+    orig = np.where(off < half, 2 * off, 2 * (off - half) + 1)
+    return jnp.asarray(blk * st + orig)
+
+
+def mats_and_cons_via_pallas_packed(ref_packed: jnp.ndarray,
+                                    q_full: jnp.ndarray,
+                                    cons_full: jnp.ndarray,
+                                    interpret: bool = False):
+    """mats_and_cons_via_pallas fed by the 4-bit PACKED reference
+    matrix (scan.pack_codes layout: even site in the high nibble).
+    ref_packed width may be ceil(L/2) < W/2; it is zero-padded here
+    (code-0 pairs score nothing).  Same synthetic-row construction and
+    tile choices as the unpacked wrapper; the query/consensus operands
+    are gathered into the de-interleaved order per tile (a (Q, W) int8
+    gather, ~2MB at the bench shape — noise next to the 61MB packed
+    read it enables halving)."""
+    Q, W = q_full.shape
+    B = ref_packed.shape[0]
+    pad = lambda n, m: (-n) % m
+    cf = cons_full.astype(jnp.int32)
+    pure_c = ((cf & (cf - 1)) == 0) & (cf != 0)
+    row_x = jnp.where(pure_c, cons_full, 0).astype(q_full.dtype)
+    row_y = jnp.full((W,), 15, dtype=q_full.dtype)
+    row_z = cons_full.astype(q_full.dtype)
+    q_ext = jnp.concatenate(
+        [q_full, row_x[None], row_y[None], row_z[None]], axis=0)
+    Qe = Q + 3
+    # measured on v5e at the bench shape (B=4096, Q=64, S=30720),
+    # kernel-only in-loop: (1024, 72, 1024) = 2.64ms vs (512, 72,
+    # 1024) = 2.87ms and (256, 72, 2048) = 2.66ms; bt=2048 / st=4096 /
+    # (1024, 2048) fail to compile (VMEM).  Unpacked best was 3.7ms —
+    # the halved HBM read is worth ~1.4x at the kernel.
+    if Qe <= 72:
+        bt, st = 1024, 1024
+        qt = max(64, -(-Qe // 8) * 8)
+    else:
+        bt, st = 256, 512
+        qt = min(512, -(-Qe // 128) * 128)
+    Wp = W + pad(W, st)
+    r = jnp.pad(ref_packed, ((0, pad(B, bt)), (0, Wp // 2 - ref_packed.shape[1])))
+    q = jnp.pad(q_ext, ((0, pad(Qe, qt)), (0, Wp - W)))
+    c = jnp.pad(cons_full, (0, Wp - W))
+    perm = deinterleave_perm(Wp, min(st, Wp))
+    q = jnp.take(q, perm, axis=1)
+    c = jnp.take(c, perm)
+    aa, mm, vv, cons = _pair_counter_full_packed(
+        r, q, c, bt=min(bt, r.shape[0]), qt=min(qt, q.shape[0]),
+        st=min(st, Wp), interpret=interpret)
+    cons5 = jnp.stack([aa[:, Q], cons[:, 0], cons[:, 1], vv[:, Q + 2],
+                       vv[:, Q + 1]], axis=-1)
+    mats = jnp.stack([aa[:, :Q], mm[:, :Q], vv[:, :Q]], axis=-1)
+    return mats[:B], cons5[:B]
+
+
 def mats_via_pallas(ref_sub: jnp.ndarray, q_sub: jnp.ndarray) -> jnp.ndarray:
     """Drop-in for the XLA feature-matmul trio: pads shapes to kernel
     tiles (zero codes contribute zero) and slices back."""

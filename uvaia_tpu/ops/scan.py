@@ -339,7 +339,8 @@ def site_partials(acgt: bool, cons_full, q_full, ref_codes, q_poly=None):
     return cons5, mats
 
 
-def assemble_score_planes(qd: QueryDeviceData, ref_codes, cons5, mats):
+def assemble_score_planes(qd: QueryDeviceData, ref_codes, cons5, mats,
+                          ref_amb=None):
     """Combine partials + rare-ambiguity corrections into six (B, Q)
     int32 planes (s0..s5) — the pre-stack form of assemble_scores.
 
@@ -351,7 +352,10 @@ def assemble_score_planes(qd: QueryDeviceData, ref_codes, cons5, mats):
 
     ``ref_codes`` is only read at qd.amb_sites (full-mode ambiguity
     corrections); valid-site counts ride in cons5[:, 4] so a
-    site-sharded caller can psum them with the other partials."""
+    site-sharded caller can psum them with the other partials.
+    ``ref_amb`` — the (B, A) amb-site ref codes already gathered
+    (packed-input scoring, which never materialises full-width
+    ref_codes); when given, ref_codes is not read at all."""
     valid_sites = cons5[:, 4]
 
     if qd.acgt:
@@ -370,14 +374,15 @@ def assemble_score_planes(qd: QueryDeviceData, ref_codes, cons5, mats):
         s_aa, s_mm, s_vv = (mats[..., i] for i in range(3))
         corr_t = corr_p = 0
         if qd.amb_sites is not None:
-            if _use_pallas():
+            if ref_amb is not None or _use_pallas():
                 # fused VMEM one-hot kernel: at Q=1000 the XLA path's
                 # (B, A, 16) HBM one-hot costs more than the whole
                 # scoring kernel (pallas_score._kernel_corr docstring).
                 # mode="fill" reads code 0 at the out-of-range pad slots
                 from . import pallas_score
-                ra = jnp.take(ref_codes, qd.amb_sites, axis=1,
-                              mode="fill", fill_value=0)
+                ra = ref_amb if ref_amb is not None else jnp.take(
+                    ref_codes, qd.amb_sites, axis=1,
+                    mode="fill", fill_value=0)
                 qa = jnp.take(qd.q_full, qd.amb_sites, axis=1,
                               mode="fill", fill_value=0)
                 corr_t, corr_p = pallas_score.corr_via_pallas(ra, qa)
@@ -418,6 +423,39 @@ def score_batch_planes(qd: QueryDeviceData, ref_codes: jnp.ndarray):
                                 qd.q_poly)
     planes = assemble_score_planes(qd, rc, cons5, mats)
     valid = planes[5 if not qd.acgt else 3][:, 0]
+    return planes, valid
+
+
+def gather_packed_nibbles(packed: jnp.ndarray,
+                          sites: jnp.ndarray) -> jnp.ndarray:
+    """(B, n_sites-worth packed) x (A,) site indices -> (B, A) uint8
+    codes, read as nibbles (pack_codes layout: even site in the high
+    nibble).  Out-of-range pad sites read byte 0 -> code 0."""
+    byte = jnp.take(packed, sites // 2, axis=1, mode="fill", fill_value=0)
+    hi = (byte >> 4) & 0xF
+    lo = byte & 0xF
+    return jnp.where((sites % 2 == 0)[None, :], hi, lo).astype(jnp.uint8)
+
+
+def score_batch_planes_packed(qd: QueryDeviceData, packed: jnp.ndarray):
+    """score_batch_planes fed by the 4-bit packed upload DIRECTLY:
+    on the TPU pallas path the full-width (B, W) code matrix is never
+    materialised in HBM — the fused kernel unpacks nibbles per tile in
+    VMEM (pallas_score.mats_and_cons_via_pallas_packed), halving the
+    kernel's dominant HBM read.  The ambiguity-correction gather reads
+    nibbles straight from the packed matrix.  --acgt mode and non-TPU
+    backends fall back to unpack-then-score (bit-identical)."""
+    if qd.acgt or not _use_pallas():
+        return score_batch_planes(qd, unpack_codes(packed, qd.n_sites))
+    from . import pallas_score
+    mats, cons5 = pallas_score.mats_and_cons_via_pallas_packed(
+        packed, qd.q_full, qd.cons_full)
+    ref_amb = None
+    if qd.amb_sites is not None:
+        ref_amb = gather_packed_nibbles(packed, qd.amb_sites)
+    planes = assemble_score_planes(qd, None, cons5, mats,
+                                   ref_amb=ref_amb)
+    valid = planes[5][:, 0]
     return planes, valid
 
 
@@ -893,9 +931,30 @@ def scan_steps_repeat(qd: QueryDeviceData, state, ref_codes, ok,
 
 @functools.partial(jax.jit, donate_argnums=1)
 def scan_step_packed(qd: QueryDeviceData, state, packed, ok, base_idx):
-    """scan_step on 4-bit-packed codes (see pack_codes)."""
-    planes, _ = score_batch_planes(qd, unpack_codes(packed, qd.n_sites))
+    """scan_step on 4-bit-packed codes (see pack_codes): full mode on
+    TPU scores straight from the packed matrix (no HBM unpack)."""
+    planes, _ = score_batch_planes_packed(qd, packed)
     return merge_topk(qd, state, planes, ok, base_idx)
+
+
+@functools.partial(jax.jit, static_argnums=5, donate_argnums=1)
+def scan_steps_repeat_packed(qd: QueryDeviceData, state, packed, ok,
+                             base_idx, n_steps: int):
+    """scan_steps_repeat over a device-resident PACKED batch — the
+    compute ceiling of the packed/streaming pipeline (uploads are
+    packed; the fused kernel reads the packed matrix directly)."""
+    B = packed.shape[0]
+
+    def body(i, st):
+        # tie one byte to the carry so XLA cannot hoist the scoring
+        # (see scan_steps_repeat)
+        pk = packed.at[0, 0].set(
+            (st[1][0, 0] & 0x7).astype(packed.dtype) | 16)
+        planes, _ = score_batch_planes_packed(qd, pk)
+        st, _ = merge_topk(qd, st, planes, ok, base_idx + i * B)
+        return st
+
+    return jax.lax.fori_loop(0, n_steps, body, state)
 
 
 @functools.partial(jax.jit, donate_argnums=1)
