@@ -1,6 +1,7 @@
 """End-to-end align engine: unaligned FASTA -> ref-projected alignment."""
 
 import lzma
+import os
 
 import numpy as np
 
@@ -193,10 +194,12 @@ def test_device_batch_4bit_pack_paths():
             np.testing.assert_array_equal(got, np.frombuffer(s, np.uint8))
 
 
-def test_uncertified_sidecar(tmp_path, monkeypatch):
-    """Rows accepted without an optimality certificate are named in
-    <prefix>.uncertified.txt for auditing (the reference's WFA-Adapt
-    silently accepts the same class)."""
+def test_exact_fallback_certifies_beyond_band(tmp_path, monkeypatch):
+    """A consistent row the --band cap cannot certify re-aligns at the
+    certificate-2 band (beyond --band) and comes out provably optimal:
+    uncertified == 0, no sidecar — strictly stronger than WFA-Adapt's
+    silent acceptance (align.c:309)."""
+    import lzma
     monkeypatch.chdir(tmp_path)
     rng = np.random.default_rng(13)
     n = 400
@@ -211,7 +214,40 @@ def test_uncertified_sidecar(tmp_path, monkeypatch):
     stats = run_align("ref.fa", ["q.fa"], AlignConfig(output="u",
                                                       band=64))
     assert stats.n_output == 2
+    assert stats.uncertified == 0
+    assert stats.exact_certified == 1
+    assert not os.path.exists("u.uncertified.txt")
+    rows = {}
+    with lzma.open("u.aln.xz", "rt") as fh:
+        name = None
+        for ln in fh:
+            if ln.startswith(">"):
+                name = ln[1:].strip()
+            else:
+                rows[name] = ln.strip().encode()
+    # the optimal alignment is the identity projection (mismatches only)
+    assert rows["nheavy"] == q
+    assert rows["clean"] == ref
+
+
+def test_uncertified_sidecar_without_fallback(tmp_path, monkeypatch):
+    """exact_fallback=False restores the WFA-Adapt-parity behaviour:
+    the row is accepted uncertified and named in the audit sidecar."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(13)
+    n = 400
+    ref = rand_dna(rng, n)
+    with open("ref.fa", "w") as f:
+        f.write(f">r\n{ref.decode()}\n")
+    q = b"N" * 200 + ref[200:]
+    with open("q.fa", "w") as f:
+        f.write(f">nheavy\n{q.decode()}\n>clean\n{ref.decode()}\n")
+    stats = run_align("ref.fa", ["q.fa"],
+                      AlignConfig(output="u", band=64,
+                                  exact_fallback=False))
+    assert stats.n_output == 2
     assert stats.uncertified == 1
+    assert stats.exact_certified == 0
     names = open("u.uncertified.txt").read().split()
     assert names == ["nheavy"]
 

@@ -40,6 +40,12 @@ class AlignConfig:
                                   # against pipelining granularity)
     band: int = 1024              # max band width before giving up
     slack: int = 64               # band slack beyond the length offset
+    exact_fallback: bool = True   # rows the --band cap cannot certify
+                                  # re-align once at the certificate-2
+                                  # band (beyond --band, chunked to the
+                                  # tb budget) so every emitted row is
+                                  # provably optimal; False restores
+                                  # WFA-Adapt-parity acceptance
     to_stdout: bool = False
     output: str | None = None
     print_interval: int = 5000
@@ -73,6 +79,8 @@ class AlignStats:
     uncertified: int = 0     # emitted but optimality not provable
                              # within the band cap (WFA-Adapt parity)
     uncertified_names: list = None   # their names, for the audit sidecar
+    exact_certified: int = 0  # rows certified by the beyond-cap
+                              # certificate-2 fallback band
 
     def mark_uncertified(self, name: str) -> None:
         self.uncertified += 1
@@ -234,9 +242,13 @@ def _dispatch_group(db: _DeviceBatch, items, lo, width, stats):
     return pending
 
 
-def _collect_group(db: _DeviceBatch, handle, out, stats, cfg):
+def _collect_group(db: _DeviceBatch, handle, out, stats, cfg,
+                   exact: bool = False):
     """Fetch one pending group's fused output buffer and emit rows;
-    escalate band (synchronously — rare) for rows that escape."""
+    escalate band (synchronously — rare) for rows that escape.
+    ``exact`` marks a certificate-2 fallback pass (see _exact_fallback):
+    its band provably covers the optimum, so rows certify here and no
+    further fallback recursion happens."""
     items, lens, meta_d, lo, width = handle
     ref_arr = db.ref_arr
     n = ref_arr.shape[0]
@@ -285,17 +297,26 @@ def _collect_group(db: _DeviceBatch, handle, out, stats, cfg):
     def row_bytes(i):
         return row_cache[i]
 
-    retry = []
+    retry, exact_items = [], []
+
+    def accept_or_exact(i):
+        """A consistent row the --band cap cannot certify: re-align at
+        the certificate-2 band (default) or accept uncertified
+        (WFA-Adapt parity / already in the exact pass)."""
+        if exact or not cfg.exact_fallback:
+            stats.mark_uncertified(recs[i].name)
+            out[id(recs[i])] = row_bytes(i)
+        else:
+            exact_items.append((items[i], row_bytes(i), int(wander[i])))
+
     for i in range(len(recs)):
         if ok[i]:
+            if exact:
+                stats.exact_certified += 1
             out[id(recs[i])] = row_bytes(i)
         elif consistent[i] and 2 * wander[i] + abs(len(recs[i].seq) - n) \
                 > cfg.band:
-            # certifying this row would need a band beyond the cap
-            # (high-cost, typically N-heavy sequences); accept the
-            # consistent banded alignment, as WFA-Adapt would
-            stats.mark_uncertified(recs[i].name)
-            out[id(recs[i])] = row_bytes(i)
+            accept_or_exact(i)
         else:
             retry.append(i)
     if retry:
@@ -304,22 +325,53 @@ def _collect_group(db: _DeviceBatch, handle, out, stats, cfg):
         if new_width <= width:
             for i in retry:
                 if consistent[i]:
-                    stats.mark_uncertified(recs[i].name)
-                    out[id(recs[i])] = row_bytes(i)
+                    accept_or_exact(i)
                 else:
                     log(f"Sequence {recs[i].name}: no alignment within "
                         f"band {width}; skipped")
                     stats.failed_band += 1
-            return
-        new_lo = lo - (new_width - width) // 2
-        _align_group(db, [items[i] for i in retry],
-                     new_lo, new_width, out, stats, cfg)
+        else:
+            new_lo = lo - (new_width - width) // 2
+            _align_group(db, [items[i] for i in retry],
+                         new_lo, new_width, out, stats, cfg)
+    if exact_items:
+        _exact_fallback(db, exact_items, out, stats, cfg)
 
 
-def _align_group(db: _DeviceBatch, items, lo, width, out, stats, cfg):
+def _exact_fallback(db: _DeviceBatch, ex_items, out, stats, cfg):
+    """Re-align rows the --band cap could not certify at their
+    certificate-2 band — the hull of end diagonals widened by the
+    wander bound (gotoh.certify), which PROVABLY contains the global
+    optimum — even when that band exceeds --band.  Chunking to the
+    int32 traceback budget is _dispatch_group's normal plan (b_mult
+    shrinks to 1 row per chunk at extreme widths); a row whose
+    certified band cannot fit even one chunk keeps the consistent
+    banded alignment and stays in the uncertified sidecar.  Beats the
+    reference's WFA-Adapt (align.c:309), which silently accepts the
+    reduced-wavefront result for this whole class."""
+    n = db.ref_arr.shape[0]
+    groups: dict[tuple[int, int], list] = {}
+    for (rec, bi), row, wd in ex_items:
+        d_end = len(rec.seq) - n
+        lo_i = min(0, d_end) - wd - 16
+        hi_i = max(0, d_end) + wd + 16
+        # quantise so repeated fallbacks share compiled kernel shapes
+        lo_q = -_round_up(-lo_i, 256)
+        w_q = _round_up(hi_i - lo_q + 1, 1024) + 1
+        if _chunk_plan(n, w_q)[1] == 0:
+            stats.mark_uncertified(rec.name)
+            out[id(rec)] = row
+        else:
+            groups.setdefault((lo_q, w_q), []).append((rec, bi))
+    for (lo_q, w_q), gitems in groups.items():
+        _align_group(db, gitems, lo_q, w_q, out, stats, cfg, exact=True)
+
+
+def _align_group(db: _DeviceBatch, items, lo, width, out, stats, cfg,
+                 exact: bool = False):
     """Synchronous dispatch + collect (escalations, small groups)."""
     for handle in _dispatch_group(db, items, lo, width, stats):
-        _collect_group(db, handle, out, stats, cfg)
+        _collect_group(db, handle, out, stats, cfg, exact=exact)
 
 
 def _band_levels(band: int) -> list[int]:
@@ -468,6 +520,7 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
     log(f"Total: {stats.count} read, {stats.n_output} aligned, "
         f"{stats.rejected_length} wrong length, "
         f"{stats.rejected_ambiguity} too ambiguous, "
+        f"{stats.exact_certified} certified beyond --band, "
         f"{stats.uncertified} uncertified (band cap), "
         f"{stats.failed_band} failed. "
         f"{time.time()-t0:.3f} secs total.")
