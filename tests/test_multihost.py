@@ -111,3 +111,91 @@ def test_merge_and_write_single_host_roundtrip(tmp_path, monkeypatch):
                     "merged.csv.xz")
     assert (lzma.open("merged.csv.xz", "rb").read()
             == lzma.open("direct.csv.xz", "rb").read())
+
+
+def test_two_process_crash_resume_equals_single(tmp_path, monkeypatch):
+    """One host of a 2-process run crashes mid-scan at a checkpoint
+    boundary; the rerun resumes that host from its per-host checkpoint
+    (multihost.py:91-94) and the merged CSV still matches the
+    single-process scan.  Lifts the single-host crash pattern of
+    test_realdata.py::test_gate_resumed to the multihost layer."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(77)
+    L, nq, k = 300, 4, 6
+    write_fasta("q.fa", [f"q{i}" for i in range(nq)],
+                random_seqs(rng, nq, L))
+    db_files = []
+    base = 0
+    for f in range(3):
+        nr = [40, 25, 60][f]
+        write_fasta(f"db{f}.fa", [f"r{base + i}" for i in range(nr)],
+                    random_seqs(rng, nr, L))
+        db_files.append(f"db{f}.fa")
+        base += nr
+
+    run_nearest(db_files, "q.fa",
+                NearestConfig(nbest=k, pool=16, output="single"))
+    single = lzma.open("single.csv.xz", "rb").read()
+
+    # phase A: host 1's shard run crashes after the first survivor
+    # flush, leaving a valid per-host checkpoint + dump prefix (this is
+    # exactly the state a killed host leaves on a shared filesystem)
+    from dataclasses import replace
+    import uvaia_tpu.engine.nearest as nearest_mod
+
+    h1_files = assign_files(db_files, 2, 1)
+    h1_cfg = NearestConfig(nbest=k, pool=16, output="mh.h1",
+                           checkpoint="scan.ckpt.h1",
+                           checkpoint_every=0.0)
+
+    class _Boom(RuntimeError):
+        pass
+
+    count = {"n": 0}
+    orig = nearest_mod.scan.flush_survivors
+
+    def crashing(*a, **kw):
+        if count["n"] >= 1:
+            raise _Boom("simulated host crash")
+        count["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(nearest_mod.scan, "flush_survivors", crashing)
+    import pytest
+    with pytest.raises(_Boom):
+        run_nearest(h1_files, "q.fa", h1_cfg)
+    monkeypatch.setattr(nearest_mod.scan, "flush_survivors", orig)
+    assert Path("scan.ckpt.h1").exists()
+
+    # phase B: full 2-process coordinated rerun with the shared
+    # checkpoint prefix — host 1 must RESUME, not restart
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {REPO!r})
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from uvaia_tpu.engine.nearest import NearestConfig
+        from uvaia_tpu.parallel.multihost import run_nearest_multihost
+        pid = int(sys.argv[1])
+        cfg = NearestConfig(nbest={k}, pool=16, output="mh",
+                            checkpoint="scan.ckpt",
+                            checkpoint_every=1e9)
+        run_nearest_multihost({db_files!r}, "q.fa", cfg, 2, pid,
+                              coordinator="localhost:{port}")
+    """)
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(pid)],
+                              cwd=tmp_path, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode()[-2000:]
+    assert b"Resuming from checkpoint" in outs[1], \
+        outs[1].decode()[-2000:]
+
+    merged = lzma.open("mh.csv.xz", "rb").read()
+    assert merged == single
