@@ -371,25 +371,45 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         # Phase 1 prunes on-device; surviving rows are compacted into a
         # device buffer (no re-upload) and phase 2 flushes it when full.
         W = int(qd.q_full.shape[1])     # device-side padded site width
-        cap = 2 * cfg.pool
-        # flush as late as safety allows (the next batch must fit):
-        # every flush costs a full cap-row scoring pass plus two
-        # host-device syncs, which over the remote tunnel measured
-        # ~0.1s each — the old max(512, pool//4) eagerness quadrupled
-        # the flush count for nothing (retained host copies are small)
-        flush_at = cap - cfg.pool
+        # survivor-buffer capacity: BIGGER cap means rarer flushes AND
+        # rarer synchronisation — each flush scores the whole cap-row
+        # buffer, so per-batch flush overhead ~ cap*s/(cap - 2*pool)
+        # (s = survival rate) falls with cap.  ~1GB HBM ceiling.
+        cap = max(2 * cfg.pool, min(8 * cfg.pool, (1 << 30) // max(W, 1)))
         buf = jnp.zeros((cap, W), dtype=jnp.uint8)
         buf_idx = jnp.full((cap,), scan.IDX_SENTINEL, dtype=jnp.int32)
         buf_n = jnp.int32(0)
-        # host copies of only the SURVIVOR rows (name + raw sequence),
+        # host copies of only the SURVIVOR rows (name + dump payload),
         # keyed by global index — retaining whole batches until flush
         # would grow without bound when the prefilter prunes well
-        retained: dict[int, tuple[str, bytes]] = {}
-        n_surv, n_buf_prev = 0, 0
+        retained: dict[int, tuple] = {}
+        n_surv = 0
+        warmed_up = False
+        n_buf_host = 0    # lagged host mirror of buf_n (see drain)
+        pending = None    # (survive_dev, batch) — drained ONE BEHIND:
+                          # the survive transfer of batch i-1 overlaps
+                          # batch i's prune/accumulate dispatches, so
+                          # the per-batch tunnel round-trip leaves the
+                          # critical path (measured ~0.1-0.2s each on
+                          # the remote transport)
+
+        def drain_pending():
+            nonlocal pending, n_surv, n_buf_host
+            if pending is None:
+                return
+            survive_d, pbatch = pending
+            pending = None
+            sv = np.nonzero(np.asarray(survive_d)[: pbatch.n])[0]
+            for i in sv:
+                retained[pbatch.base_idx + int(i)] = \
+                    dump_entry(pbatch, int(i))
+            n_surv += len(sv)
+            n_buf_host += len(sv)
 
         def flush_p2():
-            nonlocal state, buf_n, retained
-            if int(buf_n) == 0:
+            nonlocal state, buf_n, retained, n_buf_host
+            drain_pending()
+            if n_buf_host == 0:
                 retained = {}
                 return
             state, flags = scan.flush_survivors(qd, state, buf, buf_idx,
@@ -403,6 +423,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
                 write_dump(writer, entry)
             retained = {}
             buf_n = jnp.int32(0)
+            n_buf_host = 0
 
         for batch, payload in pairs:
             if payload[0] == "delta":
@@ -416,21 +437,23 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             buf, buf_idx, buf_n = scan.accumulate_survivors(
                 buf, buf_idx, buf_n, codes_d, survive,
                 np.int32(batch.base_idx))
-            for i in np.nonzero(np.asarray(survive))[0]:
-                g = batch.base_idx + int(i)
-                retained[g] = dump_entry(batch, int(i))
-            n_surv += int(buf_n) - n_buf_prev
-            n_buf_prev = int(buf_n)
-            # rows past the buffer end are silently dropped by the
-            # scatter — flush_at must make this impossible
-            assert n_buf_prev <= cap, "survivor buffer overflow"
-            if n_buf_prev >= flush_at:
+            drain_pending()               # sync batch i-1, not i
+            pending = (survive, batch)
+            # safety without reading buf_n: after the drain,
+            # n_buf_host covers through batch i-1 and the buffer
+            # through batch i; if n_buf_host + 2*pool <= cap then even
+            # a fully-surviving in-flight batch plus the NEXT batch
+            # fit, so the scatter can never drop rows.  The warm-up
+            # flush fires on the FIRST batch (synchronously — one
+            # batch, once): prune thresholds only tighten at flushes
+            # and an empty state prunes nothing, so without it a DB
+            # smaller than cap would scan (and dump-flag) every row
+            if not warmed_up or n_buf_host + 2 * cfg.pool > cap:
                 flush_p2()
-                n_buf_prev = 0
+                warmed_up = True
             if cfg.checkpoint is not None and \
                     time.time() - last_ckpt >= cfg.checkpoint_every:
                 flush_p2()
-                n_buf_prev = 0
                 last_ckpt = time.time()
                 _save_ckpt(batch, (np.asarray(state[0]),
                                    np.asarray(state[1])))
