@@ -167,6 +167,27 @@ def test_nearest_store_equivalence(tiny_db, tmp_path):
     assert dump(tmp_path / "fa") == dump(tmp_path / "st")
 
 
+def test_nearest_store_no_prune(tiny_db, tmp_path):
+    """Store inputs through the dense (--no-prune) loop: the loop must
+    consume the StoreStreamer's (batch, payload) pairs directly, not
+    re-wrap it in an EncodedStream (which expects FASTA RefBatches)."""
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+
+    qp = tmp_path / "q.fa"
+    _write_fasta(qp, tiny_db["names"][:4],
+                 [s.decode("latin1") for s in tiny_db["seqs"][:4]])
+    r_fa = run_nearest([tiny_db["fa"]], str(qp),
+                       NearestConfig(nbest=5, pool=16, prune=False,
+                                     output=str(tmp_path / "nfa")))
+    r_st = run_nearest([tiny_db["store"]], str(qp),
+                       NearestConfig(nbest=5, pool=16, prune=False,
+                                     output=str(tmp_path / "nst")))
+    assert list(r_fa.rows()) == list(r_st.rows())
+    a = read_fasta_all(str(tmp_path / "nfa") + ".aln.xz")
+    b = read_fasta_all(str(tmp_path / "nst") + ".aln.xz")
+    assert [(r.name, r.seq) for r in a] == [(r.name, r.seq) for r in b]
+
+
 def test_nearest_store_mixed_inputs_rejected(tiny_db, tmp_path):
     from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
 

@@ -464,9 +464,11 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         log(f"Prefilter skipped the exact scan for {total - n_surv} of "
             f"{total} references (losslessly)")
     else:
-        from .stream import EncodedStream
         step_fn = make_step_fn()
-        for batch, payload in EncodedStream(streamer, delta_base):
+        # `pairs` handles both input kinds: StoreStreamer yields
+        # (batch, payload) straight from mmaps; FASTA paths go through
+        # the EncodedStream encode-ahead thread built above
+        for batch, payload in pairs:
             # a due checkpoint snapshots the state BEFORE this step (its
             # buffers are donated into the step), consistent with the
             # dump/stream position after draining the previous batch
