@@ -146,12 +146,12 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
     # 20-40% at STEPS=20.  Best of 5 timed repeats on top (tunnel
     # weather still affects the one round-trip).
     #
-    # Full mode scans the 4-bit PACKED batch (scan_steps_repeat_packed:
-    # the fused kernel unpacks nibbles in VMEM, halving its dominant
+    # Both modes scan the 4-bit PACKED batch (scan_steps_repeat_packed:
+    # the fused kernels unpack nibbles in VMEM, halving their dominant
     # HBM read — measured 1.13-1.21x the unpacked step at this shape,
-    # and packed is the form real uploads arrive in).  --acgt keeps the
-    # unpacked loop (its kernel has no packed variant yet).
-    packed_loop = not acgt
+    # and packed is the form real uploads arrive in).  The unpacked
+    # continuity keys below keep the r03 headline definition visible.
+    packed_loop = True
     pk_res = jnp.asarray(scan.pack_codes(host_codes[0]))
 
     def krepeat(st, base):

@@ -208,3 +208,41 @@ def test_pallas_packed_fused_matches_xla(Q):
     planes_f, _ = scan.score_batch_planes_packed(qd, packed)
     for a, b in zip(planes_u, planes_f):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pallas_packed_acgt_matches_xla():
+    """Packed-input --acgt kernels (VMEM nibble unpack, de-interleaved
+    query/poly/consensus operands) == the XLA site_partials path."""
+    import jax.numpy as jnp
+    from uvaia_tpu.core.encoding import encode
+    from uvaia_tpu.engine.query import QueryPack
+    from uvaia_tpu.ops import pallas_score, scan
+    from test_scan import random_alignment
+
+    rng = np.random.default_rng(29)
+    L, Q, B = 700, 6, 24
+    qseqs = random_alignment(rng, Q, L)
+    pack = QueryPack(names=[f"q{i}" for i in range(Q)],
+                     codes=np.stack([encode(s) for s in qseqs]),
+                     acgt=True, trim=0)
+    pack.create_indices()
+    qd = scan.build_device_data(pack, k=3)
+    refs = random_alignment(rng, B, L)
+    ref_codes = np.stack([encode(r) for r in refs])
+    W = int(qd.q_full.shape[1])
+    rc = np.asarray(scan._to_width(jnp.asarray(ref_codes), W))
+    packed = jnp.asarray(scan.pack_codes(ref_codes))
+
+    cons5_x, mats_x = scan.site_partials(True, qd.cons_full, qd.q_full,
+                                         jnp.asarray(rc), qd.q_poly)
+    mats_p, cons5_p = pallas_score.mats_and_cons_acgt_via_pallas_packed(
+        packed, qd.q_full, qd.q_poly, qd.cons_full, interpret=True)
+    np.testing.assert_array_equal(np.asarray(mats_x), np.asarray(mats_p))
+    np.testing.assert_array_equal(np.asarray(cons5_x), np.asarray(cons5_p))
+
+    # full planes through the packed acgt dispatch (CPU falls back to
+    # unpack-then-score; pinned bit-identical to the unpacked scoring)
+    planes_u, _ = scan.score_batch_planes(qd, jnp.asarray(ref_codes))
+    planes_f, _ = scan.score_batch_planes_packed(qd, packed)
+    for a, b in zip(planes_u, planes_f):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

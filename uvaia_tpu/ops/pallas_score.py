@@ -596,6 +596,145 @@ def mats_and_cons_via_pallas_packed(ref_packed: jnp.ndarray,
     return mats[:B], cons5[:B]
 
 
+def _kernel_acgt_main_packed(rp_ref, q_ref, cons_ref, pp_ref, aa_ref,
+                             c_ref):
+    """_kernel_acgt_main with a packed (bt, st/2) reference block;
+    q_ref and cons_ref arrive in the de-interleaved per-tile site order
+    (see the packed-variant section comment).  The consensus-stage
+    counters are site sums, so the shared permutation cancels."""
+    j = pl.program_id(1)
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        pp_ref[...] = jnp.zeros_like(pp_ref)
+        aa_ref[...] = jnp.zeros_like(aa_ref)
+
+    @pl.when((k == 0) & (j == 0))
+    def _():
+        c_ref[...] = jnp.zeros_like(c_ref)
+
+    pk = rp_ref[...].astype(jnp.int32)                   # (bt, st/2)
+    rc = jnp.concatenate([(pk >> 4) & 0xF, pk & 0xF], axis=1)
+    ra, _, _ = _features(rc)
+    rp = (ra[0] + ra[1] + ra[2] + ra[3])
+    r_feats = (ra, rp)
+    s_pp, s_aa = _acgt_pair_dots(r_feats, q_ref)
+    pp_ref[...] += s_pp
+    aa_ref[...] += s_aa
+
+    @pl.when(j == 0)
+    def _():
+        cons = cons_ref[...].astype(jnp.int32)        # (1, st), permuted
+        cpop = _pop4(cons)
+        both = rp * (cpop == 1)
+        mm_c = jnp.sum(both * (rc != cons), axis=1)
+        va_c = jnp.sum(both, axis=1)
+        valid = jnp.sum((rc != 0).astype(jnp.int32), axis=1)
+        z = valid * 0
+        c_ref[...] += jnp.stack([mm_c, va_c, z, z, valid, z, z, z],
+                                axis=-1)
+
+
+def _kernel_acgt_poly_packed(rp_ref, p_ref, ppp_ref, aap_ref):
+    """_kernel_acgt_poly with a packed reference block (p_ref arrives
+    de-interleaved)."""
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _():
+        ppp_ref[...] = jnp.zeros_like(ppp_ref)
+        aap_ref[...] = jnp.zeros_like(aap_ref)
+
+    pk = rp_ref[...].astype(jnp.int32)
+    rc = jnp.concatenate([(pk >> 4) & 0xF, pk & 0xF], axis=1)
+    ra, _, _ = _features(rc)
+    rp = (ra[0] + ra[1] + ra[2] + ra[3])
+    s_pp, s_aa = _acgt_pair_dots((ra, rp), p_ref)
+    ppp_ref[...] += s_pp
+    aap_ref[...] += s_aa
+
+
+@functools.partial(jax.jit, static_argnames=("bt", "qt", "st", "interpret"))
+def _pair_counter_acgt_packed(ref_packed, q_perm, p_perm, cons_perm,
+                              bt: int, qt: int, st: int,
+                              interpret: bool = False):
+    B, S2 = ref_packed.shape
+    S = 2 * S2
+    Q = q_perm.shape[0]
+    grid = (B // bt, Q // qt, S // st)
+    out_spec = pl.BlockSpec((bt, qt), lambda i, j, k: (i, j))
+    pp, aa, cons = pl.pallas_call(
+        _kernel_acgt_main_packed,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, st // 2), lambda i, j, k: (i, k)),
+            pl.BlockSpec((qt, st), lambda i, j, k: (j, k)),
+            pl.BlockSpec((1, st), lambda i, j, k: (0, k)),
+        ],
+        out_specs=(out_spec, out_spec,
+                   pl.BlockSpec((bt, 8), lambda i, j, k: (i, 0))),
+        out_shape=(jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, 8), jnp.int32)),
+        interpret=interpret,
+    )(ref_packed, q_perm, cons_perm[None, :])
+    ppp, aap = pl.pallas_call(
+        _kernel_acgt_poly_packed,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bt, st // 2), lambda i, j, k: (i, k)),
+            pl.BlockSpec((qt, st), lambda i, j, k: (j, k)),
+        ],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((B, Q), jnp.int32),
+                   jax.ShapeDtypeStruct((B, Q), jnp.int32)),
+        interpret=interpret,
+    )(ref_packed, p_perm)
+    mats = jnp.stack([pp, aa, ppp, aap], axis=-1)
+    return mats, cons[:, :5]
+
+
+def mats_and_cons_acgt_via_pallas_packed(ref_packed: jnp.ndarray,
+                                         q_full: jnp.ndarray,
+                                         q_poly: jnp.ndarray,
+                                         cons_full: jnp.ndarray,
+                                         interpret: bool = False):
+    """mats_and_cons_acgt_via_pallas fed by the 4-bit PACKED reference
+    matrix — the --acgt twin of mats_and_cons_via_pallas_packed: both
+    acgt kernels read the (B, W/2) packed matrix and unpack nibbles in
+    VMEM, halving their dominant HBM read; the query/poly/consensus
+    operands are permuted once to the kernels' de-interleaved site
+    order (site sums are permutation-invariant when operands agree)."""
+    Q, W = q_full.shape
+    B = ref_packed.shape[0]
+    pad = lambda n, m: (-n) % m
+    # same tile family as the packed full-mode kernel; measured on v5e
+    # at the bench shape (B=4096, Q=64, S=30720) kernel-only in-loop:
+    # (1024, 64, 1024) = 5.11ms vs unpacked acgt (512, 64, 1024) =
+    # 6.71ms — the halved read is worth ~1.3x across the two passes
+    if Q <= 64:
+        bt, st = 1024, 1024
+        qt = max(64, -(-Q // 8) * 8)
+    else:
+        bt, st = 256, 512
+        qt = min(256, -(-Q // 128) * 128)
+    Wp = W + pad(W, st)
+    r = jnp.pad(ref_packed,
+                ((0, pad(B, bt)), (0, Wp // 2 - ref_packed.shape[1])))
+    q = jnp.pad(q_full, ((0, pad(Q, qt)), (0, Wp - W)))
+    p = jnp.pad(q_poly, ((0, pad(Q, qt)), (0, Wp - W)))
+    c = jnp.pad(cons_full, (0, Wp - W))
+    perm = deinterleave_perm(Wp, min(st, Wp))
+    q = jnp.take(q, perm, axis=1)
+    p = jnp.take(p, perm, axis=1)
+    c = jnp.take(c, perm)
+    mats, cons5 = _pair_counter_acgt_packed(
+        r, q, p, c, bt=min(bt, r.shape[0]), qt=min(qt, q.shape[0]),
+        st=min(st, Wp), interpret=interpret)
+    return mats[:B, :Q], cons5[:B]
+
+
 def mats_via_pallas(ref_sub: jnp.ndarray, q_sub: jnp.ndarray) -> jnp.ndarray:
     """Drop-in for the XLA feature-matmul trio: pads shapes to kernel
     tiles (zero codes contribute zero) and slices back."""

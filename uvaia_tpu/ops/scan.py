@@ -443,11 +443,18 @@ def score_batch_planes_packed(qd: QueryDeviceData, packed: jnp.ndarray):
     materialised in HBM — the fused kernel unpacks nibbles per tile in
     VMEM (pallas_score.mats_and_cons_via_pallas_packed), halving the
     kernel's dominant HBM read.  The ambiguity-correction gather reads
-    nibbles straight from the packed matrix.  --acgt mode and non-TPU
-    backends fall back to unpack-then-score (bit-identical)."""
-    if qd.acgt or not _use_pallas():
+    nibbles straight from the packed matrix.  Non-TPU backends (and
+    --acgt at the large query packs where the XLA path beats the acgt
+    kernels — see site_partials) fall back to unpack-then-score
+    (bit-identical)."""
+    if not _use_pallas() or (qd.acgt and qd.q_full.shape[0] > 64):
         return score_batch_planes(qd, unpack_codes(packed, qd.n_sites))
     from . import pallas_score
+    if qd.acgt:
+        mats, cons5 = pallas_score.mats_and_cons_acgt_via_pallas_packed(
+            packed, qd.q_full, qd.q_poly, qd.cons_full)
+        planes = assemble_score_planes(qd, None, cons5, mats)
+        return planes, planes[3][:, 0]
     mats, cons5 = pallas_score.mats_and_cons_via_pallas_packed(
         packed, qd.q_full, qd.cons_full)
     ref_amb = None
