@@ -217,6 +217,42 @@ def test_ball_store_equivalence(tiny_db, tmp_path):
     assert [(r.name, r.seq) for r in a] == [(r.name, r.seq) for r in b]
 
 
+def test_cluster_store_equivalence(tiny_db, tmp_path):
+    """Cluster from a store == cluster from the FASTA it was ingested
+    from: same medoids, same membership, same dump — the store path
+    materialises host codes by nibble-unpacking mmap-ed packed rows
+    (StoreBatch.codes) instead of decode+encode."""
+    from uvaia_tpu.engine.cluster import ClusterConfig, run_cluster
+
+    def run(src, tag):
+        old = os.getcwd()
+        os.chdir(tmp_path)
+        try:
+            merged = run_cluster([src], ClusterConfig(
+                distance=3, pool=16, output=f"cl_{tag}"))
+        finally:
+            os.chdir(old)
+        return merged
+
+    m_fa = run(tiny_db["fa"], "fa")
+    m_st = run(tiny_db["store"], "st")
+    key = lambda ms: [(c.name, sorted(c.neighbours), c.non_n,
+                       c.dist_ref, c.snp_pos) for c in ms]
+    assert key(m_fa) == key(m_st)
+    a = read_fasta_all(str(tmp_path / "cl_fa.aln.xz"))
+    b = read_fasta_all(str(tmp_path / "cl_st.aln.xz"))
+    assert [(r.name, r.seq) for r in a] == [(r.name, r.seq) for r in b]
+
+
+def test_cluster_store_mixed_inputs_rejected(tiny_db, tmp_path):
+    from uvaia_tpu.engine.cluster import ClusterConfig, run_cluster
+
+    with pytest.raises(SystemExit, match="mix"):
+        run_cluster([tiny_db["store"], tiny_db["fa"]],
+                    ClusterConfig(distance=2,
+                                  output=str(tmp_path / "mx")))
+
+
 def test_packed_fallback_block(tmp_path):
     """Rows whose diff count overflows every delta bucket force the
     block to packed-only — the scan must still be exact."""

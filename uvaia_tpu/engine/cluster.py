@@ -72,16 +72,29 @@ class Cluster:
     neighbours: list[str] = field(default_factory=list)
 
 
+def _ref_seqs(path: str):
+    """Sequence bytes from a FASTA file or an ingested store (stores
+    decode rows exactly — io/store.py seq_row)."""
+    from ..io import store as store_mod
+    if store_mod.is_store(path):
+        st = store_mod.Store(path)
+        for r in range(st.n_rows):
+            yield st.seq_row(r)
+    else:
+        for rec in read_fasta(path):
+            yield rec.seq
+
+
 def build_reference(path: str, max_seqs: int) -> tuple[bytes, int]:
     """Consensus reference from up to max_seqs sequences: start with the
     first (non-ACGT -> N), fill Ns from later ACGT, then N -> A."""
     ref = None
     count = 0
     L = 0
-    for rec in read_fasta(path):
-        codes = encode(rec.seq)
+    for seq in _ref_seqs(path):
+        codes = encode(seq)
         acgt = IS_PURE[codes] != 0
-        arr = np.frombuffer(rec.seq, dtype=np.uint8).copy()
+        arr = np.frombuffer(seq, dtype=np.uint8).copy()
         arr[~acgt] = ord("N")
         if ref is None:
             ref = arr
@@ -359,10 +372,26 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
         log(f"Saving partial clustering info from {n_seen} sequences "
             f"to file {cfg.prefix}.csv.xz")
 
+    from ..io import store as store_mod
     from .stream import RefStreamer
-    streamer = RefStreamer(fasta_paths, L, cfg.pool, ref_ambiguity=1.0)
+    n_store = sum(store_mod.is_store(p) for p in fasta_paths)
+    if n_store and n_store != len(fasta_paths):
+        raise SystemExit(
+            "cluster: inputs mix ingested stores and FASTA files; "
+            "ingest all inputs or none")
+    if n_store:
+        # decode-free input: StoreBatch materialises host codes by
+        # nibble-unpacking mmap-ed packed rows (no xz, no re-encode);
+        # medoid seqs decode on demand (seq_row)
+        streamer = store_mod.StoreStreamer(fasta_paths, L, cfg.pool,
+                                           ref_ambiguity=1.0)
+        batches = (b for b, _ in streamer)
+    else:
+        streamer = RefStreamer(fasta_paths, L, cfg.pool,
+                               ref_ambiguity=1.0)
+        batches = streamer
     last_save = time.time()
-    for batch in streamer:
+    for batch in batches:
         process(batch)
         count = batch.base_idx + batch.n
         if count - last_print >= cfg.print_interval:

@@ -155,6 +155,12 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
     # counters fit uint16 only when L < 2^16; longer alignments (e.g.
     # bacterial cores) fall back to int32 so nothing wraps mod 65536
     int_dtype = np.uint16 if L < 2 ** 16 else np.int32
+    store_gb = R * Q * (3 * np.dtype(int_dtype).itemsize + 4) / 2 ** 30
+    if store_gb > 4.0:
+        log(f"WARNING: the in-memory score store for {R} references x "
+            f"{Q} queries needs ~{store_gb:.1f} GB of host RAM (this "
+            f"tool keeps every pair's scores, as uvaia.c does; use "
+            f"`nearest` for large databases)")
     all_s0 = np.zeros((R, Q), dtype=int_dtype)
     all_s1 = np.zeros((R, Q), dtype=int_dtype)
     all_s2 = np.zeros((R, Q), dtype=np.float32)

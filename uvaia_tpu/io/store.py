@@ -496,6 +496,32 @@ class StoreBatch:
             i -= len(rows)
         raise IndexError(i)
 
+    @property
+    def codes(self) -> np.ndarray:
+        """(batch, L) uint8 full codes, nibble-unpacked from the
+        stores' packed.bin rows (padded tail rows zero) — RefBatch
+        .codes parity for engines that work on full host codes
+        (cluster's medoid bookkeeping).  Built lazily and cached:
+        the scan engines never ask."""
+        if getattr(self, "_codes", None) is None:
+            B = len(self.ok)
+            st0 = self.pieces[0][0]
+            L, w2 = st0.n_sites, st0.w2
+            pk = np.zeros((B, w2), dtype=np.uint8)
+            at = 0
+            for store, rows in self.pieces:
+                if len(rows) and rows[-1] - rows[0] + 1 == len(rows):
+                    pk[at:at + len(rows)] = store.packed[
+                        rows[0]:rows[-1] + 1]
+                else:
+                    pk[at:at + len(rows)] = store.packed[rows]
+                at += len(rows)
+            codes = np.empty((B, w2 * 2), dtype=np.uint8)
+            codes[:, 0::2] = pk >> 4
+            codes[:, 1::2] = pk & 0xF
+            self._codes = np.ascontiguousarray(codes[:, :L])
+        return self._codes
+
 
 class StoreStreamer:
     """Streams (StoreBatch, payload) pairs from one or more stores —

@@ -709,12 +709,13 @@ def mats_and_cons_acgt_via_pallas_packed(ref_packed: jnp.ndarray,
     Q, W = q_full.shape
     B = ref_packed.shape[0]
     pad = lambda n, m: (-n) % m
-    # same tile family as the packed full-mode kernel; measured on v5e
-    # at the bench shape (B=4096, Q=64, S=30720) kernel-only in-loop:
-    # (1024, 64, 1024) = 5.11ms vs unpacked acgt (512, 64, 1024) =
-    # 6.71ms — the halved read is worth ~1.3x across the two passes
+    # the acgt decode carries more live int32 planes than the full-mode
+    # kernel (ra[4] + rp + rc ~ 24 bytes/site at bt=1024/st=1024), so
+    # the in-loop compile blows the 16MB scoped-vmem limit at the
+    # full-mode tiles (measured: 25.42M requested) — bt stays 512 as in
+    # the unpacked acgt kernel; the packed read is still halved
     if Q <= 64:
-        bt, st = 1024, 1024
+        bt, st = 512, 1024
         qt = max(64, -(-Q // 8) * 8)
     else:
         bt, st = 256, 512
