@@ -42,8 +42,8 @@ Sections and their keys:
       every stage, then the largest N in {50k, 100k, 250k} whose
       projected wall fits BENCH_SCALE_TIMEOUT (default 3600s) runs for
       real — keys carry the actual N (ball/near/near_indexed/ingest/
-      cluster_<N>k_genomes_per_sec).  BENCH_SCALE_N forces a specific
-      N; BENCH_SCALE=0 skips
+      cluster/cluster_indexed_<N>k_genomes_per_sec).  BENCH_SCALE_N
+      forces a specific N; BENCH_SCALE=0 skips
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -371,7 +371,8 @@ def section_realdata():
 def section_scale(n_forced):
     """BASELINE configs 4/5 evidence, driver-captured and TIME-BOXED:
     a 10k probe measures this host's per-genome cost of every stage
-    (gen, ingest, ball, nearest, indexed nearest, cluster), then the
+    (gen, ingest, ball, nearest, indexed nearest, cluster, indexed
+    cluster), then the
     LARGEST N in {250k, 100k, 50k} whose projected wall fits the
     section budget runs for real.  Keys carry the actual N so a
     reduced run is never mistaken for the full config-4 one; the probe
@@ -430,6 +431,9 @@ def section_scale(n_forced):
                 NearestConfig(nbest=50, output=f"{d}/ni_{tag}")))
             timed("cluster", lambda: run_cluster(
                 [db], ClusterConfig(distance=3, output=f"{d}/c_{tag}")))
+            timed("cluster_indexed", lambda: run_cluster(
+                [store], ClusterConfig(distance=3,
+                                       output=f"{d}/ci_{tag}")))
             os.unlink(db)
             import shutil
             shutil.rmtree(store)
