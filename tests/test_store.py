@@ -244,6 +244,32 @@ def test_cluster_store_equivalence(tiny_db, tmp_path):
     assert [(r.name, r.seq) for r in a] == [(r.name, r.seq) for r in b]
 
 
+def test_nearest_store_sharded_equals_single(tiny_db, tmp_path):
+    """Store input through the 8-virtual-device sharded pruned path ==
+    the single-device FASTA scan (the store payloads feed the same
+    delta/packed sharded steps a FASTA stream does)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import lzma
+
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+
+    qp = tmp_path / "q.fa"
+    _write_fasta(qp, tiny_db["names"][:4],
+                 [s.decode("latin1") for s in tiny_db["seqs"][:4]])
+    run_nearest([tiny_db["fa"]], str(qp),
+                NearestConfig(nbest=6, pool=16,
+                              output=str(tmp_path / "sg")))
+    run_nearest([tiny_db["store"]], str(qp),
+                NearestConfig(nbest=6, pool=16, n_devices=8,
+                              site_shards=2,
+                              output=str(tmp_path / "sh")))
+    a = lzma.open(str(tmp_path / "sg") + ".csv.xz", "rb").read()
+    b = lzma.open(str(tmp_path / "sh") + ".csv.xz", "rb").read()
+    assert a == b
+
+
 def test_cluster_store_mixed_inputs_rejected(tiny_db, tmp_path):
     from uvaia_tpu.engine.cluster import ClusterConfig, run_cluster
 
