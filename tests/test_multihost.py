@@ -86,6 +86,77 @@ def test_two_process_merge_equals_single(tmp_path, monkeypatch):
     assert csv_refs <= dumped
 
 
+def test_two_process_store_row_split_equals_single(tmp_path, monkeypatch):
+    """ONE ingested store shared by two hosts via contiguous row ranges
+    (skip/limit windows) merges to the same CSV as a single-process
+    scan of the source FASTA."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(91)
+    L, nq, nr, k = 300, 4, 90, 6
+    write_fasta("q.fa", [f"q{i}" for i in range(nq)],
+                random_seqs(rng, nq, L))
+    write_fasta("db.fa", [f"r{i}" for i in range(nr)],
+                random_seqs(rng, nr, L))
+    from uvaia_tpu.io.store import ingest, peek_store_rows
+    ingest(["db.fa"], "db.uvst", block=16)
+    assert peek_store_rows("db.uvst") == nr
+
+    run_nearest(["db.fa"], "q.fa",
+                NearestConfig(nbest=k, pool=16, output="single"))
+    single = lzma.open("single.csv.xz", "rb").read()
+
+    s = socket.socket()
+    s.bind(("localhost", 0))
+    port = s.getsockname()[1]
+    s.close()
+    script = textwrap.dedent(f"""
+        import sys
+        sys.path.insert(0, {REPO!r})
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        from uvaia_tpu.engine.nearest import NearestConfig
+        from uvaia_tpu.parallel.multihost import run_nearest_multihost
+        pid = int(sys.argv[1])
+        cfg = NearestConfig(nbest={k}, pool=16, output="mhs")
+        run_nearest_multihost(["db.uvst"], "q.fa", cfg, 2, pid,
+                              coordinator="localhost:{port}")
+    """)
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(pid)],
+                              cwd=tmp_path, stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    for p, o in zip(procs, outs):
+        assert p.returncode == 0, o.decode()[-2000:]
+        assert b"scanning store rows" in o
+    merged = lzma.open("mhs.csv.xz", "rb").read()
+    assert merged == single
+
+
+def test_store_row_window(tmp_path, monkeypatch):
+    """StoreStreamer [skip, limit) windows tile the store exactly: the
+    concatenation of 3 windows' rows == the full stream, including a
+    window boundary inside a store block."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(92)
+    L, nr = 200, 53
+    write_fasta("db.fa", [f"r{i}" for i in range(nr)],
+                random_seqs(rng, nr, L))
+    from uvaia_tpu.io.store import StoreStreamer, ingest
+    ingest(["db.fa"], "db.uvst", block=16)
+
+    def names_of(skip, limit):
+        ss = StoreStreamer(["db.uvst"], L, 8, ref_ambiguity=1.0,
+                           skip_records=skip, limit_records=limit)
+        return [nm for b, _ in ss for nm in b.names]
+
+    full = names_of(0, 0)
+    assert full == [f"r{i}" for i in range(nr)]
+    cuts = [0, 19, 37, nr]          # 19 and 37 fall mid-block
+    tiled = sum((names_of(cuts[i], cuts[i + 1]) for i in range(3)), [])
+    assert tiled == full
+
+
 def test_merge_and_write_single_host_roundtrip(tmp_path, monkeypatch):
     """merge_and_write over one host's state reproduces write_csv."""
     monkeypatch.chdir(tmp_path)

@@ -53,6 +53,11 @@ class NearestConfig:
     prune: bool = True               # two-phase upper-bound prefilter
                                      # (exact; single-device AND
                                      # sharded paths)
+    skip_records: int = 0            # raw-record window [skip, limit):
+    limit_records: int = 0           # the multihost row splitter's way
+                                     # of sharing ONE store across
+                                     # hosts (limit requires store
+                                     # inputs; 0 = unbounded)
 
     def clamp(self) -> "NearestConfig":
         self.query_ambiguity = min(max(self.query_ambiguity, 0.001), 1.0)
@@ -206,14 +211,15 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         refs=list(ref_paths), query=query_path, nbest=cfg.nbest,
         trim=cfg.trim, acgt=cfg.acgt, keep_resolved=cfg.keep_resolved,
         exclude_self=cfg.exclude_self, qa=cfg.query_ambiguity,
-        ra=cfg.ref_ambiguity, n_query=pack.n_query)
+        ra=cfg.ref_ambiguity, n_query=pack.n_query,
+        skip=cfg.skip_records, limit=cfg.limit_records)
     ckpt = ckpt_mod.load(cfg.checkpoint) if cfg.checkpoint else None
     if ckpt is not None and ckpt.config_key != ckpt_key:
         raise SystemExit(f"checkpoint {cfg.checkpoint} was written by a "
                          "different run configuration; remove it or use "
                          "a different path")
     names: dict[int, str] = {}
-    skip, base0, resumed_written = 0, 0, 0
+    skip, base0, resumed_written = cfg.skip_records, 0, 0
     if ckpt is not None:
         state = (jnp.asarray(ckpt.state_scores), jnp.asarray(ckpt.state_idx))
         names = dict(ckpt.names)
@@ -224,10 +230,18 @@ def _run_nearest(ref_paths: list[str], query_path: str,
 
     exclude = set(pack.names) if cfg.exclude_self else None
     streamer_cls = store_mod.StoreStreamer if store_mode else RefStreamer
+    extra_kw = {}
+    if cfg.limit_records:
+        if not store_mode:
+            raise SystemExit(
+                "record-window scanning (limit_records) requires "
+                "ingested store inputs")
+        extra_kw["limit_records"] = cfg.limit_records
     streamer = streamer_cls(ref_paths, pack.n_sites, cfg.pool,
                             ref_ambiguity=cfg.ref_ambiguity,
                             exclude_names=exclude,
-                            skip_records=skip, initial_base=base0)
+                            skip_records=skip, initial_base=base0,
+                            **extra_kw)
     if ckpt is not None:
         streamer.stats.count = ckpt.records_read
         streamer.stats.n_invalid = ckpt.n_invalid

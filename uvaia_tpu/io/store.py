@@ -90,6 +90,13 @@ def is_store(path) -> bool:
         return False
 
 
+def peek_store_rows(path) -> int:
+    """Row count from meta.json alone (no mmap, no names blob) — the
+    multihost row splitter needs counts before any host opens stores."""
+    with open(Path(path) / "meta.json") as fh:
+        return int(json.load(fh)["n_rows"])
+
+
 def peek_store_base(path) -> np.ndarray | None:
     """The store's delta base without opening the full store (engines
     need it before building device data), or None if the store carries
@@ -545,7 +552,8 @@ class StoreStreamer:
                  ref_ambiguity: float = 0.5,
                  exclude_names: set[str] | None = None,
                  prefetch: int = 4,
-                 skip_records: int = 0, initial_base: int = 0):
+                 skip_records: int = 0, initial_base: int = 0,
+                 limit_records: int = 0):
         from .fasta import read_fasta  # noqa: F401  (parity of imports)
         from ..engine.stream import StreamStats
         self.stores = [Store(p) for p in paths]
@@ -561,6 +569,10 @@ class StoreStreamer:
         self.exclude_names = exclude_names or set()
         self.skip_records = skip_records
         self.initial_base = initial_base
+        # raw-record window END (exclusive, global across the path
+        # list; 0 = unbounded): together with skip_records this scans
+        # rows [skip, limit) — the multihost row splitter's contract
+        self.limit_records = limit_records
         self.stats = StreamStats()
         self.base = next(
             (st.base for st in self.stores if st.base is not None), None)
@@ -577,9 +589,12 @@ class StoreStreamer:
         of the block's last row), payload piece or None-for-packed).
         Also appends reject events for exact checkpoint bookkeeping."""
         skip = self.skip_records
+        lim = self.limit_records
         raw_off = 0
         base = self.base
         for st in self.stores:
+            if lim and raw_off >= lim:
+                break
             self.stats.files.append(str(st.path))
             use_delta = (st.has_delta and base is not None
                          and st.base is not None
@@ -587,6 +602,11 @@ class StoreStreamer:
                          and bool((st.base == base).all()))
             for bi in range(st.blocks.shape[0]):
                 row0, nb, E = (int(x) for x in st.blocks[bi, :3])
+                if lim:
+                    # blocks ascend in row0: past the window end, done
+                    if raw_off + row0 >= lim:
+                        break
+                    nb = min(nb, lim - raw_off - row0)
                 if skip >= nb:
                     skip -= nb
                     continue

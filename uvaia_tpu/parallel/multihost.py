@@ -4,7 +4,10 @@ The reference is strictly single-host OpenMP (SURVEY.md §2.5); this is
 new capability.  Design: the database file list is split into
 *contiguous* per-host ranges (preserving the command-line order, which
 is the tie-break order of the C min-heap's first-seen-wins semantics,
-min_heap.c:93-117); each host streams and scans its range with the
+min_heap.c:93-117) — or, when every input is an ingested store, into
+contiguous per-host ROW ranges of the concatenated stores (one big
+index shares across hosts with no per-host re-ingest, io/store.py
+limit_records); each host streams and scans its range with the
 local engine (single chip or an ICI-sharded mesh via cfg.n_devices);
 at end-of-scan the tiny per-query top-k states — (Q, k, 6) scores plus
 names — are all-gathered across hosts over DCN and re-top-k'd, and
@@ -82,16 +85,34 @@ def run_nearest_multihost(ref_paths: list[str], query_path: str,
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
-    my_files = assign_files(ref_paths, num_processes, process_id)
-    log(f"[host {process_id}/{num_processes}] scanning "
-        f"{len(my_files)} of {len(ref_paths)} database files")
+    from ..io import store as store_mod
+    range_kw = {}
+    if num_processes > 1 and ref_paths and \
+            all(store_mod.is_store(p) for p in ref_paths):
+        # all-store inputs split by ROW ranges, not files: one big
+        # ingested store (the config-5 shape) shares across hosts
+        # without re-ingesting per-host shards.  Ranges are contiguous
+        # in concatenated row order, so (host, local_index) still
+        # equals the single-process global order and the merge's
+        # first-seen tie-break is preserved.
+        total = sum(store_mod.peek_store_rows(p) for p in ref_paths)
+        lo = total * process_id // num_processes
+        hi = total * (process_id + 1) // num_processes
+        my_files = list(ref_paths)
+        range_kw = dict(skip_records=lo, limit_records=hi)
+        log(f"[host {process_id}/{num_processes}] scanning store rows "
+            f"[{lo}, {hi}) of {total}")
+    else:
+        my_files = assign_files(ref_paths, num_processes, process_id)
+        log(f"[host {process_id}/{num_processes}] scanning "
+            f"{len(my_files)} of {len(ref_paths)} database files")
     # per-host output AND checkpoint paths: on a shared filesystem a
     # single checkpoint path would be overwritten by every host, and
     # resume would fail the config-key check on all but the last writer
     part_cfg = replace(
         cfg, output=f"{cfg.prefix}.h{process_id}",
         checkpoint=(f"{cfg.checkpoint}.h{process_id}"
-                    if cfg.checkpoint else None))
+                    if cfg.checkpoint else None), **range_kw)
     res = run_nearest(my_files, query_path, part_cfg)
 
     k = res.indices.shape[1]
