@@ -337,6 +337,65 @@ def test_ingest_no_frames(tiny_db, tmp_path):
     assert [(r.name, r.seq) for r in a] == [(r.name, r.seq) for r in b]
 
 
+def test_ingest_append_equals_one_shot(tmp_path):
+    """ingest(A) then append(B) must equal ingest(A+B): same meta,
+    packed rows, names, exact decodes, frames, and a byte-identical
+    nearest CSV from either store."""
+    import lzma
+
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+
+    rng = np.random.default_rng(31)
+    L = 600
+    seqs = _mk_genomes(rng, 41, L)
+    names = [f"s{i:03d}" for i in range(41)]
+    fa_a, fa_b = tmp_path / "a.fa.xz", tmp_path / "b.fa.xz"
+    _write_fasta(fa_a, names[:23], seqs[:23])
+    _write_fasta(fa_b, names[23:], seqs[23:])
+
+    one = tmp_path / "one.uvst"
+    store_mod.ingest([str(fa_a), str(fa_b)], str(one), block=8)
+    two = tmp_path / "two.uvst"
+    st_a = store_mod.ingest([str(fa_a)], str(two), block=8)
+    st_b = store_mod.ingest([str(fa_b)], str(two), block=8, append=True)
+    assert st_b.n_rows == 18                   # this run's rows only
+
+    s1, s2 = store_mod.Store(str(one)), store_mod.Store(str(two))
+    assert s2.n_rows == s1.n_rows == 41
+    assert s2.meta["has_rowxz"] and s2.meta["has_delta"]
+    np.testing.assert_array_equal(np.asarray(s1.packed),
+                                  np.asarray(s2.packed))
+    np.testing.assert_array_equal(s1.valid, s2.valid)
+    for r in range(s1.n_rows):
+        assert s2.name(r) == s1.name(r) == names[r]
+        assert s2.seq_row(r) == s1.seq_row(r)
+        assert s2.frame_row(r) == s1.frame_row(r)
+
+    qp = tmp_path / "q.fa"
+    _write_fasta(qp, names[:3], [s.decode("latin1") for s in seqs[:3]])
+    r1 = run_nearest([str(one)], str(qp),
+                     NearestConfig(nbest=5, pool=16,
+                                   output=str(tmp_path / "o1")))
+    r2 = run_nearest([str(two)], str(qp),
+                     NearestConfig(nbest=5, pool=16,
+                                   output=str(tmp_path / "o2")))
+    assert (lzma.open(str(tmp_path / "o1") + ".csv.xz").read()
+            == lzma.open(str(tmp_path / "o2") + ".csv.xz").read())
+
+
+def test_ingest_append_guards(tmp_path, tiny_db):
+    """--append needs an existing store and matching site count."""
+    with pytest.raises(SystemExit, match="existing store"):
+        store_mod.ingest([tiny_db["fa"]], str(tmp_path / "nope.uvst"),
+                         append=True)
+    short = tmp_path / "short.fa"
+    _write_fasta(short, ["x"], ["ACGT"])
+    dst = tmp_path / "st.uvst"
+    store_mod.ingest([tiny_db["fa"]], str(dst), block=8)
+    with pytest.raises(SystemExit, match="aligned"):
+        store_mod.ingest([str(short)], str(dst), append=True)
+
+
 def test_ingest_refuses_overwrite(tiny_db):
     with pytest.raises(SystemExit, match="exists"):
         store_mod.ingest([tiny_db["fa"]], tiny_db["store"])

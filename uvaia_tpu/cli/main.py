@@ -132,6 +132,10 @@ def _add_ingest(sub):
     p.add_argument("--no-frames", action="store_true",
                    help="skip pre-compressed dump frames (~3x faster "
                         "ingest; scans then re-compress dump survivors)")
+    p.add_argument("--append", action="store_true",
+                   help="extend an EXISTING store in place (new "
+                        "sequence drops without a full re-ingest; the "
+                        "frames setting is inherited from the store)")
     p.add_argument("fasta", nargs="+",
                    help="aligned reference database(s), xz/gz/bz2/raw")
     return p
@@ -257,8 +261,10 @@ def _dispatch(args) -> int:
                 print(f"ingested {n} sequences, {n/max(dt,1e-9):,.0f} "
                       f"genomes/sec", file=sys.stderr)
         st = ingest(args.fasta, args.output, block=args.block,
-                    progress=_progress, frames=not args.no_frames)
-        print(f"Ingested {st.n_rows} sequences x {st.n_sites} sites into "
+                    progress=_progress, frames=not args.no_frames,
+                    append=args.append)
+        verb = "Appended" if args.append else "Ingested"
+        print(f"{verb} {st.n_rows} sequences x {st.n_sites} sites into "
               f"{args.output} ({st.bytes/1e6:.1f} MB, "
               f"{st.n_delta_blocks} delta + {st.n_packed_blocks} "
               f"packed-only blocks) in {st.seconds:.1f}s "

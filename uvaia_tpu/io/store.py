@@ -197,7 +197,8 @@ def _gap_runs(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
-           progress=None, frames: bool = True) -> IngestStats:
+           progress=None, frames: bool = True,
+           append: bool = False) -> IngestStats:
     """One streaming pass: FASTA/xz database(s) -> store directory.
 
     Rows are stored verbatim in input order (no QC — quality and name
@@ -208,6 +209,14 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     ``frames=False`` skips the pre-compressed dump frames: ingest runs
     ~3x faster (the per-row xz encode is ~2.2ms on the bench host) but
     every later scan re-compresses its dump survivors.
+
+    ``append=True`` extends an EXISTING store in place (the weekly
+    surveillance-drop workflow: no full re-ingest).  New rows delta
+    against the store's original base; the frames setting is inherited.
+    meta.json is rewritten LAST (atomically), and every section is
+    append-only or whole-array-rewritten-larger, so a crashed append
+    leaves the previous meta pointing at a fully valid prefix — the
+    store stays readable and the append can simply be re-run.
     """
     from ..engine.stream import RefStreamer
     from ..io.fasta import read_fasta
@@ -215,25 +224,42 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
 
     t0 = time.time()
     outp = Path(out)
-    if outp.exists():
+    prev = None
+    if append:
+        if not is_store(out):
+            raise SystemExit(f"{out} is not an existing store "
+                             "(--append extends one)")
+        with open(outp / "meta.json") as fh:
+            prev = json.load(fh)
+    elif outp.exists():
         raise SystemExit(f"{out} already exists; refusing to overwrite "
                          "an existing store or directory")
-    outp.mkdir(parents=True)
+    else:
+        outp.mkdir(parents=True)
 
     first = next(iter(read_fasta(paths[0])), None)
     if first is None:
         raise SystemExit(f"no sequences in {paths[0]}")
     L = len(first.seq)
+    if prev is not None and L != int(prev["n_sites"]):
+        raise SystemExit(
+            f"cannot append {L}-site sequences to a "
+            f"{prev['n_sites']}-site store: all sequences must be "
+            "aligned")
     w2 = (L + 1) // 2
+    if prev is not None:
+        frames = bool(prev.get("has_rowxz"))
 
-    f_packed = open(outp / "packed.bin", "wb")
-    f_names = open(outp / "names.bin", "wb")
-    f_dpos = open(outp / "delta_pos.bin", "wb")
-    f_dval = open(outp / "delta_val.bin", "wb")
-    f_runs = open(outp / "gapruns.bin", "wb")
-    f_epos = open(outp / "exc_pos.bin", "wb")
-    f_echr = open(outp / "exc_chr.bin", "wb")
-    f_rowxz = open(outp / "rowxz.bin", "wb")
+    mode = "ab" if prev is not None else "wb"
+    f_packed = open(outp / "packed.bin", mode)
+    f_names = open(outp / "names.bin", mode)
+    f_dpos = open(outp / "delta_pos.bin", mode)
+    f_dval = open(outp / "delta_val.bin", mode)
+    f_runs = open(outp / "gapruns.bin", mode)
+    f_epos = open(outp / "exc_pos.bin", mode)
+    f_echr = open(outp / "exc_chr.bin", mode)
+    f_rowxz = open(outp / "rowxz.bin", mode) if frames or prev is None \
+        else None
 
     valid_parts: list[np.ndarray] = []
     name_lens: list[np.ndarray] = []
@@ -245,6 +271,17 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     pos_off = val_off = 0
     n_rows = 0
     stats = IngestStats(n_sites=L)
+    if prev is not None:
+        n_rows = int(prev["n_rows"])
+        blocks = [tuple(int(x) for x in b)
+                  for b in np.load(outp / "blocks.npy")]
+        # "ab" position is only defined after the first write: size the
+        # existing delta sections directly
+        pos_off = os.path.getsize(outp / "delta_pos.bin")
+        val_off = os.path.getsize(outp / "delta_val.bin")
+        if (outp / "base.bin").is_file():
+            base = np.fromfile(outp / "base.bin", dtype=np.uint8)
+    n_rows0 = n_rows
 
     # ref_ambiguity=1.0 -> min_valid 0: keep every record (no QC here)
     streamer = RefStreamer(paths, L, block, ref_ambiguity=1.0)
@@ -316,42 +353,75 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
             stats.n_packed_blocks += 1
         n_rows += n
         if progress is not None:
-            progress(n_rows, time.time() - t0)
+            progress(n_rows - n_rows0, time.time() - t0)
 
     for fh in (f_packed, f_names, f_dpos, f_dval, f_runs, f_epos,
                f_echr, f_rowxz):
-        fh.close()
+        if fh is not None:
+            fh.close()
 
-    def _offsets(parts):
-        ends = np.zeros(n_rows + 1, dtype=np.int64)
-        if parts:
-            np.cumsum(np.concatenate(parts), out=ends[1:])
-        return ends
+    def _save_np(name, arr):
+        """Atomic .npy rewrite: an in-place np.save interrupted
+        mid-write would corrupt an EXISTING array the old meta still
+        points at."""
+        tmp = outp / (name + ".tmp")
+        np.save(tmp, arr)
+        os.replace(str(tmp) + ".npy", outp / name)
 
-    np.save(outp / "valid.npy",
-            np.concatenate(valid_parts) if valid_parts
-            else np.empty(0, np.int32))
-    np.save(outp / "name_offsets.npy", _offsets(name_lens))
-    np.save(outp / "gaprun_offsets.npy", _offsets(run_counts))
-    np.save(outp / "exc_offsets.npy", _offsets(exc_counts))
+    def _offsets(parts, name):
+        """Cumulative ends over old + new rows: the existing ends array
+        (or [0]) extended by this run's per-row lengths."""
+        head = (np.load(outp / name) if prev is not None
+                else np.zeros(1, dtype=np.int64))
+        if not parts:
+            return head
+        tail = np.cumsum(np.concatenate(parts),
+                         dtype=np.int64) + int(head[-1])
+        return np.concatenate([head, tail])
+
+    new_valid = (np.concatenate(valid_parts) if valid_parts
+                 else np.empty(0, np.int32))
+    if prev is not None:
+        new_valid = np.concatenate([np.load(outp / "valid.npy"),
+                                    new_valid])
+    _save_np("valid.npy", new_valid)
+    _save_np("name_offsets.npy", _offsets(name_lens, "name_offsets.npy"))
+    _save_np("gaprun_offsets.npy",
+             _offsets(run_counts, "gaprun_offsets.npy"))
+    _save_np("exc_offsets.npy", _offsets(exc_counts, "exc_offsets.npy"))
     if frames:
-        np.save(outp / "rowxz_offsets.npy", _offsets(rowxz_lens))
-    else:
+        _save_np("rowxz_offsets.npy",
+                 _offsets(rowxz_lens, "rowxz_offsets.npy"))
+    elif prev is None:
         os.unlink(outp / "rowxz.bin")
-    np.save(outp / "blocks.npy",
-            np.asarray(blocks, dtype=np.int64).reshape(-1, 5))
-    if stats.n_delta_blocks and base is not None:
+    _save_np("blocks.npy",
+             np.asarray(blocks, dtype=np.int64).reshape(-1, 5))
+    has_delta = stats.n_delta_blocks > 0 or bool(
+        prev is not None and prev.get("has_delta"))
+    if stats.n_delta_blocks and base is not None \
+            and not (outp / "base.bin").is_file():
+        # never rewrite an existing base: appended deltas are against
+        # it bit-for-bit, and an interrupted rewrite would corrupt a
+        # section the old meta already points at
         base.tofile(outp / "base.bin")
 
     meta = {"format": FORMAT, "version": VERSION, "n_rows": n_rows,
-            "n_sites": L, "w2": w2, "block": block,
-            "has_delta": stats.n_delta_blocks > 0,
+            "n_sites": L, "w2": w2,
+            "block": int(prev["block"]) if prev is not None else block,
+            "has_delta": has_delta,
             "has_rowxz": frames,
-            "sources": [str(p) for p in paths]}
-    with open(outp / "meta.json", "w") as fh:
+            "sources": (list(prev["sources"]) if prev is not None else [])
+            + [str(p) for p in paths]}
+    # the commit point: a crash anywhere above leaves the OLD meta
+    # describing a valid prefix of every (append-only) section
+    tmp = outp / "meta.json.tmp"
+    with open(tmp, "w") as fh:
         json.dump(meta, fh, indent=1)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, outp / "meta.json")
 
-    stats.n_rows = n_rows
+    stats.n_rows = n_rows - n_rows0      # rows ingested by THIS run
     stats.seconds = time.time() - t0
     stats.bytes = sum(
         (outp / f).stat().st_size for f in os.listdir(outp))
