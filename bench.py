@@ -429,6 +429,9 @@ def section_scale(n_forced):
             timed("near_indexed", lambda: run_nearest(
                 [store], qp,
                 NearestConfig(nbest=50, output=f"{d}/ni_{tag}")))
+            timed("ball_indexed", lambda: run_ball(
+                [store], qp,
+                BallConfig(distance=5, output=f"{d}/bi_{tag}")))
             timed("cluster", lambda: run_cluster(
                 [db], ClusterConfig(distance=3, output=f"{d}/c_{tag}")))
             timed("cluster_indexed", lambda: run_cluster(
