@@ -383,6 +383,60 @@ def test_ingest_append_equals_one_shot(tmp_path):
             == lzma.open(str(tmp_path / "o2") + ".csv.xz").read())
 
 
+def test_ingest_append_crash_rerun(tmp_path):
+    """An append that crashed at the WORST point (every section
+    extended, offsets arrays saved, meta not yet committed) leaves the
+    old store readable, and simply re-running the append produces the
+    exact one-shot store — the truncate-to-meta pass drops orphans."""
+    import shutil
+
+    rng = np.random.default_rng(37)
+    L = 600                    # _mk_genomes' gap-run slices need 12 | L
+    seqs = _mk_genomes(rng, 30, L)
+    names = [f"c{i:03d}" for i in range(30)]
+    fa_a, fa_b = tmp_path / "a.fa.xz", tmp_path / "b.fa.xz"
+    _write_fasta(fa_a, names[:17], seqs[:17])
+    _write_fasta(fa_b, names[17:], seqs[17:])
+
+    one = tmp_path / "one.uvst"
+    store_mod.ingest([str(fa_a), str(fa_b)], str(one), block=8)
+
+    two = tmp_path / "two.uvst"
+    store_mod.ingest([str(fa_a)], str(two), block=8)
+    meta_before = (two / "meta.json").read_bytes()
+    store_mod.ingest([str(fa_b)], str(two), block=8, append=True)
+    # crash simulation: everything the append wrote survives EXCEPT
+    # the meta commit
+    (two / "meta.json").write_bytes(meta_before)
+
+    st = store_mod.Store(str(two))          # old store still readable
+    assert st.n_rows == 17
+    assert st.seq_row(16) == seqs[16].upper()
+
+    store_mod.ingest([str(fa_b)], str(two), block=8, append=True)
+
+    # a clean (never-crashed) append with the same splits: the rerun
+    # must reproduce it byte-for-byte, orphans and all gone
+    three = tmp_path / "three.uvst"
+    store_mod.ingest([str(fa_a)], str(three), block=8)
+    store_mod.ingest([str(fa_b)], str(three), block=8, append=True)
+    for p in sorted(three.iterdir()):
+        assert (two / p.name).read_bytes() == p.read_bytes(), p.name
+
+    # and row-level content matches the one-shot ingest (block
+    # boundaries legitimately differ: 17 rows don't fill block 3)
+    s1, s2 = store_mod.Store(str(one)), store_mod.Store(str(two))
+    assert s2.n_rows == 30
+    np.testing.assert_array_equal(np.asarray(s1.packed),
+                                  np.asarray(s2.packed))
+    np.testing.assert_array_equal(s1.valid, s2.valid)
+    for r in range(30):
+        assert s2.name(r) == s1.name(r)
+        assert s2.seq_row(r) == s1.seq_row(r)
+        assert s2.frame_row(r) == s1.frame_row(r)
+    shutil.rmtree(two)
+
+
 def test_ingest_append_guards(tmp_path, tiny_db):
     """--append needs an existing store and matching site count."""
     with pytest.raises(SystemExit, match="existing store"):

@@ -196,6 +196,41 @@ def _gap_runs(raw: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return runs, counts
 
 
+def _truncate_to_meta(outp: Path, prev: dict, frames: bool) -> None:
+    """Drop orphan TRAILING bytes a crashed earlier append may have
+    left past the committed meta's row count — without this, re-running
+    the append would interleave the orphans into the row space (the
+    binary sections are parsed purely by offset)."""
+    n = int(prev["n_rows"])
+    w2 = int(prev["w2"])
+    ends = {}
+    for name in ("name_offsets", "gaprun_offsets", "exc_offsets",
+                 "rowxz_offsets"):
+        p = outp / f"{name}.npy"
+        ends[name] = int(np.load(p)[n]) if p.is_file() else 0
+    blocks = np.load(outp / "blocks.npy")
+    pos_end = val_end = 0
+    for row0, nb, E, poff, voff in blocks:
+        if row0 >= n:
+            continue          # orphan block from a crashed append
+        if E > 0:
+            pos_end = max(pos_end, int(poff) + int(nb) * int(E) * 2)
+            val_end = max(val_end, int(voff) + int(nb) * int(E))
+    sizes = {"packed.bin": n * w2,
+             "names.bin": ends["name_offsets"],
+             "gapruns.bin": ends["gaprun_offsets"] * 8,
+             "exc_pos.bin": ends["exc_offsets"] * 4,
+             "exc_chr.bin": ends["exc_offsets"],
+             "delta_pos.bin": pos_end,
+             "delta_val.bin": val_end}
+    if frames:
+        sizes["rowxz.bin"] = ends["rowxz_offsets"]
+    for fname, size in sizes.items():
+        p = outp / fname
+        if p.is_file() and p.stat().st_size > size:
+            os.truncate(p, size)
+
+
 def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
            progress=None, frames: bool = True,
            append: bool = False) -> IngestStats:
@@ -250,6 +285,8 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     if prev is not None:
         frames = bool(prev.get("has_rowxz"))
 
+    if prev is not None:
+        _truncate_to_meta(outp, prev, frames)
     mode = "ab" if prev is not None else "wb"
     f_packed = open(outp / "packed.bin", mode)
     f_names = open(outp / "names.bin", mode)
@@ -273,8 +310,11 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     stats = IngestStats(n_sites=L)
     if prev is not None:
         n_rows = int(prev["n_rows"])
+        # drop orphan entries a crashed append may have saved past the
+        # committed meta (appended blocks always start at >= old n_rows)
         blocks = [tuple(int(x) for x in b)
-                  for b in np.load(outp / "blocks.npy")]
+                  for b in np.load(outp / "blocks.npy")
+                  if int(b[0]) < n_rows]
         # "ab" position is only defined after the first write: size the
         # existing delta sections directly
         pos_off = os.path.getsize(outp / "delta_pos.bin")
@@ -370,8 +410,10 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
 
     def _offsets(parts, name):
         """Cumulative ends over old + new rows: the existing ends array
-        (or [0]) extended by this run's per-row lengths."""
-        head = (np.load(outp / name) if prev is not None
+        (clipped to the committed row count — a crashed append may have
+        saved longer arrays than its meta) extended by this run's
+        per-row lengths."""
+        head = (np.load(outp / name)[: n_rows0 + 1] if prev is not None
                 else np.zeros(1, dtype=np.int64))
         if not parts:
             return head
@@ -382,7 +424,7 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     new_valid = (np.concatenate(valid_parts) if valid_parts
                  else np.empty(0, np.int32))
     if prev is not None:
-        new_valid = np.concatenate([np.load(outp / "valid.npy"),
+        new_valid = np.concatenate([np.load(outp / "valid.npy")[:n_rows0],
                                     new_valid])
     _save_np("valid.npy", new_valid)
     _save_np("name_offsets.npy", _offsets(name_lens, "name_offsets.npy"))
