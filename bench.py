@@ -284,7 +284,7 @@ def section_align(L):
             emit(align_seqs_per_sec=round(NQ / dt, 1))
 
         if os.environ.get("BENCH_ALIGN_5K", "1") != "0":
-            NQ5 = 5000
+            NQ5 = int(os.environ.get("BENCH_ALIGN_5K_N", 5000))
             with open(f"{d}/q5k.fa", "w") as f:
                 _write_align_queries(f, ref, NQ5, rng)
             t0 = time.time()
@@ -293,7 +293,8 @@ def section_align(L):
             dt5 = time.time() - t0
             assert stats.n_output == NQ5
             emit(align_5k_seqs_per_sec=round(NQ5 / dt5, 1),
-                 align_5k_wall_s=round(dt5, 2))
+                 align_5k_wall_s=round(dt5, 2),
+                 align_5k_uncertified=stats.uncertified)
 
 
 def section_realdata():
