@@ -59,7 +59,10 @@ def tiny_db(tmp_path_factory):
     fa = d / "db.fa.xz"
     _write_fasta(fa, names, seqs)
     st_path = d / "db.uvst"
-    stats = store_mod.ingest([str(fa)], str(st_path), block=8)
+    # frames=True: this shared fixture carries the frame-path coverage
+    # (ingest defaults to frames=False since round 4 — see ingest())
+    stats = store_mod.ingest([str(fa)], str(st_path), block=8,
+                             frames=True)
     return dict(dir=d, fa=str(fa), store=str(st_path), names=names,
                 seqs=seqs, L=L, stats=stats)
 
@@ -315,12 +318,13 @@ def test_packed_fallback_block(tmp_path):
 
 
 def test_ingest_no_frames(tiny_db, tmp_path):
-    """frames=False store: no rowxz section, frame() returns None, and
-    the engines fall back to seq-byte dump writes (content parity)."""
+    """frames=False (the DEFAULT) store: no rowxz section, frame()
+    returns None, and the engines fall back to seq-byte dump writes
+    (content parity with a frames store)."""
     from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
 
     stp = tmp_path / "nf.uvst"
-    store_mod.ingest([tiny_db["fa"]], str(stp), block=8, frames=False)
+    store_mod.ingest([tiny_db["fa"]], str(stp), block=8)
     st = store_mod.Store(stp)
     assert st.frame_row(0) is None
     qp = tmp_path / "q.fa"
@@ -354,9 +358,10 @@ def test_ingest_append_equals_one_shot(tmp_path):
     _write_fasta(fa_b, names[23:], seqs[23:])
 
     one = tmp_path / "one.uvst"
-    store_mod.ingest([str(fa_a), str(fa_b)], str(one), block=8)
+    store_mod.ingest([str(fa_a), str(fa_b)], str(one), block=8,
+                     frames=True)
     two = tmp_path / "two.uvst"
-    st_a = store_mod.ingest([str(fa_a)], str(two), block=8)
+    st_a = store_mod.ingest([str(fa_a)], str(two), block=8, frames=True)
     st_b = store_mod.ingest([str(fa_b)], str(two), block=8, append=True)
     assert st_b.n_rows == 18                   # this run's rows only
 
@@ -399,10 +404,11 @@ def test_ingest_append_crash_rerun(tmp_path):
     _write_fasta(fa_b, names[17:], seqs[17:])
 
     one = tmp_path / "one.uvst"
-    store_mod.ingest([str(fa_a), str(fa_b)], str(one), block=8)
+    store_mod.ingest([str(fa_a), str(fa_b)], str(one), block=8,
+                     frames=True)
 
     two = tmp_path / "two.uvst"
-    store_mod.ingest([str(fa_a)], str(two), block=8)
+    store_mod.ingest([str(fa_a)], str(two), block=8, frames=True)
     meta_before = (two / "meta.json").read_bytes()
     store_mod.ingest([str(fa_b)], str(two), block=8, append=True)
     # crash simulation: everything the append wrote survives EXCEPT
@@ -418,7 +424,7 @@ def test_ingest_append_crash_rerun(tmp_path):
     # a clean (never-crashed) append with the same splits: the rerun
     # must reproduce it byte-for-byte, orphans and all gone
     three = tmp_path / "three.uvst"
-    store_mod.ingest([str(fa_a)], str(three), block=8)
+    store_mod.ingest([str(fa_a)], str(three), block=8, frames=True)
     store_mod.ingest([str(fa_b)], str(three), block=8, append=True)
     for p in sorted(three.iterdir()):
         assert (two / p.name).read_bytes() == p.read_bytes(), p.name

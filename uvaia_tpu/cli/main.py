@@ -129,9 +129,11 @@ def _add_ingest(sub):
     p.add_argument("--block", type=int, default=4096,
                    help="rows per store block (default 4096, matching "
                         "the default scan pool)")
-    p.add_argument("--no-frames", action="store_true",
-                   help="skip pre-compressed dump frames (~3x faster "
-                        "ingest; scans then re-compress dump survivors)")
+    p.add_argument("--frames", action="store_true",
+                   help="also pre-compress every row as an xz dump "
+                        "frame (scan-time dumps become byte copies; "
+                        "costs ~1.8ms/row at ingest — worth it only "
+                        "when the store is dump-scanned many times)")
     p.add_argument("--append", action="store_true",
                    help="extend an EXISTING store in place (new "
                         "sequence drops without a full re-ingest; the "
@@ -261,7 +263,7 @@ def _dispatch(args) -> int:
                 print(f"ingested {n} sequences, {n/max(dt,1e-9):,.0f} "
                       f"genomes/sec", file=sys.stderr)
         st = ingest(args.fasta, args.output, block=args.block,
-                    progress=_progress, frames=not args.no_frames,
+                    progress=_progress, frames=args.frames,
                     append=args.append)
         verb = "Appended" if args.append else "Ingested"
         print(f"{verb} {st.n_rows} sequences x {st.n_sites} sites into "

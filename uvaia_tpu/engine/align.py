@@ -403,7 +403,7 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
 
     writer = None
     if not cfg.to_stdout:
-        writer = ParallelXzFastaWriter(cfg.prefix + ".aln.xz", preset=1)
+        writer = ParallelXzFastaWriter(cfg.prefix + ".aln.xz")
         log(f"Sequences will be compressed and saved into file "
             f"{writer.path}.")
 

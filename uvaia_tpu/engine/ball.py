@@ -133,7 +133,7 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
     # the kept set can be a large DB fraction (radius searches on
     # surveillance data keep whole lineages); multi-stream xz on a
     # thread pool keeps the writer off the streaming critical path
-    writer = ParallelXzFastaWriter(cfg.prefix + ".aln.xz", preset=1)
+    writer = ParallelXzFastaWriter(cfg.prefix + ".aln.xz")
     t1 = time.time()
     last_print = 0
     pending = None

@@ -421,7 +421,7 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
     # of one serial preset-6 stream
     from ..io.fasta import ParallelXzFastaWriter
 
-    with ParallelXzFastaWriter(cfg.prefix + ".aln.xz", preset=1) as w:
+    with ParallelXzFastaWriter(cfg.prefix + ".aln.xz") as w:
         for c in merged:
             w.write(c.name, c.seq)
     log(f"Saved {len(merged)} medoids to {cfg.prefix}.aln.xz and "

@@ -262,7 +262,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
     # thousands of full genomes (every prune survivor / candidate),
     # and a single background lzma stream measured 9.4s of a 12.4s
     # real-data run — the drain thread could not keep up
-    writer = ParallelXzFastaWriter(dump_path, preset=1,
+    writer = ParallelXzFastaWriter(dump_path,
                                    append=ckpt is not None)
     t1 = time.time()
     last_print = 0
@@ -286,7 +286,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             state_scores=state_host[0], state_idx=state_host[1],
             names=names, config_key=ckpt_key,
             dump_bytes=_os.path.getsize(dump_path)))
-        writer = ParallelXzFastaWriter(dump_path, preset=1, append=True)
+        writer = ParallelXzFastaWriter(dump_path, append=True)
 
     def _drain(pending):
         flags, batch = pending

@@ -45,13 +45,15 @@ mmap-ed independently):
                      differs from the original byte (e.g. '?', 'U'):
                      applied last, making decode_row exact for ANY
                      input
-  rowxz.bin          per-row PRE-COMPRESSED dump frames: each row's
-                     ">name\nseq\n" as one complete xz stream (the
-                     multi-stream format every engine output already
-                     uses, io/fasta.ParallelXzFastaWriter).  The
-                     neighbour dump of a store scan is then pure file
+  rowxz.bin          OPTIONAL (ingest --frames) per-row PRE-COMPRESSED
+                     dump frames: each row's ">name\nseq\n" as one
+                     complete xz stream (the multi-stream format every
+                     engine output already uses,
+                     io/fasta.ParallelXzFastaWriter).  The neighbour
+                     dump of a store scan is then pure file
                      concatenation — measured 3.2s of a 6.2s real-DB
-                     indexed run was re-compressing survivor genomes
+                     indexed run was re-compressing survivor genomes.
+                     Off by default: see ingest() for the economics
   rowxz_offsets.npy  (n_rows+1,) int64 ends into rowxz.bin
 
 The delta sections are the fast path: a scan uploads the (pos, val)
@@ -232,7 +234,7 @@ def _truncate_to_meta(outp: Path, prev: dict, frames: bool) -> None:
 
 
 def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
-           progress=None, frames: bool = True,
+           progress=None, frames: bool = False,
            append: bool = False) -> IngestStats:
     """One streaming pass: FASTA/xz database(s) -> store directory.
 
@@ -241,9 +243,14 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     one store serves every flag combination).  Unaligned input errors
     exactly like the scan would (RefStreamer length check).
 
-    ``frames=False`` skips the pre-compressed dump frames: ingest runs
-    ~3x faster (the per-row xz encode is ~2.2ms on the bench host) but
-    every later scan re-compresses its dump survivors.
+    ``frames=True`` additionally pre-compresses every row as its own
+    xz dump frame.  Off by default because the economics rarely pay:
+    frames cost ~1.8ms/row (measured, real DB) for ALL n_rows at
+    ingest — ~90% of ingest wall on the bench host — while a scan's
+    dump only needs its SURVIVORS, which the batched writer
+    compresses on demand at ~0.7ms/row (io/fasta._GENOME_FILTERS).
+    Opt in when the same store will be dump-scanned many times with
+    large survivor sets (breakeven ≈ 2.5 · n_rows / n_dumped scans).
 
     ``append=True`` extends an EXISTING store in place (the weekly
     surveillance-drop workflow: no full re-ingest).  New rows delta
