@@ -44,7 +44,15 @@ def maybe_profile():
         yield
         return
     import jax
-    jax.profiler.start_trace(outdir)
+    try:
+        jax.profiler.start_trace(outdir)
+    except RuntimeError as e:
+        # some transports (the axon dev tunnel) expose no profiler
+        # backend; a missing trace must never fail the run itself
+        print(f"uvaia-tpu: profiling unavailable ({e}); running "
+              "without a trace", file=sys.stderr)
+        yield
+        return
     print(f"uvaia-tpu: profiling to {outdir}", file=sys.stderr)
     try:
         yield
