@@ -377,25 +377,31 @@ def section_realdata():
                 r.n_scanned / dt, 1))
 
         # threaded multi-stream xz decode (fasta_io.cpp MtXzSource) on
-        # a repo-written dump (one xz stream per record).  NOTE: the
-        # bench VM has ONE core (nproc=1), so the ratio here is ~1.0 by
-        # construction — the span pipeline pays only on multicore
-        # hosts; this key exists to catch regressions, not to show the
-        # speedup this host cannot express.
+        # a repo-written dump (one xz stream per record).  The ratio
+        # compares serial decode against the DEFAULT thread config
+        # (hardware_concurrency-1): on this ONE-core bench VM the
+        # default is serial too, so the ratio is ~1.0 by construction —
+        # the span pipeline pays only on multicore hosts.  A forced
+        # 4-thread pass still exercises the span machinery for
+        # correctness (record count must match; timing it on 1 core
+        # only measures oversubscription).
         from uvaia_tpu.io.native import read_fasta_native
         dump = f"{d}/out_ix.aln.xz"
         if os.path.exists(dump):
             def reread(threads):
-                os.environ["UVAIA_TPU_XZ_THREADS"] = threads
+                if threads is None:
+                    os.environ.pop("UVAIA_TPU_XZ_THREADS", None)
+                else:
+                    os.environ["UVAIA_TPU_XZ_THREADS"] = threads
                 t0 = time.time()
                 n = sum(1 for _ in read_fasta_native(dump))
                 return n, time.time() - t0
             n1, t1s = reread("1")
-            nt, tts = reread(str(max(4, os.cpu_count() or 1)))
-            os.environ.pop("UVAIA_TPU_XZ_THREADS", None)
-            assert n1 == nt
-            emit(multistream_xz_reread_genomes_per_sec=round(nt / tts, 1),
-                 multistream_xz_rescan_ratio=round(t1s / tts, 3))
+            nf, _ = reread("4")            # span-path correctness
+            nd, tds = reread(None)
+            assert n1 == nf == nd
+            emit(multistream_xz_reread_genomes_per_sec=round(nd / tds, 1),
+                 multistream_xz_rescan_ratio=round(t1s / tds, 3))
 
 
 def section_scale(n_forced):
