@@ -43,8 +43,9 @@ Sections and their keys:
       copies pre-compressed xz frames; skip all with BENCH_REALDATA=0)
   scale     — BASELINE configs 4/5 evidence, TIME-BOXED: 10k probe of
       every stage, then the largest N in {50k, 100k, 250k} whose
-      projected wall fits BENCH_SCALE_TIMEOUT (default 3600s) runs for
-      real — keys carry the actual N (ball/near/near_indexed/ingest/
+      projected wall fits BENCH_SCALE_TIMEOUT (default 1800s — sized
+      so the whole bench stays under ~75 min) runs for real — keys
+      carry the actual N (ball/near/near_indexed/ingest/
       cluster/cluster_indexed_<N>k_genomes_per_sec).  BENCH_SCALE_N
       forces a specific N; BENCH_SCALE=0 skips
 
@@ -423,7 +424,7 @@ def section_scale(n_forced):
     from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
     from uvaia_tpu.io.store import ingest
 
-    budget = float(os.environ.get("BENCH_SCALE_TIMEOUT", 3600)) * 0.9
+    budget = float(os.environ.get("BENCH_SCALE_TIMEOUT", 1800)) * 0.9
     t_start = time.time()
 
     with tempfile.TemporaryDirectory() as d:
@@ -550,14 +551,18 @@ def orchestrate():
     # the timeout linearly instead.
     scale_n = int(os.environ.get("BENCH_SCALE_N", 0))
     scale_to = int(os.environ.get("BENCH_SCALE_TIMEOUT",
-                                  max(3600, int(scale_n * 0.03))))
+                                  max(1800, int(scale_n * 0.03))))
     timeouts = {"scan": 1800, "acgt": 1800, "q1000": 1800, "align": 1500,
                 "realdata": 1500, "scale": scale_to}
+    # the scale section gets ONE attempt: it emits its 10k probe keys
+    # progressively, and re-running a ~25-min section on a timeout
+    # would push the whole bench past any plausible driver wall
+    max_attempts = {"scale": 1}
 
     results: dict = {}
     for sec in sections:
         best: dict = {}
-        for attempt in range(1, retries + 1):
+        for attempt in range(1, max_attempts.get(sec, retries) + 1):
             try:
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
