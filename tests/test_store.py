@@ -191,6 +191,32 @@ def test_nearest_store_no_prune(tiny_db, tmp_path):
     assert [(r.name, r.seq) for r in a] == [(r.name, r.seq) for r in b]
 
 
+@pytest.mark.parametrize("prune", [True, False])
+def test_nearest_store_acgt_equivalence(tiny_db, tmp_path, prune):
+    """--acgt scans from a store == from the FASTA (both loop shapes):
+    the StoreStreamer's delta payloads feed the acgt scoring path,
+    whose consensus handling differs from full mode (nearest.c:428-433
+    semantics) — pin that the store transport is mode-agnostic."""
+    from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
+
+    qp = tmp_path / "q.fa"
+    _write_fasta(qp, tiny_db["names"][:4],
+                 [s.decode("latin1") for s in tiny_db["seqs"][:4]])
+    r_fa = run_nearest([tiny_db["fa"]], str(qp),
+                       NearestConfig(nbest=6, pool=16, acgt=True,
+                                     prune=prune,
+                                     output=str(tmp_path / "afa")))
+    r_st = run_nearest([tiny_db["store"]], str(qp),
+                       NearestConfig(nbest=6, pool=16, acgt=True,
+                                     prune=prune,
+                                     output=str(tmp_path / "ast")))
+    assert list(r_fa.rows()) == list(r_st.rows())
+    assert r_fa.n_scanned == r_st.n_scanned
+    a = read_fasta_all(str(tmp_path / "afa") + ".aln.xz")
+    b = read_fasta_all(str(tmp_path / "ast") + ".aln.xz")
+    assert [(r.name, r.seq) for r in a] == [(r.name, r.seq) for r in b]
+
+
 def test_nearest_store_mixed_inputs_rejected(tiny_db, tmp_path):
     from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
 
