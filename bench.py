@@ -42,12 +42,18 @@ Sections and their keys:
       indexed_frames_scan_genomes_per_sec where the survivor dump
       copies pre-compressed xz frames; skip all with BENCH_REALDATA=0)
   scale     — BASELINE configs 4/5 evidence, TIME-BOXED: 10k probe of
-      every stage, then the largest N in {50k, 100k, 250k} whose
-      projected wall fits BENCH_SCALE_TIMEOUT (default 1800s — sized
-      so the whole bench stays under ~75 min) runs for real — keys
-      carry the actual N (ball/near/near_indexed/ingest/
+      every stage, then the largest N in {50k, 100k, 150k, 250k}
+      whose projected wall fits BENCH_SCALE_TIMEOUT (default 1800s —
+      sized so the whole bench stays under ~75 min) runs for real —
+      keys carry the actual N (ball/near/near_indexed/ingest/
       cluster/cluster_indexed_<N>k_genomes_per_sec).  BENCH_SCALE_N
       forces a specific N; BENCH_SCALE=0 skips
+
+The orchestrator holds the whole run to a GLOBAL wall budget
+(BENCH_WALL, default 4200s): sections run headline-first, each clamped
+to the remaining budget and skipped when it is exhausted, so the final
+JSON line always prints before any plausible driver patience runs out
+— even on a tunnel window that inflates every section 2-3x.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
@@ -408,9 +414,9 @@ def section_realdata():
 def section_scale(n_forced):
     """BASELINE configs 4/5 evidence, driver-captured and TIME-BOXED:
     a 10k probe measures this host's per-genome cost of every stage
-    (gen, ingest, ball, nearest, indexed nearest, cluster, indexed
+    (gen, ball, nearest, cluster, ingest, indexed nearest/ball/
     cluster), then the
-    LARGEST N in {250k, 100k, 50k} whose projected wall fits the
+    LARGEST N in {250k, 150k, 100k, 50k} whose projected wall fits the
     section budget runs for real.  Keys carry the actual N so a
     reduced run is never mistaken for the full config-4 one; the probe
     emits the 10k keys either way (round-over-round continuity).
@@ -424,7 +430,7 @@ def section_scale(n_forced):
     from uvaia_tpu.engine.nearest import NearestConfig, run_nearest
     from uvaia_tpu.io.store import ingest
 
-    budget = float(os.environ.get("BENCH_SCALE_TIMEOUT", 1800)) * 0.9
+    budget = float(os.environ.get("BENCH_SCALE_TIMEOUT", 1800)) * 0.95
     t_start = time.time()
 
     with tempfile.TemporaryDirectory() as d:
@@ -457,10 +463,16 @@ def section_scale(n_forced):
             gen_s = time.time() - t0
             qp = f"{d}/q_{tag}.fa"
             scale_bench._queries_from(db, 64, qp)
+            # stage order: the BASELINE config-4 trio (ball, nearest,
+            # cluster) emits FIRST — keys emit progressively, so if the
+            # big run overruns the section timeout only the tail
+            # (indexed) keys are lost, never the headline scale trio
             timed("ball", lambda: run_ball(
                 [db], qp, BallConfig(distance=5, output=f"{d}/b_{tag}")))
             timed("near", lambda: run_nearest(
                 [db], qp, NearestConfig(nbest=50, output=f"{d}/n_{tag}")))
+            timed("cluster", lambda: run_cluster(
+                [db], ClusterConfig(distance=3, output=f"{d}/c_{tag}")))
             store = f"{d}/db_{tag}.uvst"
             timed("ingest", lambda: ingest([db], store))
             timed("near_indexed", lambda: run_nearest(
@@ -469,8 +481,6 @@ def section_scale(n_forced):
             timed("ball_indexed", lambda: run_ball(
                 [store], qp,
                 BallConfig(distance=5, output=f"{d}/bi_{tag}")))
-            timed("cluster", lambda: run_cluster(
-                [db], ClusterConfig(distance=3, output=f"{d}/c_{tag}")))
             timed("cluster_indexed", lambda: run_cluster(
                 [store], ClusterConfig(distance=3,
                                        output=f"{d}/ci_{tag}")))
@@ -484,9 +494,13 @@ def section_scale(n_forced):
         if n_forced:
             big = int(n_forced)
         else:
+            # modest single margin (was 0.9 x 0.8 double): stage keys
+            # emit progressively and the config-4 trio runs first, so
+            # an overrun at the chosen N only costs the tail keys —
+            # under-choosing N costs the whole point of the section
             left = budget - (time.time() - t_start)
-            big = next((n for n in (250_000, 100_000, 50_000)
-                        if probe_s * n / 10_000 <= 0.8 * left), None)
+            big = next((n for n in (250_000, 150_000, 100_000, 50_000)
+                        if probe_s * n / 10_000 <= 0.92 * left), None)
             emit(scale_probe_seconds=round(probe_s, 1),
                  scale_chosen_n=big or 0)
         if big and big > 10_000:
@@ -546,9 +560,9 @@ def orchestrate():
     if os.environ.get("BENCH_SCALE", "1") != "0":
         sections.append("scale")
     # the scale section is TIME-BOXED: it probes at 10k and then runs
-    # the largest N in {50k, 100k, 250k} whose projected wall fits
-    # this timeout (see section_scale).  A forced BENCH_SCALE_N scales
-    # the timeout linearly instead.
+    # the largest N in {50k, 100k, 150k, 250k} whose projected wall
+    # fits this timeout (see section_scale).  A forced BENCH_SCALE_N
+    # scales the timeout linearly instead.
     scale_n = int(os.environ.get("BENCH_SCALE_N", 0))
     scale_to = int(os.environ.get("BENCH_SCALE_TIMEOUT",
                                   max(1800, int(scale_n * 0.03))))
@@ -558,17 +572,37 @@ def orchestrate():
     # progressively, and re-running a ~25-min section on a timeout
     # would push the whole bench past any plausible driver wall
     max_attempts = {"scale": 1}
+    # GLOBAL wall budget: a bad tunnel window inflates every section
+    # 2-3x, and the worst-case sum of per-section timeouts x retries is
+    # hours — if the driver then kills bench.py itself, the round loses
+    # ALL its perf evidence (the final JSON line never prints).
+    # Sections run headline-first, each clamped to the remaining
+    # budget and skipped entirely when too little is left.
+    wall_budget = float(os.environ.get("BENCH_WALL", 4200))
+    t_bench = time.time()
 
     results: dict = {}
     for sec in sections:
         best: dict = {}
         for attempt in range(1, max_attempts.get(sec, retries) + 1):
+            left = wall_budget - (time.time() - t_bench)
+            if left < 120:
+                print(f"# section {sec} attempt {attempt}: skipped, "
+                      f"wall budget exhausted ({left:.0f}s left)",
+                      file=sys.stderr)
+                break
+            env = os.environ.copy()
+            if sec == "scale":
+                # the chooser inside must plan within the CLAMPED wall,
+                # not the nominal timeout
+                env["BENCH_SCALE_TIMEOUT"] = str(
+                    int(min(scale_to, left)))
             try:
                 p = subprocess.run(
                     [sys.executable, os.path.abspath(__file__),
                      "--section", sec],
-                    capture_output=True, text=True,
-                    timeout=timeouts.get(sec, 1200))
+                    capture_output=True, text=True, env=env,
+                    timeout=min(timeouts.get(sec, 1200), left))
             except subprocess.TimeoutExpired as e:
                 print(f"# section {sec} attempt {attempt}: timeout",
                       file=sys.stderr)

@@ -58,8 +58,8 @@ def gen(n: int, out: str, seed: int = 0, chunk: int = 512,
     rng = np.random.default_rng(seed)
     backbone = ALPHA[rng.integers(0, 4, size=L)]
     lineages = lineages or max(1, n // 40)
-    centre_snps = (rng.integers(0, L, (lineages, 8)),
-                   rng.integers(0, 4, (lineages, 8)))
+    centre_pos = rng.integers(0, L, (lineages, 8))
+    centre_val = rng.integers(0, 4, (lineages, 8))
     t0 = time.time()
     with gzip.open(out, "wb", compresslevel=1) as f:
         done = 0
@@ -67,22 +67,25 @@ def gen(n: int, out: str, seed: int = 0, chunk: int = 512,
             m = min(chunk, n - done)
             rows = np.tile(backbone, (m, 1))
             lin = rng.integers(0, lineages, m)
-            for r in range(m):
-                li = int(lin[r])
-                rows[r, centre_snps[0][li]] = ALPHA[centre_snps[1][li]]
-                k = int(rng.integers(0, 4))
-                if k:
-                    rows[r, rng.integers(0, L, k)] = ALPHA[
-                        rng.integers(0, 4, k)]
-                run = int(rng.integers(0, 600))
-                if run:
-                    start = int(rng.integers(0, L - run))
-                    rows[r, start:start + run] = ord("N")
-            buf = bytearray()
-            for r in range(m):
-                buf += b">g%d\n" % (done + r)
-                buf += rows[r].tobytes() + b"\n"
-            f.write(bytes(buf))
+            # lineage-centre SNPs: one flat scatter for the whole chunk
+            rr = np.repeat(np.arange(m), 8)
+            rows[rr, centre_pos[lin].ravel()] = ALPHA[
+                centre_val[lin].ravel()]
+            # 0-3 private SNPs per row
+            k = rng.integers(0, 4, m)
+            rr = np.repeat(np.arange(m), k)
+            rows[rr, rng.integers(0, L, rr.size)] = ALPHA[
+                rng.integers(0, 4, rr.size)]
+            # one masked N run per row (length 0-599)
+            run = rng.integers(0, 600, m)
+            start = rng.integers(0, L - run)
+            cols = np.arange(L)
+            nm = ((cols >= start[:, None])
+                  & (cols < (start + run)[:, None]))
+            rows[nm] = ord("N")
+            f.write(b"".join(
+                b">g%d\n%s\n" % (done + r, rows[r].tobytes())
+                for r in range(m)))
             done += m
             if done % 51200 == 0:
                 print(f"gen: {done}/{n} ({time.time()-t0:.0f}s)",

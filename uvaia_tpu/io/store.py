@@ -333,6 +333,7 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     # ref_ambiguity=1.0 -> min_valid 0: keep every record (no QC here)
     streamer = RefStreamer(paths, L, block, ref_ambiguity=1.0)
     digest_lib = _store_block_lib()
+    frame_pool = None
     for batch in streamer:
         n = batch.n
         codes = batch.codes[:n]
@@ -365,15 +366,23 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
         exc_counts.append(ecnts)
 
         # pre-compressed dump frames (see layout comment): preset 0 is
-        # a one-time cost paid here so scan-time dumps are byte copies
+        # a one-time cost paid here so scan-time dumps are byte copies.
+        # LZMACompressor releases the GIL, so a thread pool compresses
+        # the block's rows concurrently (map preserves row order);
+        # ~linear speedup on multicore ingest hosts, harmless on one
         if frames:
             import lzma
-            xz_lens = np.empty(n, dtype=np.int64)
-            for i in range(n):
-                frame = lzma.compress(
+            if frame_pool is None:
+                import concurrent.futures as cf
+                frame_pool = cf.ThreadPoolExecutor(
+                    max_workers=min(8, os.cpu_count() or 1))
+            row_frames = list(frame_pool.map(
+                lambda i: lzma.compress(
                     b">" + batch.names[i].encode("utf-8") + b"\n"
                     + raw[i].tobytes() + b"\n",
-                    format=lzma.FORMAT_XZ, preset=0)
+                    format=lzma.FORMAT_XZ, preset=0), range(n)))
+            xz_lens = np.empty(n, dtype=np.int64)
+            for i, frame in enumerate(row_frames):
                 f_rowxz.write(frame)
                 xz_lens[i] = len(frame)
             rowxz_lens.append(xz_lens)
@@ -402,6 +411,8 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
         if progress is not None:
             progress(n_rows - n_rows0, time.time() - t0)
 
+    if frame_pool is not None:
+        frame_pool.shutdown()
     for fh in (f_packed, f_names, f_dpos, f_dval, f_runs, f_epos,
                f_echr, f_rowxz):
         if fh is not None:
