@@ -609,7 +609,13 @@ def orchestrate():
                 best = {**collect((e.stderr or b"").decode()
                                   if isinstance(e.stderr, bytes)
                                   else (e.stderr or "")), **best}
-                continue
+                # a timeout means the section is too slow for its budget
+                # in THIS tunnel window — an identical retry would eat
+                # the same wall again and starve the later sections.
+                # Keys emit progressively, so the partials above are
+                # kept; only crashes (rc != 0, usually fast + transient)
+                # are worth retrying.
+                break
             frag = collect(p.stderr)
             # keep the richest attempt; a crash after partial emits
             # still contributes what it measured
