@@ -486,3 +486,37 @@ def test_ingest_refuses_overwrite(tiny_db):
     with pytest.raises(SystemExit, match="exists"):
         store_mod.ingest([tiny_db["fa"]], tiny_db["store"])
     assert store_mod.is_store(tiny_db["store"])
+
+
+def test_info_matches_store(tiny_db, capsys):
+    """`store.info` + the `info` CLI report the committed meta exactly
+    (rows, sites, block mix, frames, valid-site spread)."""
+    rec = store_mod.info(tiny_db["store"])
+    st = store_mod.Store(tiny_db["store"])
+    assert rec["n_rows"] == st.n_rows == len(tiny_db["names"])
+    assert rec["n_sites"] == tiny_db["L"]
+    assert rec["has_rowxz"] is True
+    stats = tiny_db["stats"]
+    assert rec["n_delta_blocks"] == stats.n_delta_blocks
+    assert rec["n_packed_only_blocks"] == stats.n_packed_blocks
+    assert rec["n_blocks"] == stats.n_delta_blocks + stats.n_packed_blocks
+    v = np.asarray(st.valid)
+    assert rec["valid_sites"] == {"min": int(v.min()),
+                                  "mean": round(float(v.mean()), 1),
+                                  "max": int(v.max())}
+    assert rec["total_bytes"] == sum(rec["component_bytes"].values()) > 0
+    assert tiny_db["fa"] in rec["sources"]
+
+    import json
+
+    from uvaia_tpu.cli import main as cli
+    assert cli.main(["info", tiny_db["store"], "--json"]) == 0
+    out = json.loads(capsys.readouterr().out)
+    assert out == rec
+    assert cli.main(["info", tiny_db["store"]]) == 0
+    human = capsys.readouterr().out
+    assert f"{rec['n_rows']} x {rec['n_sites']}" in human
+
+    with pytest.raises(ValueError):
+        store_mod.info(tiny_db["dir"])  # not a store
+

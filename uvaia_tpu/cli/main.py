@@ -143,6 +143,16 @@ def _add_ingest(sub):
     return p
 
 
+def _add_info(sub):
+    p = sub.add_parser(
+        "info", help="inspect an ingested store: rows, sites, block "
+        "mix, dump frames, per-component bytes, valid-site spread")
+    p.add_argument("store", help="store directory written by `ingest`")
+    p.add_argument("--json", action="store_true",
+                   help="machine-readable output")
+    return p
+
+
 def _add_legacy(sub):
     p = sub.add_parser("legacy", help="in-memory searcher (pre-2022 "
                        "uvaia behaviour)")
@@ -175,6 +185,7 @@ def build_parser() -> argparse.ArgumentParser:
     _add_cluster(sub)
     _add_legacy(sub)
     _add_ingest(sub)
+    _add_info(sub)
     return ap
 
 
@@ -272,6 +283,34 @@ def _dispatch(args) -> int:
               f"packed-only blocks) in {st.seconds:.1f}s "
               f"({st.n_rows/max(st.seconds,1e-9):,.0f} genomes/sec)",
               file=sys.stderr)
+        return 0
+    if args.cmd == "info":
+        import json as _json
+
+        from ..io.store import info
+        try:
+            rec = info(args.store)
+        except ValueError as e:
+            raise SystemExit(f"error: {e}")
+        if args.json:
+            print(_json.dumps(rec, indent=1))
+            return 0
+        vs = rec.get("valid_sites", {})
+        print(f"{args.store}: {rec['format']} v{rec['version']}")
+        print(f"  rows x sites     {rec['n_rows']} x {rec['n_sites']}")
+        print(f"  blocks           {rec['n_blocks']} x {rec['block']} "
+              f"rows ({rec['n_delta_blocks']} delta, "
+              f"{rec['n_packed_only_blocks']} packed-only)")
+        print(f"  dump frames      "
+              f"{'yes' if rec['has_rowxz'] else 'no'}")
+        if vs:
+            print(f"  valid sites/row  min {vs['min']}  mean "
+                  f"{vs['mean']}  max {vs['max']}")
+        print(f"  total bytes      {rec['total_bytes']:,} "
+              f"({rec['total_bytes']/max(rec['n_rows'],1):,.0f}/row)")
+        for name, sz in rec["component_bytes"].items():
+            print(f"    {name:<22} {sz:,}")
+        print(f"  sources          {', '.join(rec['sources'])}")
         return 0
     if args.cmd == "legacy":
         from ..engine.legacy import LegacyConfig, run_legacy

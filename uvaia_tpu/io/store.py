@@ -99,6 +99,43 @@ def peek_store_rows(path) -> int:
         return int(json.load(fh)["n_rows"])
 
 
+def info(path) -> dict:
+    """Inspect a committed store without loading it: meta fields plus
+    per-component on-disk bytes (committed extents only — a crashed
+    append may leave orphan bytes past the meta, which `--append`
+    truncates on its next run) and the valid-site distribution.
+
+    The reference has no persistent index to inspect; this serves the
+    store format's own operability (the analogue of its stderr QC
+    summary, utils.c:11-48, for an already-ingested database).
+    """
+    p = Path(path)
+    if not is_store(p):
+        raise ValueError(f"{path} is not a committed {FORMAT} directory")
+    with open(p / "meta.json") as fh:
+        meta = json.load(fh)
+    out = {k: meta[k] for k in ("format", "version", "n_rows", "n_sites",
+                                "block", "has_delta", "has_rowxz",
+                                "sources")}
+    blocks = np.load(p / "blocks.npy")
+    # delta blocks record their bucket width E > 0; packed-only blocks
+    # are written as (row0, n, 0, 0, 0) (see ingest above)
+    n_delta = int((blocks[:, 2] > 0).sum()) if blocks.size else 0
+    out["n_blocks"] = int(blocks.shape[0])
+    out["n_delta_blocks"] = n_delta
+    out["n_packed_only_blocks"] = int(blocks.shape[0]) - n_delta
+    valid = np.load(p / "valid.npy", mmap_mode="r")
+    if valid.size:
+        out["valid_sites"] = {"min": int(valid.min()),
+                              "mean": round(float(valid.mean()), 1),
+                              "max": int(valid.max())}
+    sizes = {f.name: f.stat().st_size for f in sorted(p.iterdir())
+             if f.is_file()}
+    out["component_bytes"] = sizes
+    out["total_bytes"] = sum(sizes.values())
+    return out
+
+
 def peek_store_base(path) -> np.ndarray | None:
     """The store's delta base without opening the full store (engines
     need it before building device data), or None if the store carries
