@@ -489,7 +489,12 @@ def section_scale(n_forced):
             shutil.rmtree(store)
             return gen_s + sum(rates.values())
 
-        probe_s = run_at(10_000, "10k")
+        # probe size is env-overridable so the contract test can drive
+        # this whole section live on CPU in seconds (test_bench_contract)
+        probe_n = int(os.environ.get("BENCH_SCALE_PROBE", 10_000))
+        tag = (f"{probe_n//1000}k" if probe_n % 1000 == 0
+               else str(probe_n))
+        probe_s = run_at(probe_n, tag)
 
         if n_forced:
             big = int(n_forced)
@@ -500,10 +505,10 @@ def section_scale(n_forced):
             # under-choosing N costs the whole point of the section
             left = budget - (time.time() - t_start)
             big = next((n for n in (250_000, 150_000, 100_000, 50_000)
-                        if probe_s * n / 10_000 <= 0.92 * left), None)
+                        if probe_s * n / probe_n <= 0.92 * left), None)
             emit(scale_probe_seconds=round(probe_s, 1),
                  scale_chosen_n=big or 0)
-        if big and big > 10_000:
+        if big and big > probe_n:
             run_at(big, f"{big//1000}k")
 
 

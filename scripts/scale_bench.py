@@ -24,7 +24,9 @@ import time
 
 import numpy as np
 
-L = 29903
+# genome length: SARS-CoV-2-scale by default; env-overridable so the
+# bench contract test can drive the full scale section cheaply on CPU
+L = int(os.environ.get("UVAIA_SCALE_L", 29903))
 ALPHA = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
@@ -76,8 +78,9 @@ def gen(n: int, out: str, seed: int = 0, chunk: int = 512,
             rr = np.repeat(np.arange(m), k)
             rows[rr, rng.integers(0, L, rr.size)] = ALPHA[
                 rng.integers(0, 4, rr.size)]
-            # one masked N run per row (length 0-599)
-            run = rng.integers(0, 600, m)
+            # one masked N run per row (length 0-599, clamped for
+            # short test genomes)
+            run = rng.integers(0, min(600, max(2, L // 5)), m)
             start = rng.integers(0, L - run)
             cols = np.arange(L)
             nm = ((cols >= start[:, None])

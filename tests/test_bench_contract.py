@@ -64,3 +64,34 @@ def test_scale_gen_output_shape_and_alphabet(tmp_path):
     dists = [np.count_nonzero(a != np.frombuffer(s, dtype=np.uint8))
              for s in seqs[1:40]]
     assert min(dists) >= 0 and max(dists) > 4
+
+
+def test_bench_scale_section_live():
+    """Drive the WHOLE scale section live (tiny genomes via
+    UVAIA_SCALE_L + BENCH_SCALE_PROBE): all seven stage keys must emit,
+    config-4 trio (ball/near/cluster) strictly before the indexed tail
+    — the ordering that bounds what an overrun can lose — and the
+    chooser must decline the big run inside a tiny budget."""
+    env = dict(os.environ, JAX_PLATFORMS="cpu", UVAIA_SCALE_L="2000",
+               BENCH_SCALE_PROBE="256", BENCH_SCALE_TIMEOUT="1")
+    p = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"),
+         "--section", "scale"],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=900)
+    assert p.returncode == 0, p.stderr[-3000:]
+    tag = "@@BENCH "
+    keys = []
+    for ln in p.stderr.splitlines():
+        if ln.startswith(tag):
+            keys.extend(json.loads(ln[len(tag):]).keys())
+    stages = ["ball", "near", "cluster", "ingest", "near_indexed",
+              "ball_indexed", "cluster_indexed"]
+    expect = [f"{s}_256_genomes_per_sec" for s in stages]
+    assert [k for k in keys if k in expect] == expect, keys
+    rec = dict.fromkeys(keys)
+    assert "scale_probe_seconds" in rec
+    # budget 1s: the probe alone exceeds it, so no big N is chosen and
+    # no misleading larger-N key may appear
+    assert "scale_chosen_n" in rec
+    assert not any(k.endswith("_genomes_per_sec") and "_256_" not in k
+                   for k in keys), keys
