@@ -209,3 +209,49 @@ def test_gate_acgt_dense(q1k, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     run_nearest([DB], q1k, _cfg("gate", acgt=True, prune=False))
     assert _csv_sha("gate") == GOLDEN_ACGT_CSV_SHA256
+
+
+def test_gate_ball_oracle_corroboration(q1k, tmp_path, monkeypatch):
+    """Second-tool corroboration on real data: `ball` membership over
+    the FULL database (64-query subset, radius 5) must equal an
+    independent numpy re-derivation of the staged keep rule
+    (seq_ball_against_query_structure, fastaseq.c:660-696, including
+    the skipped-stage-3 quirk) using ONLY core/oracle.py pair
+    functions — no ops/, no engine scoring.  Self-contained
+    two-implementation check: no golden pin to maintain."""
+    from test_tools import staged_ball_oracle
+
+    from uvaia_tpu.core.encoding import ENCODE_LUT
+    from uvaia_tpu.engine.ball import BallConfig, run_ball
+    from uvaia_tpu.engine.query import build_query_pack
+
+    monkeypatch.chdir(tmp_path)
+    # 64-query subset file: ball's stage-3 min is over the WHOLE query
+    # set, so the oracle must share the exact query set (a subsample
+    # of a bigger run would not reproduce the min)
+    q_recs = list(read_fasta(q1k))
+    sel = q_recs[:: max(1, len(q_recs) // 64)][:64]
+    with open("q64.fa", "w") as f:
+        for rec in sel:
+            f.write(f">{rec.name}\n{rec.seq.decode()}\n")
+
+    dist = 5
+    res = run_ball([DB], "q64.fa", BallConfig(distance=dist, output="b"))
+    kept = {r.name for r in read_fasta(str("b.aln.xz"))}
+    assert res["kept"] == len(kept) > 0
+
+    pack = build_query_pack("q64.fa", always_exclude_redundant=True)
+    L = pack.n_sites
+    min_valid = int(L * (1.0 - 0.5))
+    ref_names, ref_codes = [], []
+    for rec in read_fasta(DB):
+        codes = ENCODE_LUT[np.frombuffer(rec.seq, dtype=np.uint8)]
+        if int(np.count_nonzero(codes)) < min_valid:
+            continue
+        ref_names.append(rec.name)
+        ref_codes.append(codes)
+    expect = staged_ball_oracle(ref_codes, list(pack.codes),
+                                pack.idx_c, pack.idx_m, pack.idx,
+                                pack.consensus, dist, acgt=False)
+    expect_names = {n for n, k in zip(ref_names, expect) if k}
+    assert kept == expect_names
