@@ -255,3 +255,54 @@ def test_gate_ball_oracle_corroboration(q1k, tmp_path, monkeypatch):
                                 pack.consensus, dist, acgt=False)
     expect_names = {n for n, k in zip(ref_names, expect) if k}
     assert kept == expect_names
+
+
+def test_gate_cluster_invariants(tmp_path, monkeypatch):
+    """Third-tool real-data check: cluster the first 2 000 database
+    genomes at distance 1 and verify the guarantees fastaseq.c:140-261
+    makes (lifted from test_cluster_properties_randomized): exact
+    partition, <=d-connectivity of every cluster's member graph, and
+    maximal-resolution medoids — against core/oracle.py distances, no
+    engine scoring."""
+    from uvaia_tpu.core import oracle
+    from uvaia_tpu.core.encoding import ENCODE_LUT
+    from uvaia_tpu.engine.cluster import ClusterConfig, run_cluster
+
+    monkeypatch.chdir(tmp_path)
+    N, DIST = 2000, 1
+    codes, names = {}, []
+    with open("sub.fa", "w") as f:
+        for rec in read_fasta(DB):
+            f.write(f">{rec.name}\n{rec.seq.decode()}\n")
+            codes[rec.name] = ENCODE_LUT[np.frombuffer(rec.seq,
+                                                       np.uint8)]
+            names.append(rec.name)
+            if len(names) == N:
+                break
+    merged = run_cluster(["sub.fa"], ClusterConfig(distance=DIST,
+                                                   output="cl"))
+
+    all_names = [n for c in merged for n in [c.name] + c.neighbours]
+    assert sorted(all_names) == sorted(names)
+
+    n_multi = 0
+    for c in merged:
+        members = [c.name] + c.neighbours
+        non_n = {n: int(np.count_nonzero(codes[n])) for n in members}
+        assert non_n[c.name] == max(non_n.values())
+        if len(members) == 1:
+            continue
+        n_multi += 1
+        reach, frontier = {members[0]}, [members[0]]
+        while frontier:
+            a = frontier.pop()
+            for b in members:
+                if b not in reach and oracle.pair_hamming_indelcheck(
+                        codes[a], codes[b]) <= DIST:
+                    reach.add(b)
+                    frontier.append(b)
+        assert reach == set(members), \
+            f"cluster {c.name} not <= {DIST}-connected"
+    # the subset must actually exercise merging (unique genomes still
+    # sit within 1 SNP of each other in surveillance data)
+    assert n_multi > 0 and len(merged) < len(names)
