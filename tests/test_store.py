@@ -520,3 +520,69 @@ def test_info_matches_store(tiny_db, capsys):
     with pytest.raises(ValueError):
         store_mod.info(tiny_db["dir"])  # not a store
 
+
+
+def test_verify_detects_corruption(tiny_db, tmp_path, capsys):
+    """verify(): clean store OK; a flipped byte in a committed packed
+    row or a delta section is pinned to its block; --append extends
+    the CRC array; a pre-checksum store reports unknown, not corrupt."""
+    import shutil
+
+    st_path = str(tmp_path / "v.uvst")
+    shutil.copytree(tiny_db["store"], st_path)
+    rep = store_mod.verify(st_path)
+    assert rep["ok"] and not rep["bad_blocks"] and not rep["errors"]
+    assert rep["checked"] == store_mod.info(st_path)["n_blocks"]
+    assert rep["unknown"] == 0
+
+    # flip one nibble in packed.bin inside block 1's rows
+    blocks = np.load(os.path.join(st_path, "blocks.npy"))
+    w2 = store_mod.Store(st_path).meta["w2"]
+    row0 = int(blocks[1, 0])
+    with open(os.path.join(st_path, "packed.bin"), "r+b") as f:
+        f.seek(row0 * w2 + 3)
+        b = f.read(1)
+        f.seek(row0 * w2 + 3)
+        f.write(bytes([b[0] ^ 0x11]))
+    rep = store_mod.verify(st_path)
+    assert not rep["ok"] and rep["bad_blocks"] == [1]
+
+    # CLI surfaces it with exit 1 (both output modes)
+    from uvaia_tpu.cli import main as cli
+    assert cli.main(["info", st_path, "--verify"]) == 1
+    assert "CORRUPT" in capsys.readouterr().out
+    assert cli.main(["info", st_path, "--verify", "--json"]) == 1
+    capsys.readouterr()
+
+    # a delta-section flip is caught too (block 0 is delta: E > 0)
+    shutil.rmtree(st_path)
+    shutil.copytree(tiny_db["store"], st_path)
+    assert int(blocks[0, 2]) > 0
+    with open(os.path.join(st_path, "delta_pos.bin"), "r+b") as f:
+        f.seek(int(blocks[0, 3]) + 1)
+        b = f.read(1)
+        f.seek(int(blocks[0, 3]) + 1)
+        f.write(bytes([b[0] ^ 0x40]))
+    rep = store_mod.verify(st_path)
+    assert not rep["ok"] and 0 in rep["bad_blocks"]
+
+    # append keeps verification green and extends coverage
+    shutil.rmtree(st_path)
+    shutil.copytree(tiny_db["store"], st_path)
+    n0 = store_mod.info(st_path)["n_blocks"]
+    fa2 = str(tmp_path / "more.fa")
+    _write_fasta(fa2, ["extra_a", "extra_b"],
+                 [tiny_db["seqs"][0], tiny_db["seqs"][1]])
+    store_mod.ingest([fa2], st_path, append=True)
+    rep = store_mod.verify(st_path)
+    assert rep["ok"] and rep["checked"] == n0 + 1
+
+    # legacy store (pre-checksum): unknown blocks, still ok
+    os.unlink(os.path.join(st_path, "block_crc.npy"))
+    rep = store_mod.verify(st_path)
+    assert rep["ok"] and rep["checked"] == 0
+    assert rep["unknown"] == n0 + 1
+    # and appending to it marks old blocks unknown, checksums new ones
+    store_mod.ingest([fa2], st_path, append=True)
+    rep = store_mod.verify(st_path)
+    assert rep["ok"] and rep["checked"] == 1 and rep["unknown"] == n0 + 1

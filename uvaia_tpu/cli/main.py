@@ -150,6 +150,9 @@ def _add_info(sub):
     p.add_argument("store", help="store directory written by `ingest`")
     p.add_argument("--json", action="store_true",
                    help="machine-readable output")
+    p.add_argument("--verify", action="store_true",
+                   help="recompute every block's ingest-time CRC32 and "
+                        "check section extents; exit 1 on corruption")
     return p
 
 
@@ -287,14 +290,17 @@ def _dispatch(args) -> int:
     if args.cmd == "info":
         import json as _json
 
-        from ..io.store import info
+        from ..io.store import info, verify
         try:
             rec = info(args.store)
+            if args.verify:
+                rec["verify"] = verify(args.store)
         except ValueError as e:
             raise SystemExit(f"error: {e}")
+        ver = rec.get("verify")
         if args.json:
             print(_json.dumps(rec, indent=1))
-            return 0
+            return 0 if ver is None or ver["ok"] else 1
         vs = rec.get("valid_sites", {})
         print(f"{args.store}: {rec['format']} v{rec['version']}")
         print(f"  rows x sites     {rec['n_rows']} x {rec['n_sites']}")
@@ -311,6 +317,16 @@ def _dispatch(args) -> int:
         for name, sz in rec["component_bytes"].items():
             print(f"    {name:<22} {sz:,}")
         print(f"  sources          {', '.join(rec['sources'])}")
+        if ver is not None:
+            state = "OK" if ver["ok"] else "CORRUPT"
+            print(f"  verify           {state}: {ver['checked']} blocks "
+                  f"checked, {ver['unknown']} pre-checksum", end="")
+            if ver["bad_blocks"]:
+                print(f", BAD blocks {ver['bad_blocks']}", end="")
+            for e in ver["errors"]:
+                print(f"\n    ERROR {e}", end="")
+            print()
+            return 0 if ver["ok"] else 1
         return 0
     if args.cmd == "legacy":
         from ..engine.legacy import LegacyConfig, run_legacy

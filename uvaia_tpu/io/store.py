@@ -35,6 +35,11 @@ mmap-ed independently):
                      val_byte_off.  E == 0 marks a block whose rows
                      overflowed every delta bucket (scan falls back to
                      its packed.bin rows)
+  block_crc.npy      (n_blocks,) int64 CRC32 over each block's packed
+                     rows + delta pos/val bytes, computed at ingest;
+                     verify() recomputes them (-1 = block predates
+                     checksums).  Scans never read it: integrity
+                     checking is an explicit `info --verify` pass
   gapruns.bin        (total_runs, 2) uint32 (start, len) runs of '-' —
                      codes are lossy ('-' and 'N' both encode to 0,
                      core/encoding.py); runs restore the distinction so
@@ -67,6 +72,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import zlib
 from dataclasses import dataclass, field
 from pathlib import Path
 
@@ -129,11 +135,101 @@ def info(path) -> dict:
         out["valid_sites"] = {"min": int(valid.min()),
                               "mean": round(float(valid.mean()), 1),
                               "max": int(valid.max())}
+    crc_file = p / "block_crc.npy"
+    out["crc_blocks"] = int((np.load(crc_file) >= 0).sum()) \
+        if crc_file.is_file() else 0
     sizes = {f.name: f.stat().st_size for f in sorted(p.iterdir())
              if f.is_file()}
     out["component_bytes"] = sizes
     out["total_bytes"] = sum(sizes.values())
     return out
+
+
+def verify(path, progress=None) -> dict:
+    """Recompute every committed block's CRC32 (packed rows + delta
+    pos/val bytes) against block_crc.npy, plus structural extent
+    checks (committed sections must fit their files, offsets must be
+    monotonic).  Returns
+    ``{"ok", "checked", "unknown", "bad_blocks", "errors"}`` —
+    bit-rot in a persistent index silently corrupts downstream science,
+    so this is the explicit operability pass (the reference has no
+    persistent index; its xz inputs carry their own stream checksums).
+
+    ``progress(blocks_done, n_blocks)`` is called per block when given.
+    """
+    p = Path(path)
+    if not is_store(p):
+        raise ValueError(f"{path} is not a committed {FORMAT} directory")
+    with open(p / "meta.json") as fh:
+        meta = json.load(fh)
+    n_rows, w2 = int(meta["n_rows"]), int(meta["w2"])
+    blocks = np.load(p / "blocks.npy")
+    errors: list[str] = []
+
+    def _extent(name, need):
+        have = (p / name).stat().st_size if (p / name).is_file() else -1
+        if have < need:
+            errors.append(f"{name}: {have} bytes < committed {need}")
+
+    _extent("packed.bin", n_rows * w2)
+    _extent("valid.npy", 0)
+    for name in ("name_offsets.npy", "gaprun_offsets.npy",
+                 "exc_offsets.npy"):
+        off = np.load(p / name)
+        if off.shape[0] < n_rows + 1:
+            errors.append(f"{name}: {off.shape[0]} ends < {n_rows + 1}")
+        elif (np.diff(off[: n_rows + 1]) < 0).any():
+            errors.append(f"{name}: offsets not monotonic")
+    off = np.load(p / "name_offsets.npy")
+    _extent("names.bin", int(off[min(n_rows, off.shape[0] - 1)]))
+    if meta.get("has_rowxz"):
+        off = np.load(p / "rowxz_offsets.npy")
+        _extent("rowxz.bin", int(off[min(n_rows, off.shape[0] - 1)]))
+
+    crc_file = p / "block_crc.npy"
+    crcs = (np.load(crc_file) if crc_file.is_file()
+            else np.full(blocks.shape[0], -1, dtype=np.int64))
+    packed = np.memmap(p / "packed.bin", dtype=np.uint8, mode="r") \
+        if n_rows else np.empty(0, np.uint8)
+    dpos = (p / "delta_pos.bin")
+    dval = (p / "delta_val.bin")
+    bad, unknown, checked = [], 0, 0
+    f_pos = open(dpos, "rb") if dpos.is_file() else None
+    f_val = open(dval, "rb") if dval.is_file() else None
+    try:
+        for bi in range(blocks.shape[0]):
+            row0, n, E, poff, voff = (int(x) for x in blocks[bi])
+            if row0 >= n_rows:
+                continue            # orphan of a crashed append
+            if row0 + n > n_rows:
+                # committed blocks are written whole before the meta
+                # commit; a block sticking past n_rows is structural
+                errors.append(f"block {bi}: rows [{row0}, {row0 + n}) "
+                              f"exceed committed n_rows {n_rows}")
+                continue
+            want = int(crcs[bi]) if bi < crcs.shape[0] else -1
+            if want == -1:
+                unknown += 1
+                continue
+            crc = zlib.crc32(
+                np.ascontiguousarray(
+                    packed[row0 * w2: (row0 + n) * w2]).tobytes())
+            if E > 0:
+                f_pos.seek(poff)
+                crc = zlib.crc32(f_pos.read(n * E * 2), crc)
+                f_val.seek(voff)
+                crc = zlib.crc32(f_val.read(n * E), crc)
+            checked += 1
+            if crc != want:
+                bad.append(bi)
+            if progress is not None:
+                progress(bi + 1, blocks.shape[0])
+    finally:
+        for fh in (f_pos, f_val):
+            if fh is not None:
+                fh.close()
+    return {"ok": not bad and not errors, "checked": checked,
+            "unknown": unknown, "bad_blocks": bad, "errors": errors}
 
 
 def peek_store_base(path) -> np.ndarray | None:
@@ -352,6 +448,7 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
     pos_off = val_off = 0
     n_rows = 0
     stats = IngestStats(n_sites=L)
+    block_crcs: list[int] = []
     if prev is not None:
         n_rows = int(prev["n_rows"])
         # drop orphan entries a crashed append may have saved past the
@@ -359,6 +456,15 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
         blocks = [tuple(int(x) for x in b)
                   for b in np.load(outp / "blocks.npy")
                   if int(b[0]) < n_rows]
+        # per-block integrity CRCs (see verify): carry forward the
+        # committed prefix; a pre-checksum store's old blocks get the
+        # -1 "unknown" sentinel (verify reports, never recomputes —
+        # append must stay O(new rows))
+        if (outp / "block_crc.npy").is_file():
+            old_crc = np.load(outp / "block_crc.npy")
+            block_crcs = [int(c) for c in old_crc[: len(blocks)]]
+        if len(block_crcs) < len(blocks):
+            block_crcs += [-1] * (len(blocks) - len(block_crcs))
         # "ab" position is only defined after the first write: size the
         # existing delta sections directly
         pos_off = os.path.getsize(outp / "delta_pos.bin")
@@ -389,7 +495,9 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
             er, ec = np.nonzero(decoded != raw)
             epos, echr = ec.astype(np.uint32), raw[er, ec]
             ecnts = np.bincount(er, minlength=n).astype(np.int64)
-        f_packed.write(packed.tobytes())
+        packed_bytes = packed.tobytes()
+        f_packed.write(packed_bytes)
+        crc = zlib.crc32(packed_bytes)
         valid_parts.append(vcounts)
         name_lens.append(np.array(
             [len(nm.encode("utf-8")) for nm in batch.names],
@@ -435,8 +543,11 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
         if enc is not None:
             pos, val = enc
             E = pos.shape[1]
-            f_dpos.write(np.ascontiguousarray(pos).tobytes())
-            f_dval.write(np.ascontiguousarray(val).tobytes())
+            pos_bytes = np.ascontiguousarray(pos).tobytes()
+            val_bytes = np.ascontiguousarray(val).tobytes()
+            f_dpos.write(pos_bytes)
+            f_dval.write(val_bytes)
+            crc = zlib.crc32(val_bytes, zlib.crc32(pos_bytes, crc))
             blocks.append((n_rows, n, E, pos_off, val_off))
             pos_off += pos.nbytes
             val_off += val.nbytes
@@ -444,6 +555,7 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
         else:
             blocks.append((n_rows, n, 0, 0, 0))
             stats.n_packed_blocks += 1
+        block_crcs.append(crc)
         n_rows += n
         if progress is not None:
             progress(n_rows - n_rows0, time.time() - t0)
@@ -493,6 +605,7 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
         os.unlink(outp / "rowxz.bin")
     _save_np("blocks.npy",
              np.asarray(blocks, dtype=np.int64).reshape(-1, 5))
+    _save_np("block_crc.npy", np.asarray(block_crcs, dtype=np.int64))
     has_delta = stats.n_delta_blocks > 0 or bool(
         prev is not None and prev.get("has_delta"))
     if stats.n_delta_blocks and base is not None \
