@@ -586,3 +586,29 @@ def test_verify_detects_corruption(tiny_db, tmp_path, capsys):
     store_mod.ingest([fa2], st_path, append=True)
     rep = store_mod.verify(st_path)
     assert rep["ok"] and rep["checked"] == 1 and rep["unknown"] == n0 + 1
+
+
+def test_legacy_store_equivalence(tiny_db, tmp_path, monkeypatch, capsys):
+    """`legacy` accepts a store wherever it accepts reference FASTA:
+    same QC drops (tightened ref_ambiguity forces some), same score
+    table, same saved dump bytes, same stdout."""
+    from uvaia_tpu.engine.legacy import LegacyConfig, run_legacy
+
+    monkeypatch.chdir(tmp_path)
+    qp = str(tmp_path / "q.fa")
+    _write_fasta(qp, ["q0", "q1", "q2"], tiny_db["seqs"][:3])
+
+    def run(ref, out):
+        cfg = LegacyConfig(nbest=2, ref_ambiguity=0.12, output=out)
+        res = run_legacy(ref, qp, cfg)
+        return res, capsys.readouterr().out
+
+    (s_fa, qn_fa, rn_fa), out_fa = run(tiny_db["fa"], "lf")
+    (s_st, qn_st, rn_st), out_st = run(tiny_db["store"], "ls")
+
+    assert rn_fa == rn_st and len(rn_fa) < len(tiny_db["names"])
+    assert qn_fa == qn_st
+    for a, b in zip(s_fa, s_st):
+        np.testing.assert_array_equal(a, b)
+    assert out_fa == out_st
+    assert read_fasta_all("lf.fa.xz") == read_fasta_all("ls.fa.xz")

@@ -121,9 +121,9 @@ def _add_cluster(sub):
 def _add_ingest(sub):
     p = sub.add_parser(
         "ingest", help="index an aligned reference database once into a "
-        "persistent binary store; nearest/ball then scan it with zero "
-        "decompression (pass the store directory wherever a reference "
-        "FASTA is accepted)")
+        "persistent binary store; nearest/ball/cluster/legacy then scan "
+        "it with zero decompression (pass the store directory wherever "
+        "a reference FASTA is accepted)")
     p.add_argument("-o", "--output", required=True,
                    help="store directory to create (must not exist)")
     p.add_argument("--block", type=int, default=4096,

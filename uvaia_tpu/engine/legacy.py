@@ -1,5 +1,9 @@
 """In-memory searcher (the `uvaia_legacy` equivalent, src/uvaia.c).
 
+The reference DB may be a FASTA file or an ingested store directory
+(io/store.py) — the store path skips xz decode and host encoding, QC
+runs vectorised on the stored codes with identical thresholds.
+
 Loads the whole aligned reference DB and the queries, computes for
 every (query, reference) pair the legacy double-precision counters
 (utils.c:50-79) on device, and reproduces the three-stage best-
@@ -116,14 +120,48 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
     cfg.ambiguity = min(max(cfg.ambiguity, 0.001), 1.0)
     cfg.ref_ambiguity = min(max(cfg.ref_ambiguity, 0.001), 1.0)
 
-    refs = read_fasta_all(ref_path)
-    rnames, rseqs = qc_filter([r.name for r in refs], [r.seq for r in refs],
-                              cfg.ref_ambiguity, check_aligned=True)
+    from ..io import store as store_mod
+    st = store_mod.Store(ref_path) if store_mod.is_store(ref_path) \
+        else None
+    if st is not None:
+        # ingested-store input: QC straight on the stored codes (same
+        # thresholds as qc_filter == utils.c:11-48, vectorised; rows
+        # are aligned by construction), zero decode / re-encode
+        from ..core.encoding import IS_AMBIG, IS_PURE
+        L = st.n_sites
+        keep_rows: list[int] = []
+        for r0 in range(0, st.n_rows, 4096):
+            nb = min(4096, st.n_rows - r0)
+            codes = st.codes_rows(range(r0, r0 + nb))
+            acgt = IS_PURE[codes].sum(axis=1) / L
+            other = 1.0 - acgt - IS_AMBIG[codes].sum(axis=1) / L
+            for j in range(nb):
+                if L < 5:
+                    log(f"Sequence {st.name(r0 + j)} is too short ( = "
+                        f"{L} sites), limit is hardcoded at 5bps.")
+                elif other[j] > cfg.ref_ambiguity:
+                    log(f"Sequence {st.name(r0 + j)} has proportion of "
+                        f"N etc. (={other[j]:f}) above threshold of "
+                        f"{cfg.ref_ambiguity:f}")
+                elif acgt[j] < 1.0 - 1.1 * cfg.ref_ambiguity:
+                    log(f"Sequence {st.name(r0 + j)} has proportion of "
+                        f"ACGT (={acgt[j]:f}) below threshold of "
+                        f"{1.0 - 1.1 * cfg.ref_ambiguity:f}")
+                else:
+                    keep_rows.append(r0 + j)
+        rnames = [st.name(r) for r in keep_rows]
+        rseqs = None
+    else:
+        refs = read_fasta_all(ref_path)
+        rnames, rseqs = qc_filter([r.name for r in refs],
+                                  [r.seq for r in refs],
+                                  cfg.ref_ambiguity, check_aligned=True)
     log(f"Reference database: {len(rnames)} valid sequences "
         f"({time.time()-t0:.2f}s)")
     if not rnames:
         raise SystemExit(f"No valid reference sequences in {ref_path}.")
-    L = len(rseqs[0])
+    if st is None:
+        L = len(rseqs[0])
 
     queries = read_fasta_all(query_path)
     qnames, qseqs = qc_filter([q.name for q in queries],
@@ -166,10 +204,13 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
     all_s2 = np.zeros((R, Q), dtype=np.float32)
     all_s3 = np.zeros((R, Q), dtype=int_dtype)
     for start in range(0, R, cfg.batch):
-        chunk = rseqs[start:start + cfg.batch]
-        codes = np.stack([encode(s) for s in chunk])
+        if st is not None:
+            codes = st.codes_rows(keep_rows[start:start + cfg.batch])
+        else:
+            codes = np.stack([encode(s)
+                              for s in rseqs[start:start + cfg.batch]])
         s = np.asarray(score_fn(qdata, jnp.asarray(codes)))
-        sl = slice(start, start + len(chunk))
+        sl = slice(start, start + codes.shape[0])
         all_s0[sl] = s[..., 0]
         all_s1[sl] = s[..., 1]
         all_s2[sl] = s[..., 2]
@@ -190,6 +231,7 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
             path += ".fa.xz"
         with FastaWriter(path) as w:
             for i in ids:
-                w.write(rnames[i], rseqs[i])
+                w.write(rnames[i], st.seq_row(keep_rows[i])
+                        if st is not None else rseqs[i])
         log(f"Saved {len(ids)} sequences to {path}")
     return (all_s0, all_s1, all_s2, all_s3), qnames, rnames

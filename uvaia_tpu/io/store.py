@@ -719,11 +719,17 @@ class Store:
 
     def codes_row(self, r: int) -> np.ndarray:
         """(L,) uint8 codes of row r, unpacked from packed.bin."""
-        pk = np.asarray(self.packed[r])
-        codes = np.empty(self.w2 * 2, dtype=np.uint8)
-        codes[0::2] = pk >> 4
-        codes[1::2] = pk & 0xF
-        return codes[: self.n_sites]
+        return self.codes_rows(np.asarray([r]))[0]
+
+    def codes_rows(self, rows) -> np.ndarray:
+        """(len(rows), L) uint8 codes for arbitrary row indices —
+        decode-free bulk access for host-side consumers (the legacy
+        tool's in-memory scoring store, engine/legacy.py)."""
+        pk = np.asarray(self.packed[np.asarray(rows, dtype=np.int64)])
+        codes = np.empty((pk.shape[0], self.w2 * 2), dtype=np.uint8)
+        codes[:, 0::2] = pk >> 4
+        codes[:, 1::2] = pk & 0xF
+        return codes[:, : self.n_sites]
 
     def seq_row(self, r: int) -> bytes:
         """Original (uppercased) sequence bytes of row r — exact: codes
