@@ -37,7 +37,8 @@ Sections and their keys:
   realdata  — end-to-end nearest on the bundled 9185-genome DB, plus
       the persistent-store path: one-time ingest then decode-free
       indexed scans (keys ingest_genomes_per_sec /
-      indexed_scan_genomes_per_sec, and the frames-store variants
+      indexed_scan_genomes_per_sec, store_verify_genomes_per_sec for
+      the CRC integrity pass, and the frames-store variants
       ingest_frames_genomes_per_sec /
       indexed_frames_scan_genomes_per_sec where the survivor dump
       copies pre-compressed xz frames; skip all with BENCH_REALDATA=0)
@@ -353,6 +354,15 @@ def section_realdata():
             st = ingest([db], f"{d}/db.uvst")
             best = max(best or 0.0, st.n_rows / st.seconds)
             emit(ingest_genomes_per_sec=round(best, 1))
+        # integrity pass cost (info --verify): per-block CRC32 over the
+        # whole committed store — operability evidence that corruption
+        # checking is affordable on a production index
+        from uvaia_tpu.io.store import verify
+        t0 = time.time()
+        rep = verify(f"{d}/db.uvst")
+        assert rep["ok"], rep
+        emit(store_verify_genomes_per_sec=round(
+            st.n_rows / (time.time() - t0), 1))
         run_nearest([f"{d}/db.uvst"], qp,
                     NearestConfig(nbest=8, exclude_self=True,
                                   output=f"{d}/warm_ix"))   # warm shapes

@@ -79,10 +79,12 @@ def test_gate_indexed_store(q1k, tmp_path, monkeypatch):
     """Ingest the real database into a persistent store (io/store.py)
     and scan THAT: the decode-free indexed path must reproduce the
     pinned config-1 CSV byte-for-byte."""
-    from uvaia_tpu.io.store import ingest
+    from uvaia_tpu.io.store import ingest, verify
 
     monkeypatch.chdir(tmp_path)
     ingest([DB], "db.uvst")
+    rep = verify("db.uvst")
+    assert rep["ok"] and rep["unknown"] == 0, rep
     run_nearest(["db.uvst"], q1k, _cfg("gate"))
     assert _csv_sha("gate") == GOLDEN_CSV_SHA256
 
