@@ -612,3 +612,46 @@ def test_legacy_store_equivalence(tiny_db, tmp_path, monkeypatch, capsys):
         np.testing.assert_array_equal(a, b)
     assert out_fa == out_st
     assert read_fasta_all("lf.fa.xz") == read_fasta_all("ls.fa.xz")
+
+
+def test_verify_covers_every_section(tiny_db, tmp_path):
+    """CRC coverage is store-wide: a single flipped byte in names.bin,
+    valid.npy, gapruns.bin, exc_chr.bin or rowxz.bin must fail verify
+    (not just packed/delta), and a destroyed offsets array must come
+    back as a reported error, never a traceback."""
+    import shutil
+
+    def fresh():
+        d = str(tmp_path / "c.uvst")
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.copytree(tiny_db["store"], d)
+        return d
+
+    for binf in ("names.bin", "gapruns.bin", "exc_chr.bin", "rowxz.bin"):
+        d = fresh()
+        with open(os.path.join(d, binf), "r+b") as f:
+            f.seek(2)
+            b = f.read(1)
+            f.seek(2)
+            f.write(bytes([b[0] ^ 0x01]))
+        rep = store_mod.verify(d)
+        assert not rep["ok"] and rep["bad_blocks"], (binf, rep)
+
+    d = fresh()                      # valid.npy payload flip
+    v = np.load(os.path.join(d, "valid.npy"))
+    v[5] ^= 1
+    np.save(os.path.join(d, "valid.npy"), v)
+    rep = store_mod.verify(d)
+    assert not rep["ok"] and rep["bad_blocks"]
+
+    d = fresh()                      # empty offsets: error, no crash
+    np.save(os.path.join(d, "name_offsets.npy"),
+            np.empty(0, dtype=np.int64))
+    rep = store_mod.verify(d)
+    assert not rep["ok"] and any("name_offsets" in e
+                                 for e in rep["errors"])
+
+    d = fresh()                      # missing delta file: error report
+    os.unlink(os.path.join(d, "delta_pos.bin"))
+    rep = store_mod.verify(d)
+    assert not rep["ok"] and any("delta_pos" in e for e in rep["errors"])

@@ -309,6 +309,8 @@ def _dispatch(args) -> int:
               f"{rec['n_packed_only_blocks']} packed-only)")
         print(f"  dump frames      "
               f"{'yes' if rec['has_rowxz'] else 'no'}")
+        print(f"  crc coverage     {rec['crc_blocks']}/{rec['n_blocks']}"
+              f" blocks")
         if vs:
             print(f"  valid sites/row  min {vs['min']}  mean "
                   f"{vs['mean']}  max {vs['max']}")

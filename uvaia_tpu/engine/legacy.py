@@ -135,7 +135,12 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
             codes = st.codes_rows(range(r0, r0 + nb))
             acgt = IS_PURE[codes].sum(axis=1) / L
             other = 1.0 - acgt - IS_AMBIG[codes].sum(axis=1) / L
-            for j in range(nb):
+            keep = ((L >= 5) & (other <= cfg.ref_ambiguity)
+                    & (acgt >= 1.0 - 1.1 * cfg.ref_ambiguity))
+            keep_rows.extend(int(r0 + j) for j in np.nonzero(keep)[0])
+            # Python work proportional to REJECTS (rare), not rows —
+            # only dropped rows need their qc_filter-wording log line
+            for j in np.nonzero(~keep)[0]:
                 if L < 5:
                     log(f"Sequence {st.name(r0 + j)} is too short ( = "
                         f"{L} sites), limit is hardcoded at 5bps.")
@@ -143,12 +148,10 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
                     log(f"Sequence {st.name(r0 + j)} has proportion of "
                         f"N etc. (={other[j]:f}) above threshold of "
                         f"{cfg.ref_ambiguity:f}")
-                elif acgt[j] < 1.0 - 1.1 * cfg.ref_ambiguity:
+                else:
                     log(f"Sequence {st.name(r0 + j)} has proportion of "
                         f"ACGT (={acgt[j]:f}) below threshold of "
                         f"{1.0 - 1.1 * cfg.ref_ambiguity:f}")
-                else:
-                    keep_rows.append(r0 + j)
         rnames = [st.name(r) for r in keep_rows]
         rseqs = None
     else:

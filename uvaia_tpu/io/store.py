@@ -35,11 +35,13 @@ mmap-ed independently):
                      val_byte_off.  E == 0 marks a block whose rows
                      overflowed every delta bucket (scan falls back to
                      its packed.bin rows)
-  block_crc.npy      (n_blocks,) int64 CRC32 over each block's packed
-                     rows + delta pos/val bytes, computed at ingest;
-                     verify() recomputes them (-1 = block predates
-                     checksums).  Scans never read it: integrity
-                     checking is an explicit `info --verify` pass
+  block_crc.npy      (n_blocks,) int64 CRC32 over each block's bytes in
+                     EVERY section (packed rows, names, valid counts,
+                     gap runs, exceptions, dump frames, delta pos/val —
+                     composition id: meta "crc" == CRC_SCHEME), computed
+                     at ingest; verify() recomputes them (-1 = block
+                     predates checksums).  Scans never read it:
+                     integrity checking is an explicit `info --verify`
   gapruns.bin        (total_runs, 2) uint32 (start, len) runs of '-' —
                      codes are lossy ('-' and 'N' both encode to 0,
                      core/encoding.py); runs restore the distinction so
@@ -83,7 +85,22 @@ from ..utils.prefetch import Prefetcher
 
 FORMAT = "uvaia-tpu-store"
 VERSION = 1
+#: integrity-checksum composition id (meta "crc"): what byte sections
+#: each block_crc.npy entry covers.  Bumped if the composition ever
+#: changes; verify() treats any other scheme's entries as unknown.
+CRC_SCHEME = 2
 DEFAULT_BLOCK = 4096
+
+
+def _unpack_nibbles(pk: np.ndarray, n_sites: int) -> np.ndarray:
+    """(n, w2) packed uint8 -> (n, n_sites) 4-bit codes — THE host-side
+    inverse of ops/scan.pack_codes (device-side: scan.unpack_codes).
+    Single definition so Store.codes_rows and StoreBatch.codes cannot
+    drift from the packing layout."""
+    codes = np.empty((pk.shape[0], pk.shape[1] * 2), dtype=np.uint8)
+    codes[:, 0::2] = pk >> 4
+    codes[:, 1::2] = pk & 0xF
+    return codes[:, :n_sites]
 
 
 def is_store(path) -> bool:
@@ -121,23 +138,32 @@ def info(path) -> dict:
     with open(p / "meta.json") as fh:
         meta = json.load(fh)
     out = {k: meta[k] for k in ("format", "version", "n_rows", "n_sites",
-                                "block", "has_delta", "has_rowxz",
-                                "sources")}
-    blocks = np.load(p / "blocks.npy")
+                                "block", "sources")}
+    # .get: stores written before a feature landed lack its meta key
+    # (VERSION stays 1, additions are backwards-compatible)
+    out["has_delta"] = bool(meta.get("has_delta"))
+    out["has_rowxz"] = bool(meta.get("has_rowxz"))
+    n_rows = int(meta["n_rows"])
+    # committed entries only: a crashed append may have saved longer
+    # arrays than its meta commit covers (same clip as ingest/verify)
+    committed = [b for b in np.load(p / "blocks.npy")
+                 if int(b[0]) < n_rows]
+    blocks = np.asarray(committed, dtype=np.int64).reshape(-1, 5)
     # delta blocks record their bucket width E > 0; packed-only blocks
     # are written as (row0, n, 0, 0, 0) (see ingest above)
     n_delta = int((blocks[:, 2] > 0).sum()) if blocks.size else 0
     out["n_blocks"] = int(blocks.shape[0])
     out["n_delta_blocks"] = n_delta
     out["n_packed_only_blocks"] = int(blocks.shape[0]) - n_delta
-    valid = np.load(p / "valid.npy", mmap_mode="r")
+    valid = np.load(p / "valid.npy", mmap_mode="r")[:n_rows]
     if valid.size:
         out["valid_sites"] = {"min": int(valid.min()),
                               "mean": round(float(valid.mean()), 1),
                               "max": int(valid.max())}
     crc_file = p / "block_crc.npy"
-    out["crc_blocks"] = int((np.load(crc_file) >= 0).sum()) \
-        if crc_file.is_file() else 0
+    out["crc_blocks"] = int(
+        (np.load(crc_file)[: blocks.shape[0]] >= 0).sum()) \
+        if crc_file.is_file() and meta.get("crc") == CRC_SCHEME else 0
     sizes = {f.name: f.stat().st_size for f in sorted(p.iterdir())
              if f.is_file()}
     out["component_bytes"] = sizes
@@ -146,14 +172,18 @@ def info(path) -> dict:
 
 
 def verify(path, progress=None) -> dict:
-    """Recompute every committed block's CRC32 (packed rows + delta
-    pos/val bytes) against block_crc.npy, plus structural extent
-    checks (committed sections must fit their files, offsets must be
-    monotonic).  Returns
+    """Recompute every committed block's CRC32 against block_crc.npy
+    — covering the block's packed rows, names, valid counts, gap runs,
+    decode exceptions, dump frames and delta sections (everything the
+    ingest hashed, see the CRC composition in ingest()) — plus
+    structural checks (offsets present, sized and monotonic; committed
+    extents fit their files).  Returns
     ``{"ok", "checked", "unknown", "bad_blocks", "errors"}`` —
     bit-rot in a persistent index silently corrupts downstream science,
     so this is the explicit operability pass (the reference has no
     persistent index; its xz inputs carry their own stream checksums).
+    Blocks of a store ingested before checksums landed count as
+    ``unknown``, never as corrupt.
 
     ``progress(blocks_done, n_blocks)`` is called per block when given.
     """
@@ -166,68 +196,143 @@ def verify(path, progress=None) -> dict:
     blocks = np.load(p / "blocks.npy")
     errors: list[str] = []
 
-    def _extent(name, need):
-        have = (p / name).stat().st_size if (p / name).is_file() else -1
-        if have < need:
-            errors.append(f"{name}: {have} bytes < committed {need}")
+    def _mm(name):
+        """1-D uint8 view of a bin file, or None (recorded) if absent."""
+        f = p / name
+        if not f.is_file():
+            errors.append(f"{name}: missing")
+            return None
+        sz = f.stat().st_size
+        return np.memmap(f, dtype=np.uint8, mode="r") if sz else \
+            np.empty(0, np.uint8)
 
-    _extent("packed.bin", n_rows * w2)
-    _extent("valid.npy", 0)
-    for name in ("name_offsets.npy", "gaprun_offsets.npy",
-                 "exc_offsets.npy"):
-        off = np.load(p / name)
+    def _offsets(name):
+        """Committed offsets array, validated; None (recorded) on any
+        structural problem so the CRC loop can skip what it can't
+        locate instead of crashing."""
+        f = p / name
+        if not f.is_file():
+            errors.append(f"{name}: missing")
+            return None
+        off = np.load(f)
         if off.shape[0] < n_rows + 1:
             errors.append(f"{name}: {off.shape[0]} ends < {n_rows + 1}")
-        elif (np.diff(off[: n_rows + 1]) < 0).any():
+            return None
+        off = off[: n_rows + 1]
+        if off.shape[0] and (np.diff(off) < 0).any():
             errors.append(f"{name}: offsets not monotonic")
-    off = np.load(p / "name_offsets.npy")
-    _extent("names.bin", int(off[min(n_rows, off.shape[0] - 1)]))
+            return None
+        return off
+
+    packed = _mm("packed.bin")
+    names = _mm("names.bin")
+    runs = _mm("gapruns.bin")
+    epos = _mm("exc_pos.bin")
+    echr = _mm("exc_chr.bin")
+    name_off = _offsets("name_offsets.npy")
+    run_off = _offsets("gaprun_offsets.npy")
+    exc_off = _offsets("exc_offsets.npy")
+    valid = None
+    if (p / "valid.npy").is_file():
+        valid = np.load(p / "valid.npy", mmap_mode="r")
+        if valid.shape[0] < n_rows:
+            errors.append(f"valid.npy: {valid.shape[0]} rows < {n_rows}")
+            valid = None
+    else:
+        errors.append("valid.npy: missing")
+    rowxz = rowxz_off = None
     if meta.get("has_rowxz"):
-        off = np.load(p / "rowxz_offsets.npy")
-        _extent("rowxz.bin", int(off[min(n_rows, off.shape[0] - 1)]))
+        rowxz = _mm("rowxz.bin")
+        rowxz_off = _offsets("rowxz_offsets.npy")
+    dpos = _mm("delta_pos.bin") if meta.get("has_delta") else \
+        np.empty(0, np.uint8)
+    dval = _mm("delta_val.bin") if meta.get("has_delta") else \
+        np.empty(0, np.uint8)
+
+    def _extent(name, arr, need):
+        if arr is not None and arr.shape[0] < need:
+            errors.append(f"{name}: {arr.shape[0]} bytes "
+                          f"< committed {need}")
+
+    _extent("packed.bin", packed, n_rows * w2)
+    if name_off is not None:
+        _extent("names.bin", names, int(name_off[n_rows]))
+    if rowxz_off is not None:
+        _extent("rowxz.bin", rowxz, int(rowxz_off[n_rows]))
 
     crc_file = p / "block_crc.npy"
-    crcs = (np.load(crc_file) if crc_file.is_file()
+    scheme_ok = crc_file.is_file() and meta.get("crc") == CRC_SCHEME
+    crcs = (np.load(crc_file) if scheme_ok
             else np.full(blocks.shape[0], -1, dtype=np.int64))
-    packed = np.memmap(p / "packed.bin", dtype=np.uint8, mode="r") \
-        if n_rows else np.empty(0, np.uint8)
-    dpos = (p / "delta_pos.bin")
-    dval = (p / "delta_val.bin")
+
+    def _slice(arr, lo, hi, what, bi):
+        """Committed byte range, or None (recorded as an error) when
+        the file can't supply it."""
+        if arr is None or hi > arr.shape[0] or lo > hi:
+            errors.append(f"block {bi}: {what} range [{lo}, {hi}) "
+                          "unavailable")
+            return None
+        return np.ascontiguousarray(arr[lo:hi]).tobytes()
+
     bad, unknown, checked = [], 0, 0
-    f_pos = open(dpos, "rb") if dpos.is_file() else None
-    f_val = open(dval, "rb") if dval.is_file() else None
-    try:
-        for bi in range(blocks.shape[0]):
-            row0, n, E, poff, voff = (int(x) for x in blocks[bi])
-            if row0 >= n_rows:
-                continue            # orphan of a crashed append
-            if row0 + n > n_rows:
-                # committed blocks are written whole before the meta
-                # commit; a block sticking past n_rows is structural
-                errors.append(f"block {bi}: rows [{row0}, {row0 + n}) "
-                              f"exceed committed n_rows {n_rows}")
-                continue
-            want = int(crcs[bi]) if bi < crcs.shape[0] else -1
-            if want == -1:
-                unknown += 1
-                continue
-            crc = zlib.crc32(
-                np.ascontiguousarray(
-                    packed[row0 * w2: (row0 + n) * w2]).tobytes())
-            if E > 0:
-                f_pos.seek(poff)
-                crc = zlib.crc32(f_pos.read(n * E * 2), crc)
-                f_val.seek(voff)
-                crc = zlib.crc32(f_val.read(n * E), crc)
-            checked += 1
+    for bi in range(blocks.shape[0]):
+        row0, n, E, poff, voff = (int(x) for x in blocks[bi])
+        if row0 >= n_rows:
+            continue            # orphan of a crashed append
+        if row0 + n > n_rows:
+            # committed blocks are written whole before the meta
+            # commit; a block sticking past n_rows is structural
+            errors.append(f"block {bi}: rows [{row0}, {row0 + n}) "
+                          f"exceed committed n_rows {n_rows}")
+            continue
+        want = int(crcs[bi]) if bi < crcs.shape[0] else -1
+        if want == -1:
+            unknown += 1
+            continue
+        pieces = [_slice(packed, row0 * w2, (row0 + n) * w2,
+                         "packed", bi)]
+        if name_off is not None:
+            pieces.append(_slice(names, int(name_off[row0]),
+                                 int(name_off[row0 + n]), "names", bi))
+        else:
+            pieces.append(None)
+        pieces.append(
+            np.ascontiguousarray(valid[row0: row0 + n],
+                                 dtype=np.int64).tobytes()
+            if valid is not None else None)
+        if run_off is not None:
+            pieces.append(_slice(runs, int(run_off[row0]) * 8,
+                                 int(run_off[row0 + n]) * 8,
+                                 "gapruns", bi))
+        else:
+            pieces.append(None)
+        if exc_off is not None:
+            pieces.append(_slice(epos, int(exc_off[row0]) * 4,
+                                 int(exc_off[row0 + n]) * 4,
+                                 "exc_pos", bi))
+            pieces.append(_slice(echr, int(exc_off[row0]),
+                                 int(exc_off[row0 + n]), "exc_chr", bi))
+        else:
+            pieces += [None, None]
+        if rowxz_off is not None:
+            pieces.append(_slice(rowxz, int(rowxz_off[row0]),
+                                 int(rowxz_off[row0 + n]), "rowxz", bi))
+        if E > 0:
+            pieces.append(_slice(dpos, poff, poff + n * E * 2,
+                                 "delta_pos", bi))
+            pieces.append(_slice(dval, voff, voff + n * E,
+                                 "delta_val", bi))
+        checked += 1
+        if any(pc is None for pc in pieces):
+            bad.append(bi)      # a range we can't even read is corrupt
+        else:
+            crc = 0
+            for pc in pieces:
+                crc = zlib.crc32(pc, crc)
             if crc != want:
                 bad.append(bi)
-            if progress is not None:
-                progress(bi + 1, blocks.shape[0])
-    finally:
-        for fh in (f_pos, f_val):
-            if fh is not None:
-                fh.close()
+        if progress is not None:
+            progress(bi + 1, blocks.shape[0])
     return {"ok": not bad and not errors, "checked": checked,
             "unknown": unknown, "bad_blocks": bad, "errors": errors}
 
@@ -457,10 +562,12 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
                   for b in np.load(outp / "blocks.npy")
                   if int(b[0]) < n_rows]
         # per-block integrity CRCs (see verify): carry forward the
-        # committed prefix; a pre-checksum store's old blocks get the
-        # -1 "unknown" sentinel (verify reports, never recomputes —
-        # append must stay O(new rows))
-        if (outp / "block_crc.npy").is_file():
+        # committed prefix; blocks of a pre-checksum store — or of an
+        # older CRC composition — get the -1 "unknown" sentinel
+        # (verify reports, never recomputes — append must stay
+        # O(new rows))
+        if (outp / "block_crc.npy").is_file() \
+                and prev.get("crc") == CRC_SCHEME:
             old_crc = np.load(outp / "block_crc.npy")
             block_crcs = [int(c) for c in old_crc[: len(blocks)]]
         if len(block_crcs) < len(blocks):
@@ -495,19 +602,30 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
             er, ec = np.nonzero(decoded != raw)
             epos, echr = ec.astype(np.uint32), raw[er, ec]
             ecnts = np.bincount(er, minlength=n).astype(np.int64)
+        # block CRC (verify() recomputes the same composition, in this
+        # order: packed, names, valid-as-int64, gapruns, exc_pos,
+        # exc_chr, [rowxz frames], [delta pos, delta val]) — CRC_SCHEME
         packed_bytes = packed.tobytes()
         f_packed.write(packed_bytes)
         crc = zlib.crc32(packed_bytes)
         valid_parts.append(vcounts)
+        names_bytes = b"".join(nm.encode("utf-8") for nm in batch.names)
         name_lens.append(np.array(
             [len(nm.encode("utf-8")) for nm in batch.names],
             dtype=np.int64))
-        for nm in batch.names:
-            f_names.write(nm.encode("utf-8"))
-        f_runs.write(np.ascontiguousarray(runs).tobytes())
+        f_names.write(names_bytes)
+        crc = zlib.crc32(names_bytes, crc)
+        crc = zlib.crc32(np.ascontiguousarray(
+            vcounts, dtype=np.int64).tobytes(), crc)
+        runs_bytes = np.ascontiguousarray(runs).tobytes()
+        f_runs.write(runs_bytes)
+        crc = zlib.crc32(runs_bytes, crc)
         run_counts.append(counts)
-        f_epos.write(np.ascontiguousarray(epos).tobytes())
-        f_echr.write(np.ascontiguousarray(echr).tobytes())
+        epos_bytes = np.ascontiguousarray(epos).tobytes()
+        echr_bytes = np.ascontiguousarray(echr).tobytes()
+        f_epos.write(epos_bytes)
+        f_echr.write(echr_bytes)
+        crc = zlib.crc32(echr_bytes, zlib.crc32(epos_bytes, crc))
         exc_counts.append(ecnts)
 
         # pre-compressed dump frames (see layout comment): preset 0 is
@@ -529,6 +647,7 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
             xz_lens = np.empty(n, dtype=np.int64)
             for i, frame in enumerate(row_frames):
                 f_rowxz.write(frame)
+                crc = zlib.crc32(frame, crc)
                 xz_lens[i] = len(frame)
             rowxz_lens.append(xz_lens)
 
@@ -615,7 +734,8 @@ def ingest(paths: list[str], out: str, block: int = DEFAULT_BLOCK,
         # section the old meta already points at
         base.tofile(outp / "base.bin")
 
-    meta = {"format": FORMAT, "version": VERSION, "n_rows": n_rows,
+    meta = {"format": FORMAT, "version": VERSION, "crc": CRC_SCHEME,
+            "n_rows": n_rows,
             "n_sites": L, "w2": w2,
             "block": int(prev["block"]) if prev is not None else block,
             "has_delta": has_delta,
@@ -726,10 +846,7 @@ class Store:
         decode-free bulk access for host-side consumers (the legacy
         tool's in-memory scoring store, engine/legacy.py)."""
         pk = np.asarray(self.packed[np.asarray(rows, dtype=np.int64)])
-        codes = np.empty((pk.shape[0], self.w2 * 2), dtype=np.uint8)
-        codes[:, 0::2] = pk >> 4
-        codes[:, 1::2] = pk & 0xF
-        return codes[:, : self.n_sites]
+        return _unpack_nibbles(pk, self.n_sites)
 
     def seq_row(self, r: int) -> bytes:
         """Original (uppercased) sequence bytes of row r — exact: codes
@@ -809,10 +926,7 @@ class StoreBatch:
                 else:
                     pk[at:at + len(rows)] = store.packed[rows]
                 at += len(rows)
-            codes = np.empty((B, w2 * 2), dtype=np.uint8)
-            codes[:, 0::2] = pk >> 4
-            codes[:, 1::2] = pk & 0xF
-            self._codes = np.ascontiguousarray(codes[:, :L])
+            self._codes = np.ascontiguousarray(_unpack_nibbles(pk, L))
         return self._codes
 
 
