@@ -655,3 +655,30 @@ def test_verify_covers_every_section(tiny_db, tmp_path):
     os.unlink(os.path.join(d, "delta_pos.bin"))
     rep = store_mod.verify(d)
     assert not rep["ok"] and any("delta_pos" in e for e in rep["errors"])
+
+
+def test_store_roundtrip_arbitrary_bytes(tmp_path):
+    """Decode exactness for ADVERSARIAL sequence content, not just the
+    crafted fixture: random draws over the full IUPAC set plus gaps,
+    exception chars ('?', 'U', '*', '.'), and lowercase — seq_row must
+    return the uppercased original byte-for-byte (encode is lossy;
+    gap runs + exceptions restore it), and verify must stay ok."""
+    rng = np.random.default_rng(11)
+    alphabet = np.frombuffer(
+        b"ACGTRYSWKMBDHVN-acgtryn?U*.", dtype=np.uint8)
+    L, n = 257, 23                    # odd L: exercises the nibble pad
+    rows = alphabet[rng.integers(0, len(alphabet), size=(n, L))]
+    names = [f"w{i}|odd name (x){i}" for i in range(n)]
+    fa = str(tmp_path / "w.fa.xz")
+    _write_fasta(fa, names, [r.tobytes() for r in rows])
+
+    st_path = str(tmp_path / "w.uvst")
+    store_mod.ingest([fa], st_path, block=7, frames=True)
+    st = store_mod.Store(st_path)
+    assert st.n_rows == n
+    for i in range(n):
+        expect = rows[i].tobytes().upper()
+        assert st.name(i) == names[i]
+        assert st.seq_row(i) == expect, f"row {i}"
+    rep = store_mod.verify(st_path)
+    assert rep["ok"], rep
