@@ -44,10 +44,11 @@ Sections and their keys:
       copies pre-compressed xz frames; skip all with BENCH_REALDATA=0)
   scale     — BASELINE configs 4/5 evidence, TIME-BOXED: 10k probe of
       every stage, then the largest N in {50k, 100k, 150k, 250k}
-      whose projected wall fits BENCH_SCALE_TIMEOUT (default 1800s —
-      sized so the whole bench stays under ~75 min) runs for real —
-      keys carry the actual N (ball/near/near_indexed/ingest/
-      cluster/cluster_indexed_<N>k_genomes_per_sec).  BENCH_SCALE_N
+      whose projected wall fits BENCH_SCALE_TIMEOUT (default 2700s —
+      sized so the whole bench stays under ~75 min), escalating to
+      the next rung while the measured rate of the completed run says
+      it fits — keys carry the actual N (ball/near/near_indexed/
+      ingest/cluster/cluster_indexed_<N>k_genomes_per_sec).  BENCH_SCALE_N
       forces a specific N; BENCH_SCALE=0 skips
 
 The orchestrator holds the whole run to a GLOBAL wall budget
@@ -421,16 +422,38 @@ def section_realdata():
                  multistream_xz_rescan_ratio=round(t1s / tds, 3))
 
 
+def _fits(n, base_n, base_s, left):
+    """True when an n-genome run projected linearly from a measured
+    (base_n, base_s) run fits the remaining wall `left` with the
+    section's single 0.92 margin."""
+    return base_s * n / base_n <= 0.92 * left
+
+
+def _ktag(n):
+    """Key tag for an N-genome run: '100k' style when round, else the
+    bare number (tiny test rungs via BENCH_SCALE_RUNGS)."""
+    return f"{n//1000}k" if n >= 1000 and n % 1000 == 0 else str(n)
+
+
+def _scale_rungs():
+    rungs = os.environ.get("BENCH_SCALE_RUNGS",
+                           "250000,150000,100000,50000")
+    return tuple(sorted((int(x) for x in rungs.split(",")),
+                        reverse=True))
+
+
 def section_scale(n_forced):
     """BASELINE configs 4/5 evidence, driver-captured and TIME-BOXED:
     a 10k probe measures this host's per-genome cost of every stage
     (gen, ball, nearest, cluster, ingest, indexed nearest/ball/
     cluster), then the
     LARGEST N in {250k, 150k, 100k, 50k} whose projected wall fits the
-    section budget runs for real.  Keys carry the actual N so a
+    section budget runs for real, then the ladder climbs one rung at a
+    time while the measured rate of the run just completed says the
+    next rung fits the remaining wall.  Keys carry the actual N so a
     reduced run is never mistaken for the full config-4 one; the probe
     emits the 10k keys either way (round-over-round continuity).
-    BENCH_SCALE_N forces a specific N and skips the projection."""
+    BENCH_SCALE_N forces a specific N and skips projection+ladder."""
     import tempfile
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "scripts"))
     import scale_bench
@@ -502,10 +525,10 @@ def section_scale(n_forced):
         # probe size is env-overridable so the contract test can drive
         # this whole section live on CPU in seconds (test_bench_contract)
         probe_n = int(os.environ.get("BENCH_SCALE_PROBE", 10_000))
-        tag = (f"{probe_n//1000}k" if probe_n % 1000 == 0
-               else str(probe_n))
+        tag = _ktag(probe_n)
         probe_s = run_at(probe_n, tag)
 
+        rungs = _scale_rungs()
         if n_forced:
             big = int(n_forced)
         else:
@@ -514,12 +537,32 @@ def section_scale(n_forced):
             # an overrun at the chosen N only costs the tail keys —
             # under-choosing N costs the whole point of the section
             left = budget - (time.time() - t_start)
-            big = next((n for n in (250_000, 150_000, 100_000, 50_000)
-                        if probe_s * n / probe_n <= 0.92 * left), None)
+            big = next((n for n in rungs
+                        if _fits(n, probe_n, probe_s, left)), None)
             emit(scale_probe_seconds=round(probe_s, 1),
                  scale_chosen_n=big or 0)
         if big and big > probe_n:
-            run_at(big, f"{big//1000}k")
+            big_s = run_at(big, _ktag(big))
+            # ESCALATION: the 10k probe OVERESTIMATES large-N cost —
+            # per-run fixed work (query prep, compiles at fresh shapes,
+            # output open) and partial-batch padding amortise away with
+            # N.  The r04 validation measured 8.8 ms/genome at the 10k
+            # probe but ~5 ms/genome in the actual 100k run, so a
+            # linear probe projection under-chooses N by a full rung.
+            # After the chosen run completes, climb to the largest rung
+            # the MEASURED rate of the run just finished says still
+            # fits the remaining wall.  Keys carry each run's actual N
+            # (a reduced run is never mistaken for config 4), and the
+            # biggest completed rung is emitted as scale_escalated_n.
+            while not n_forced:
+                left = budget - (time.time() - t_start)
+                nxt = next((n for n in rungs if n > big
+                            and _fits(n, big, big_s, left)), None)
+                if not nxt:
+                    break
+                big_s = run_at(nxt, _ktag(nxt))
+                big = nxt
+                emit(scale_escalated_n=big)
 
 
 def run_section(name, L, Q, B, K, STEPS):
@@ -574,13 +617,19 @@ def orchestrate():
         sections.append("realdata")
     if os.environ.get("BENCH_SCALE", "1") != "0":
         sections.append("scale")
-    # the scale section is TIME-BOXED: it probes at 10k and then runs
-    # the largest N in {50k, 100k, 150k, 250k} whose projected wall
-    # fits this timeout (see section_scale).  A forced BENCH_SCALE_N
-    # scales the timeout linearly instead.
+    # the scale section is TIME-BOXED: it probes at 10k, runs the
+    # largest N in {50k, 100k, 150k, 250k} whose projected wall fits
+    # this timeout, then ESCALATES rung-by-rung while the measured
+    # rate of the completed run says the next rung still fits (see
+    # section_scale).  A forced BENCH_SCALE_N scales the timeout
+    # linearly instead.  2700 default (was 1800): scale runs last, so
+    # on a fast window the global wall has ~3000s left here and the
+    # extra room is what lets the ladder reach the config-4 250k rung;
+    # on a slow window the orchestrator clamps to the remaining global
+    # wall and the chooser self-corrects downward.
     scale_n = int(os.environ.get("BENCH_SCALE_N", 0))
     scale_to = int(os.environ.get("BENCH_SCALE_TIMEOUT",
-                                  max(1800, int(scale_n * 0.03))))
+                                  max(2700, int(scale_n * 0.03))))
     timeouts = {"scan": 1800, "acgt": 1800, "q1000": 1800, "align": 1500,
                 "realdata": 1500, "scale": scale_to}
     # the scale section gets ONE attempt: it emits its 10k probe keys

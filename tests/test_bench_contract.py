@@ -95,3 +95,48 @@ def test_bench_scale_section_live():
     assert "scale_chosen_n" in rec
     assert not any(k.endswith("_genomes_per_sec") and "_256_" not in k
                    for k in keys), keys
+
+
+def test_scale_ladder_chooser_and_escalation():
+    """The scale ladder's projection math (bench._fits): the 10k probe
+    overestimates large-N cost (r04 validation: 8.8 ms/genome probed
+    vs ~5 ms/genome measured at 100k), so after the chosen run the
+    ladder must climb on the MEASURED rate.  Replays that validation
+    window: probe admits only 100k, the measured 100k run then admits
+    150k, a slower window admits nothing further."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    rungs = bench._scale_rungs()
+    assert rungs == (250_000, 150_000, 100_000, 50_000)
+
+    # r04 validation numbers: probe 88s at 10k, ~1400s left => the
+    # linear probe projection admits 100k but not 150k/250k
+    left = 1400.0
+    big = next((n for n in rungs if bench._fits(n, 10_000, 88.0, left)),
+               None)
+    assert big == 100_000
+
+    # the 100k run actually measured ~500s; with 1000s left the ladder
+    # escalates to 150k (250k projected 1250s does not fit 920s)
+    nxt = next((n for n in rungs if n > big
+                and bench._fits(n, big, 500.0, 1000.0)), None)
+    assert nxt == 150_000
+    # a 2700s budget window: 250k fits straight from the measured run
+    nxt = next((n for n in rungs if n > big
+                and bench._fits(n, big, 500.0, 1865.0)), None)
+    assert nxt == 250_000
+    # slow window: nothing further fits — ladder stops, no overrun
+    assert next((n for n in rungs if n > big
+                 and bench._fits(n, big, 500.0, 400.0)), None) is None
+
+    # BENCH_SCALE_RUNGS override (the live-ladder sanity lever) parses
+    # and sorts descending; _ktag keys tiny rungs honestly
+    os.environ["BENCH_SCALE_RUNGS"] = "512,2048,1024"
+    try:
+        assert bench._scale_rungs() == (2048, 1024, 512)
+    finally:
+        del os.environ["BENCH_SCALE_RUNGS"]
+    assert bench._ktag(250_000) == "250k"
+    assert bench._ktag(512) == "512"
+    assert bench._ktag(10_000) == "10k"
