@@ -343,3 +343,39 @@ def test_cluster_properties_randomized(tmp_path, monkeypatch, seed):
     merged2 = run("c2")
     assert [(c.name, sorted(c.neighbours)) for c in merged] == \
            [(c.name, sorted(c.neighbours)) for c in merged2]
+
+
+def test_cluster_device_stats_match_host_spec():
+    """MedoidIndex.assign's folded device stats (non_n / dist_ref /
+    first-SNP positions) must equal the host numpy spec _seq_stats,
+    for BOTH upload paths (sparse delta and dense packed fallback) —
+    the engine uses the device fold, the spec stays as this oracle."""
+    import numpy as np
+    from uvaia_tpu.core.encoding import encode
+    from uvaia_tpu.engine.cluster import MedoidIndex, _seq_stats
+
+    rng = np.random.default_rng(7)
+    L, B, trim, n_snps = 96, 12, 10, 3
+    ref = encode(bytes(rng.choice(list(b"ACGTN"), L).astype(np.uint8)))
+    window = np.zeros(L, bool)
+    window[trim:L - trim] = True
+
+    # sparse batch (delta upload path): few SNPs off the base
+    sparse = np.tile(ref, (B, 1))
+    for b in range(B):
+        for p in rng.integers(0, L, rng.integers(0, 6)):
+            sparse[b, p] = rng.integers(0, 16)
+    # dense batch (packed fallback path): arbitrary 4-bit codes
+    # including N(0) and ambiguity masks
+    dense = rng.integers(0, 16, (B, L)).astype(np.uint8)
+
+    ok = np.ones(B, bool)
+    for codes in (sparse.astype(np.uint8), dense):
+        idx = MedoidIndex(L, 1 << 10, trim, initial_tier=16,
+                          delta_base=ref, stats_ref=ref, n_snps=n_snps)
+        idx.append(codes[:2])
+        _, _, non_n, dist_ref, snp = idx.assign(codes, ok, 2)
+        e_non, e_dist, e_snp = _seq_stats(codes, ref, window, n_snps)
+        np.testing.assert_array_equal(non_n, e_non)
+        np.testing.assert_array_equal(dist_ref, e_dist)
+        assert [tuple(int(p) for p in r) for r in snp] == e_snp

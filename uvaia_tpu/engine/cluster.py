@@ -121,7 +121,8 @@ class MedoidIndex:
 
     def __init__(self, L: int, capacity: int, trim: int,
                  initial_tier: int = 1024,
-                 delta_base: np.ndarray | None = None):
+                 delta_base: np.ndarray | None = None,
+                 stats_ref: np.ndarray | None = None, n_snps: int = 1):
         import jax.numpy as jnp
         self.jnp = jnp
         self.L = L
@@ -132,6 +133,15 @@ class MedoidIndex:
         self._delta_base = delta_base          # host copy for encoding
         self._delta_base_d = (None if delta_base is None
                               else jnp.asarray(delta_base))
+        # comparison reference for per-row stats (non_n / dist_ref /
+        # first-n_snps SNP positions): when given, assign() folds the
+        # stats into the fused device step — the batch codes are
+        # already rebuilt on device there, while the host numpy pass
+        # (_seq_stats) costs ~0.54 ms/genome on this one-core VM
+        # (~135 s at the 250k scale rung)
+        self._stats_ref_d = (None if stats_ref is None
+                             else jnp.asarray(stats_ref))
+        self._n_snps = max(0, int(n_snps))
         # store sized in x4 tiers: distance kernels only ever see the
         # current tier, and each grow step costs one recompile (remote
         # compiles are ~20-40s, so fewer/larger tiers win over tighter
@@ -182,7 +192,10 @@ class MedoidIndex:
 
         Returns (first_hit (B,) int32 — lowest medoid index within
         `distance`, -1 if none; self_mask (B, B) bool — within-batch
-        pairs within `distance`)."""
+        pairs within `distance`); when the index was built with
+        `stats_ref`, also (non_n (B,) int32, dist_ref (B,) int32,
+        snp (B, n_snps) int32 — first SNP positions vs stats_ref, -1
+        padded), matching _seq_stats exactly (tested)."""
         import jax
         jnp = self.jnp
         if self._assign is None:
@@ -217,7 +230,30 @@ class MedoidIndex:
                     (jnp.arange(n_tiles, dtype=jnp.int32), store_t))
                 first = jnp.where(first < big, first, -1)
                 d_self = self._dist_expr(codes_d, codes_d)
-                return first.astype(jnp.int32), d_self <= dist
+                if self._stats_ref_d is None:
+                    return first.astype(jnp.int32), d_self <= dist
+                # per-row stats vs the comparison reference
+                # (quick_pairwise_score_reference fastaseq.c:522-537
+                # semantics, == the host _seq_stats definition): non_n
+                # is unwindowed; mismatches are valid-pair, windowed
+                v = codes_d != 0
+                non_n = v.sum(axis=1, dtype=jnp.int32)
+                rvalid = (self._stats_ref_d != 0) & self._window
+                mism = (v & rvalid[None, :]
+                        & (codes_d != self._stats_ref_d[None, :]))
+                dist_ref = mism.sum(axis=1, dtype=jnp.int32)
+                m = mism
+                cols = jax.lax.broadcasted_iota(jnp.int32, m.shape, 1)
+                snps = []
+                for _ in range(self._n_snps):   # static, small
+                    p = jnp.where(m.any(axis=1),
+                                  jnp.argmax(m, axis=1), -1)
+                    snps.append(p.astype(jnp.int32))
+                    m = m & (cols > p[:, None])
+                snp = (jnp.stack(snps, axis=1) if snps else
+                       jnp.zeros((v.shape[0], 0), jnp.int32))
+                return (first.astype(jnp.int32), d_self <= dist,
+                        non_n, dist_ref, snp)
             self._assign = jax.jit(assign_fn,
                                    static_argnames=("use_delta",))
         from ..ops import scan as scan_ops
@@ -226,16 +262,16 @@ class MedoidIndex:
         enc = scan_ops.delta_encode(codes, ok, self._delta_base)
         dummy = jnp.zeros((1, 1), jnp.uint8)
         if enc is not None:
-            first, mask = self._assign(
+            out = self._assign(
                 np.int32(distance), jnp.asarray(enc[0]),
                 jnp.asarray(enc[1]), dummy, True,
                 self._codes, np.int32(self.n))
         else:
-            first, mask = self._assign(
+            out = self._assign(
                 np.int32(distance), dummy, dummy,
                 jnp.asarray(scan_ops.pack_codes(codes)), False,
                 self._codes, np.int32(self.n))
-        return np.asarray(first), np.asarray(mask)
+        return tuple(np.asarray(o) for o in out)
 
     def close_vs(self, rows: np.ndarray, codes, distance: int) -> np.ndarray:
         """(len(rows), n) bool: exact mismatch distance within
@@ -281,7 +317,12 @@ class MedoidIndex:
 def _seq_stats(codes: np.ndarray, ref_codes: np.ndarray, window: np.ndarray,
                n_snps: int):
     """(non_n, dist_ref, first-n_snps SNP positions) per row, as in
-    quick_pairwise_score_reference (fastaseq.c:522-537)."""
+    quick_pairwise_score_reference (fastaseq.c:522-537).
+
+    Host numpy SPEC of the stats MedoidIndex.assign computes on device
+    (kept as the oracle the equivalence test pins against; the engine
+    itself uses the device fold — this pass cost ~0.54 ms/genome on
+    the one-core bench VM)."""
     valid = codes != 0
     non_n = valid.sum(axis=1).astype(np.int64)
     vpair = valid & (ref_codes != 0)[None, :] & window[None, :]
@@ -310,19 +351,22 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
     log(f"Clustering with distance {cfg.distance}, reference of {L} sites")
 
     index = MedoidIndex(L, cfg.medoid_capacity, trim,
-                        delta_base=ref_codes)
+                        delta_base=ref_codes,
+                        stats_ref=ref_codes, n_snps=cfg.snps)
     clusters: list[Cluster] = []
     last_print = 0
 
     def process(batch):
         codes = batch.codes
         n = batch.n
-        non_n, dist_ref, first = _seq_stats(codes[:n], ref_codes, window,
-                                            cfg.snps)  # first = snp tuples
         # fused device step: first-hit medoid + within-batch proximity
-        # mask (one delta upload, O(B)+O(B^2 bool) download — never the
-        # (B, M) distance matrix)
-        d_first, d_self = index.assign(codes, batch.ok, cfg.distance)
+        # mask + per-row reference stats (one delta upload, O(B)
+        # + O(B^2 bool) download — never the (B, M) distance matrix;
+        # the stats ride along because the codes are on device anyway,
+        # replacing a ~0.54 ms/genome host numpy pass)
+        d_first, d_self, non_n, dist_ref, snp = index.assign(
+            codes, batch.ok, cfg.distance)
+        first = [tuple(int(p) for p in row) for row in snp[:n]]
         new_rows: list[int] = []                     # batch rows that
         new_cl: list[int] = []                       # ...opened clusters
         for b in range(n):
