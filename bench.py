@@ -48,8 +48,9 @@ Sections and their keys:
       sized so the whole bench stays under ~75 min), escalating to
       the next rung while the measured rate of the completed run says
       it fits — keys carry the actual N (ball/near/near_indexed/
-      ingest/cluster/cluster_indexed_<N>k_genomes_per_sec).  BENCH_SCALE_N
-      forces a specific N; BENCH_SCALE=0 skips
+      ingest/cluster/cluster_indexed_<N>k_genomes_per_sec, plus
+      scale_probe_seconds / scale_chosen_n / scale_escalated_n).
+      BENCH_SCALE_N forces a specific N; BENCH_SCALE=0 skips
 
 The orchestrator holds the whole run to a GLOBAL wall budget
 (BENCH_WALL, default 4200s): sections run headline-first, each clamped
