@@ -374,8 +374,40 @@ def test_cluster_device_stats_match_host_spec():
         idx = MedoidIndex(L, 1 << 10, trim, initial_tier=16,
                           delta_base=ref, stats_ref=ref, n_snps=n_snps)
         idx.append(codes[:2])
-        _, _, non_n, dist_ref, snp = idx.assign(codes, ok, 2)
+        _, _, non_n, dist_ref, snp, codes_d = idx.assign(codes, ok, 2)
         e_non, e_dist, e_snp = _seq_stats(codes, ref, window, n_snps)
         np.testing.assert_array_equal(non_n, e_non)
         np.testing.assert_array_equal(dist_ref, e_dist)
         assert [tuple(int(p) for p in r) for r in snp] == e_snp
+        # the returned device codes are the exact batch (medoid
+        # append/replace gathers rows from them)
+        np.testing.assert_array_equal(np.asarray(codes_d), codes)
+
+    # store-payload path: a pre-encoded delta payload against a base
+    # DIFFERENT from the index's own delta base must reconstruct and
+    # produce identical outputs to the host-codes path
+    import jax.numpy as jnp
+    from uvaia_tpu.ops import scan as scan_ops
+    store_base = sparse[0].astype(np.uint8)        # != ref
+    enc = scan_ops.delta_encode(sparse.astype(np.uint8), ok, store_base)
+    assert enc is not None
+    idx = MedoidIndex(L, 1 << 10, trim, initial_tier=16,
+                      delta_base=ref, stats_ref=ref, n_snps=n_snps)
+    idx.append(sparse[:2].astype(np.uint8))
+    want = idx.assign(sparse.astype(np.uint8), ok, 2)
+    idx2 = MedoidIndex(L, 1 << 10, trim, initial_tier=16,
+                       delta_base=ref, stats_ref=ref, n_snps=n_snps)
+    idx2.append(sparse[:2].astype(np.uint8))
+    got = idx2.assign(None, ok, 2,
+                      payload=("delta", enc[0], enc[1]),
+                      base_d=jnp.asarray(store_base))
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))
+    # packed payload kind too
+    got_pk = idx2.assign(None, ok, 2,
+                         payload=("packed",
+                                  scan_ops.pack_codes(
+                                      sparse.astype(np.uint8))),
+                         base_d=None)
+    for w, g in zip(want, got_pk):
+        np.testing.assert_array_equal(np.asarray(w), np.asarray(g))

@@ -183,27 +183,90 @@ class MedoidIndex:
         self._append = _jax.jit(
             lambda store, rows, at: _jax.lax.dynamic_update_slice(
                 store, rows, (at, 0)), donate_argnums=0)
+        # one-dispatch store update from the step's device codes:
+        # rows codes_d[src[i]] -> store row dst[i] for i < k, the
+        # padded tail scatters out of bounds and is DROPPED.  src/dst
+        # are TRACED (padded to _UPD_BUCKETS), so per-batch medoid
+        # bookkeeping never bakes index values into the HLO — indexing
+        # codes_d[b] / codes_d[rows] at the python level recompiled a
+        # fresh gather for every distinct row set, which is what made
+        # the first store-input cluster run on the real 9185-genome DB
+        # take 580 s on the remote TPU (a compile per batch)
+        self._update = _jax.jit(
+            lambda store, codes_d, src, dst, k: store.at[
+                jnp.where(jnp.arange(src.shape[0]) < k,
+                          dst, store.shape[0])].set(
+                codes_d[src], mode="drop"),
+            donate_argnums=0)
 
-    def assign(self, codes: np.ndarray, ok: np.ndarray, distance: int):
+    _UPD_BUCKETS = (8, 64, 512, 4096)
+
+    def apply_updates(self, codes_d, replacements: dict[int, int],
+                      new_rows: list[int]) -> None:
+        """Medoid store maintenance for one batch, in ONE scatter:
+        ``replacements`` maps store row -> batch row (last writer per
+        store row, matching the sequential semantics), ``new_rows``
+        appends batch rows as fresh medoids in order.  ``codes_d`` is
+        the (B, L) device codes returned by assign."""
+        k_new = len(new_rows)
+        if not replacements and not k_new:
+            return
+        if self.n + k_new > self.capacity:
+            raise SystemExit("cluster: medoid capacity exceeded; raise "
+                             "--medoid-capacity")
+        while self.n + k_new > self.tier:
+            pad = self.jnp.zeros((3 * self.tier, self.L),
+                                 dtype=self.jnp.uint8)
+            self.tier *= 4
+            self._codes = self.jnp.concatenate([self._codes, pad],
+                                               axis=0)
+        dst = list(replacements.keys()) + [self.n + i
+                                           for i in range(k_new)]
+        src = list(replacements.values()) + list(new_rows)
+        k = len(dst)
+        P = next((p for p in self._UPD_BUCKETS if p >= k),
+                 -(-k // 4096) * 4096)    # pool > 4096: static per pool
+        src += [0] * (P - k)
+        dst += [0] * (P - k)
+        self._codes = self._update(
+            self._codes, codes_d,
+            self.jnp.asarray(np.asarray(src, np.int32)),
+            self.jnp.asarray(np.asarray(dst, np.int32)), np.int32(k))
+        self.n += k_new
+
+    def assign(self, codes: np.ndarray, ok: np.ndarray, distance: int,
+               payload=None, base_d=None):
         """Fused batch step: one (delta-encoded) upload, and only O(B)
         + O(B^2) bool leaves the device — never the (B, M) distance
         matrix (57MB per batch at M=14k medoids measured; the D2H
         download was the wall of the v1 design).
+
+        `payload` (store input): a StoreStreamer payload — ("delta",
+        pos, val) PRE-encoded against `base_d` (the streamer's base,
+        on device) or ("packed", pk) — uploaded as-is, skipping the
+        host nibble-unpack AND host re-encode; `codes`/`ok` are
+        ignored then and may be None.
 
         Returns (first_hit (B,) int32 — lowest medoid index within
         `distance`, -1 if none; self_mask (B, B) bool — within-batch
         pairs within `distance`); when the index was built with
         `stats_ref`, also (non_n (B,) int32, dist_ref (B,) int32,
         snp (B, n_snps) int32 — first SNP positions vs stats_ref, -1
-        padded), matching _seq_stats exactly (tested)."""
+        padded), matching _seq_stats exactly (tested); and last the
+        (B, L) uint8 batch codes AS A DEVICE ARRAY (for device-side
+        medoid append/replace)."""
         import jax
         jnp = self.jnp
         if self._assign is None:
-            def assign_fn(dist, pos, val, packed, use_delta, store, n_med):
+            def assign_fn(dist, pos, val, packed, use_delta, store, n_med,
+                          base):
+                # `base` is the base the (pos, val) payload was encoded
+                # against — self._delta_base_d for host-encoded batches,
+                # the STORE's own base for store payloads; the caller
+                # pairs them (see assign's payload contract)
                 from ..ops import scan as scan_ops
                 if use_delta:
-                    codes_d = scan_ops.reconstruct_delta(
-                        self._delta_base_d, pos, val)
+                    codes_d = scan_ops.reconstruct_delta(base, pos, val)
                 else:
                     codes_d = scan_ops.unpack_codes(packed, self.L)
                 # scan the store in tiles: the one-hot feature planes
@@ -231,7 +294,8 @@ class MedoidIndex:
                 first = jnp.where(first < big, first, -1)
                 d_self = self._dist_expr(codes_d, codes_d)
                 if self._stats_ref_d is None:
-                    return first.astype(jnp.int32), d_self <= dist
+                    return (first.astype(jnp.int32), d_self <= dist,
+                            codes_d)
                 # per-row stats vs the comparison reference
                 # (quick_pairwise_score_reference fastaseq.c:522-537
                 # semantics, == the host _seq_stats definition): non_n
@@ -253,25 +317,49 @@ class MedoidIndex:
                 snp = (jnp.stack(snps, axis=1) if snps else
                        jnp.zeros((v.shape[0], 0), jnp.int32))
                 return (first.astype(jnp.int32), d_self <= dist,
-                        non_n, dist_ref, snp)
+                        non_n, dist_ref, snp, codes_d)
             self._assign = jax.jit(assign_fn,
                                    static_argnames=("use_delta",))
         from ..ops import scan as scan_ops
-        # encode against the SAME base the device rebuild uses — taking
-        # a base parameter here invited silently-wrong reconstructions
-        enc = scan_ops.delta_encode(codes, ok, self._delta_base)
         dummy = jnp.zeros((1, 1), jnp.uint8)
-        if enc is not None:
-            out = self._assign(
-                np.int32(distance), jnp.asarray(enc[0]),
-                jnp.asarray(enc[1]), dummy, True,
-                self._codes, np.int32(self.n))
+        base_arg = base_d if base_d is not None else self._delta_base_d
+        if base_arg is None:                 # packed-only path ignores it
+            base_arg = jnp.zeros(self.L, jnp.uint8)
+        if payload is not None:
+            # store path: the payload is PRE-encoded against base_d
+            # (the streamer's first-store base) — no host unpack, no
+            # host re-encode; the payload/base pairing happens at the
+            # one streamer call site, keeping the silently-wrong-
+            # reconstruction hazard out of this API
+            kind = payload[0]
+            if kind == "delta":
+                out = self._assign(
+                    np.int32(distance), jnp.asarray(payload[1]),
+                    jnp.asarray(payload[2]), dummy, True,
+                    self._codes, np.int32(self.n), base_arg)
+            else:
+                out = self._assign(
+                    np.int32(distance), dummy, dummy,
+                    jnp.asarray(payload[1]), False,
+                    self._codes, np.int32(self.n), base_arg)
         else:
-            out = self._assign(
-                np.int32(distance), dummy, dummy,
-                jnp.asarray(scan_ops.pack_codes(codes)), False,
-                self._codes, np.int32(self.n))
-        return tuple(np.asarray(o) for o in out)
+            # host path: encode against the SAME base the device
+            # rebuild uses (self._delta_base) — paired here, never
+            # caller-supplied
+            enc = scan_ops.delta_encode(codes, ok, self._delta_base)
+            if enc is not None:
+                out = self._assign(
+                    np.int32(distance), jnp.asarray(enc[0]),
+                    jnp.asarray(enc[1]), dummy, True,
+                    self._codes, np.int32(self.n), base_arg)
+            else:
+                out = self._assign(
+                    np.int32(distance), dummy, dummy,
+                    jnp.asarray(scan_ops.pack_codes(codes)), False,
+                    self._codes, np.int32(self.n), base_arg)
+        # codes_d (last) stays ON DEVICE — append/replace gather
+        # medoid rows from it without a host round-trip
+        return tuple(np.asarray(o) for o in out[:-1]) + (out[-1],)
 
     def close_vs(self, rows: np.ndarray, codes, distance: int) -> np.ndarray:
         """(len(rows), n) bool: exact mismatch distance within
@@ -356,19 +444,25 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
     clusters: list[Cluster] = []
     last_print = 0
 
-    def process(batch):
-        codes = batch.codes
+    def process(batch, payload=None, base_d=None):
         n = batch.n
         # fused device step: first-hit medoid + within-batch proximity
         # mask + per-row reference stats (one delta upload, O(B)
         # + O(B^2 bool) download — never the (B, M) distance matrix;
         # the stats ride along because the codes are on device anyway,
-        # replacing a ~0.54 ms/genome host numpy pass)
-        d_first, d_self, non_n, dist_ref, snp = index.assign(
-            codes, batch.ok, cfg.distance)
+        # replacing a ~0.54 ms/genome host numpy pass).  Store input
+        # hands the streamer's pre-encoded payload straight through —
+        # batch.codes (a host nibble-unpack) is never materialised and
+        # nothing is re-encoded; medoid rows are gathered from the
+        # returned DEVICE codes.
+        d_first, d_self, non_n, dist_ref, snp, codes_d = index.assign(
+            None if payload is not None else batch.codes,
+            batch.ok, cfg.distance, payload=payload, base_d=base_d)
         first = [tuple(int(p) for p in row) for row in snp[:n]]
         new_rows: list[int] = []                     # batch rows that
         new_cl: list[int] = []                       # ...opened clusters
+        repl: dict[int, int] = {}                    # store row -> batch
+                                                     # row (last wins)
         for b in range(n):
             target = int(d_first[b])
             if target < 0:
@@ -391,13 +485,15 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
                     cl.dist_ref = int(dist_ref[b])
                     cl.snp_pos = first[b]
                     if target < index.n:             # in-store medoid
-                        index.replace(target, codes[b])
+                        repl[target] = b
                     else:                            # opened this batch
                         new_rows[new_cl.index(target)] = b
                 else:
                     cl.neighbours.append(batch.names[b])
-        if new_rows:
-            index.append(codes[new_rows])
+        # ONE device scatter per batch covers every replacement and
+        # append, gathered from the step's device codes (traced
+        # indices — no per-row-set recompiles, no host round-trip)
+        index.apply_updates(codes_d, repl, new_rows)
 
     def save_partial(n_seen: int) -> None:
         """Crash-resilient partial membership table, written atomically
@@ -424,19 +520,24 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
             "cluster: inputs mix ingested stores and FASTA files; "
             "ingest all inputs or none")
     if n_store:
-        # decode-free input: StoreBatch materialises host codes by
-        # nibble-unpacking mmap-ed packed rows (no xz, no re-encode);
-        # medoid seqs decode on demand (seq_row)
+        # decode-free input: the streamer's payloads (delta vs ITS
+        # base, or packed rows) go straight to the device — no host
+        # nibble-unpack, no host re-encode (the former batch.codes
+        # path cost the cluster-over-store rate its advantage at 250k:
+        # 463/s indexed vs 548/s from gz before this); medoid seqs
+        # decode on demand (seq_row)
         streamer = store_mod.StoreStreamer(fasta_paths, L, cfg.pool,
                                            ref_ambiguity=1.0)
-        batches = (b for b, _ in streamer)
+        sbase_d = (None if streamer.base is None
+                   else index.jnp.asarray(streamer.base))
+        pairs = ((b, pl, sbase_d) for b, pl in streamer)
     else:
         streamer = RefStreamer(fasta_paths, L, cfg.pool,
                                ref_ambiguity=1.0)
-        batches = streamer
+        pairs = ((b, None, None) for b in streamer)
     last_save = time.time()
-    for batch in batches:
-        process(batch)
+    for batch, payload, base_d in pairs:
+        process(batch, payload, base_d)
         count = batch.base_idx + batch.n
         if count - last_print >= cfg.print_interval:
             last_print = count
