@@ -443,7 +443,19 @@ def score_batch_planes_packed(qd: QueryDeviceData, packed: jnp.ndarray):
     materialised in HBM — the fused kernel unpacks nibbles per tile in
     VMEM (pallas_score.mats_and_cons_via_pallas_packed), halving the
     kernel's dominant HBM read.  The ambiguity-correction gather reads
-    nibbles straight from the packed matrix.  Non-TPU backends (and
+    nibbles straight from the packed matrix.
+
+    Negative result (measured, v5e-class chip, bench shape L=29903
+    Q=64 B=4096): re-expressing this static-index gather as an int8
+    one-hot selection matmul on the MXU (packed^0x80 as int8 operand,
+    (Wp, A) selection matrix, +128 after the dot — exact) left the
+    full packed step rate unchanged (1.325M/s vs 1.331M/s, within
+    run-to-run noise).  XLA already overlaps the HBM gather with the
+    fused scoring kernel inside the step, so the gather is not on the
+    critical path; the take() form is kept for its simplicity and
+    because it needs no per-query-pack selection matrix.
+
+    Non-TPU backends (and
     --acgt at the large query packs where the XLA path beats the acgt
     kernels — see site_partials) fall back to unpack-then-score
     (bit-identical)."""
