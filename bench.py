@@ -649,6 +649,7 @@ def orchestrate():
     results: dict = {}
     for sec in sections:
         best: dict = {}
+        stall_retried = False
         for attempt in range(1, max_attempts.get(sec, retries) + 1):
             left = wall_budget - (time.time() - t_bench)
             if left < 120:
@@ -669,18 +670,35 @@ def orchestrate():
                     capture_output=True, text=True, env=env,
                     timeout=min(timeouts.get(sec, 1200), left))
             except subprocess.TimeoutExpired as e:
-                print(f"# section {sec} attempt {attempt}: timeout",
-                      file=sys.stderr)
                 best = {**collect((e.stderr or b"").decode()
                                   if isinstance(e.stderr, bytes)
                                   else (e.stderr or "")), **best}
-                # a timeout means the section is too slow for its budget
-                # in THIS tunnel window — an identical retry would eat
-                # the same wall again and starve the later sections.
-                # Keys emit progressively, so the partials above are
-                # kept; only crashes (rc != 0, usually fast + transient)
-                # are worth retrying.
-                break
+                if best or stall_retried:
+                    # a timeout WITH keys means the section is too slow
+                    # for its budget in THIS tunnel window — an
+                    # identical retry would eat the same wall again and
+                    # starve the later sections.  Keys emit
+                    # progressively, so the partials above are kept;
+                    # only crashes (rc != 0, usually fast + transient)
+                    # are worth retrying.
+                    print(f"# section {sec} attempt {attempt}: timeout",
+                          file=sys.stderr)
+                    break
+                # ZERO keys: the section never reached even its first
+                # measurement.  Observed in the wild as a stalled
+                # device grab — ~0 CPU for the entire timeout while the
+                # tunnel holds a stale lease from a killed client — not
+                # a slow section.  A fresh process minutes later
+                # typically grabs within seconds, so retry ONCE on a
+                # short leash: 600s is enough for any section's first
+                # key in a healthy window, and caps what a repeat
+                # stall can take from the sections after this one.
+                stall_retried = True
+                timeouts[sec] = min(timeouts.get(sec, 1200), 600)
+                print(f"# section {sec} attempt {attempt}: timeout with "
+                      f"no keys (device-grab stall?) — one "
+                      f"{timeouts[sec]}s retry", file=sys.stderr)
+                continue
             frag = collect(p.stderr)
             # keep the richest attempt; a crash after partial emits
             # still contributes what it measured

@@ -140,3 +140,49 @@ def test_scale_ladder_chooser_and_escalation():
     assert bench._ktag(250_000) == "250k"
     assert bench._ktag(512) == "512"
     assert bench._ktag(10_000) == "10k"
+
+
+def test_timeout_policy_stall_retry_vs_partial_keep(monkeypatch):
+    """Timeout policy: a section that times out with ZERO emitted keys
+    (a stalled device grab — seen in the wild as ~0 CPU for the whole
+    timeout while the tunnel holds a stale lease) gets exactly ONE
+    retry on a 600s leash; a section that timed out after emitting
+    keys keeps its partials and is NOT re-run (an identical retry
+    would eat the same wall again)."""
+    sys.path.insert(0, REPO)
+    import bench
+
+    for var in ("BENCH_ALIGN", "BENCH_REALDATA", "BENCH_SCALE"):
+        monkeypatch.setenv(var, "0")  # sections = scan, acgt, q1000
+    monkeypatch.setenv("BENCH_WALL", "100000")
+
+    # scenario 1: every attempt stalls before its first key
+    calls = []
+
+    def stall(cmd, **kw):
+        calls.append((cmd[-1], kw["timeout"]))
+        raise subprocess.TimeoutExpired(cmd, kw["timeout"], stderr="")
+
+    monkeypatch.setattr(bench.subprocess, "run", stall)
+    assert bench.orchestrate() == {}
+    per_sec = {}
+    for sec, to in calls:
+        per_sec.setdefault(sec, []).append(to)
+    assert set(per_sec) == {"scan", "acgt", "q1000"}
+    for sec, tos in per_sec.items():
+        assert len(tos) == 2, (sec, tos)   # one stall retry, no more
+        assert tos[1] == 600, (sec, tos)   # short leash
+
+    # scenario 2: timeout AFTER a key emitted -> keep partial, no retry
+    calls.clear()
+
+    def partial(cmd, **kw):
+        calls.append((cmd[-1], kw["timeout"]))
+        raise subprocess.TimeoutExpired(
+            cmd, kw["timeout"],
+            stderr=bench.EMIT_TAG + '{"part_key": 1.5}\n')
+
+    monkeypatch.setattr(bench.subprocess, "run", partial)
+    out = bench.orchestrate()
+    assert out.get("part_key") == 1.5
+    assert [c[0] for c in calls] == ["scan", "acgt", "q1000"]  # 1x each
