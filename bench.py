@@ -53,21 +53,35 @@ Sections and their keys:
       BENCH_SCALE_N forces a specific N; BENCH_SCALE=0 skips
 
 The orchestrator holds the whole run to a GLOBAL wall budget
-(BENCH_WALL, default 4200s): sections run headline-first, each clamped
+(BENCH_WALL, default 3000s): sections run headline-first, each clamped
 to the remaining budget and skipped when it is exhausted, so the final
 JSON line always prints before any plausible driver patience runs out
 — even on a tunnel window that inflates every section 2-3x.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+EVIDENCE IS UN-LOSABLE (round-4 lesson: the driver's rc=124 kill of a
+bench that only printed at the very end erased every already-measured
+number): the orchestrator streams each section's ``@@BENCH`` stderr
+fragments LIVE and, after every fragment, prints a complete
+results-so-far JSON line to STDOUT (the driver parses the last stdout
+line) — a SIGKILL at any moment keeps everything measured up to it.
+The last line printed is the final record.
+
+Prints JSON lines: {"metric", "value", "unit", "vs_baseline", ...};
+the LAST line is the round's record (earlier lines are identical
+progressive snapshots).
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import os
+import queue as queue_mod
+import signal
 import subprocess
 import sys
+import threading
 import time
 
 import numpy as np
@@ -125,31 +139,14 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
     pack.create_indices()
     qd = scan.build_device_data(pack, k=K)
 
-    # kernel-only sections (acgt, q1000) use a single device-resident
-    # batch; building all 8 distinct host batches there wasted ~24GB
-    # of host RNG (3 float64 masks per 4096x30k batch) on this 1-core
-    # VM — enough to push a section past its timeout.
-    NB = 8 if not kernel_only else 1         # distinct host batches
-    host_codes = [ENCODE_LUT[make_data(rng, B, L, backbone=backbone)]
-                  for _ in range(NB)]
+    # ONE host batch before the first key (round-4 lesson: 8 distinct
+    # 4096x30k batches of host RNG + three extra kernel compiles cost
+    # ~339s on this 1-core VM before the first measurement — the
+    # streamed paths build their extra batches AFTER the kernel keys
+    # are already emitted and safe).
+    host_codes = [ENCODE_LUT[make_data(rng, B, L, backbone=backbone)]]
     ok = jnp.ones(B, dtype=bool)
     state = scan.init_state(Q, K)
-
-    # compile + warmup; materialise to host (block_until_ready is not a
-    # reliable barrier on every backend transport).  The device-resident
-    # kernel loop runs at the kernel's native padded width (scan pads
-    # any other width on entry).
-    ref_codes0 = scan._to_width(jnp.asarray(host_codes[0]),
-                                int(qd.q_full.shape[1]))
-    state, flags = scan.scan_step(qd, state, ref_codes0, ok, np.int32(0))
-    if not kernel_only:
-        packed0 = jnp.asarray(scan.pack_codes(host_codes[0]))
-        state, flags = scan.scan_step_packed(qd, state, packed0, ok,
-                                             np.int32(0))
-    _ = np.asarray(state[0])
-    print(f"# setup+compile {time.time()-t_setup:.1f}s "
-          f"(L={L} Q={Q} B={B} K={K}, W={int(qd.q_full.shape[1])}, "
-          f"device={jax.devices()[0]})", file=sys.stderr)
 
     # device-resident kernel rate (the compute ceiling): all STEPS
     # iterations run inside ONE dispatch (an on-device fori_loop), so
@@ -164,18 +161,19 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
     # HBM read — measured 1.13-1.21x the unpacked step at this shape,
     # and packed is the form real uploads arrive in).  The unpacked
     # continuity keys below keep the r03 headline definition visible.
-    packed_loop = True
     pk_res = jnp.asarray(scan.pack_codes(host_codes[0]))
 
     def krepeat(st, base):
-        if packed_loop:
-            return scan.scan_steps_repeat_packed(qd, st, pk_res, ok,
-                                                 np.int32(base), STEPS)
-        return scan.scan_steps_repeat(qd, st, ref_codes0, ok,
-                                      np.int32(base), STEPS)
+        return scan.scan_steps_repeat_packed(qd, st, pk_res, ok,
+                                             np.int32(base), STEPS)
 
     state = krepeat(state, 0)                            # compile+warm
     _ = np.asarray(state[0])
+    emit(**{key_prefix + "setup_compile_seconds":
+            round(time.time() - t_setup, 1)})
+    print(f"# setup+compile {time.time()-t_setup:.1f}s "
+          f"(L={L} Q={Q} B={B} K={K}, W={int(qd.q_full.shape[1])}, "
+          f"device={jax.devices()[0]})", file=sys.stderr)
     rates = []
     for r in range(5):
         t0 = time.time()
@@ -184,22 +182,31 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
         rates.append(round(STEPS * B / (time.time() - t0), 1))
         emit(**{key_prefix + "kernel_genomes_per_sec": max(rates),
                 key_prefix + "kernel_rates_all": rates})
-    if packed_loop:
-        # unpacked-step continuity key (the r03 headline definition)
-        state = scan.scan_steps_repeat(qd, state, ref_codes0, ok,
-                                       np.int32(0), STEPS)
+    # unpacked-step continuity key (the r03 headline definition); the
+    # repeat kernel compiles on its warm call here, after the headline
+    # keys are already out
+    ref_codes0 = scan._to_width(jnp.asarray(host_codes[0]),
+                                int(qd.q_full.shape[1]))
+    state = scan.scan_steps_repeat(qd, state, ref_codes0, ok,
+                                   np.int32(0), STEPS)
+    _ = np.asarray(state[0])
+    u = []
+    for r in range(2):
+        t0 = time.time()
+        state = scan.scan_steps_repeat(
+            qd, state, ref_codes0, ok,
+            np.int32((r + 7) * STEPS * B), STEPS)
         _ = np.asarray(state[0])
-        u = []
-        for r in range(2):
-            t0 = time.time()
-            state = scan.scan_steps_repeat(
-                qd, state, ref_codes0, ok,
-                np.int32((r + 7) * STEPS * B), STEPS)
-            _ = np.asarray(state[0])
-            u.append(round(STEPS * B / (time.time() - t0), 1))
-        emit(**{key_prefix + "kernel_unpacked_genomes_per_sec": max(u)})
+        u.append(round(STEPS * B / (time.time() - t0), 1))
+    emit(**{key_prefix + "kernel_unpacked_genomes_per_sec": max(u)})
     if kernel_only:
         return
+
+    # distinct host batches for the streamed/H2D paths (generated only
+    # now — the kernel keys above are already emitted and safe)
+    NB = 4
+    host_codes += [ENCODE_LUT[make_data(rng, B, L, backbone=backbone)]
+                   for _ in range(NB - 1)]
 
     # H2D bandwidth probe (distinct pre-packed buffers)
     pre_packed = [scan.pack_codes(c) for c in host_codes]
@@ -212,6 +219,10 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
 
     # STREAMED rate, 4-bit packed uploads: pack + upload a distinct
     # batch every step (the fallback upload path)
+    state = scan.init_state(Q, K)
+    state, flags = scan.scan_step_packed(qd, state, pk_res, ok,
+                                         np.int32(0))    # compile+warm
+    _ = np.asarray(state[0])
     state = scan.init_state(Q, K)
     t0 = time.time()
     for i in range(STEPS):
@@ -478,12 +489,16 @@ def section_scale(n_forced):
         run_nearest([wdb], wq, NearestConfig(nbest=50, output=f"{d}/wn"))
         run_cluster([wdb], ClusterConfig(distance=3, output=f"{d}/wc"))
 
-        def run_at(n, tag):
-            """Generate an n-genome DB and time every stage once.
-            Returns total seconds of the timed stages."""
+        def run_at(n, tag, stages=None):
+            """Generate an n-genome DB and time each stage once
+            (``stages`` restricts the set — the nearest-only extension
+            rung).  Returns (total seconds, per-stage seconds dict
+            incl. 'gen')."""
             rates = {}
 
             def timed(key, fn):
+                if stages is not None and key not in stages:
+                    return 0.0
                 t0 = time.time()
                 fn()
                 dt = time.time() - t0
@@ -494,7 +509,7 @@ def section_scale(n_forced):
             db = f"{d}/db_{tag}.fa.gz"
             t0 = time.time()
             scale_bench.gen(n, db)
-            gen_s = time.time() - t0
+            rates["gen"] = time.time() - t0
             qp = f"{d}/q_{tag}.fa"
             scale_bench._queries_from(db, 64, qp)
             # stage order: the BASELINE config-4 trio (ball, nearest,
@@ -520,14 +535,15 @@ def section_scale(n_forced):
                                        output=f"{d}/ci_{tag}")))
             os.unlink(db)
             import shutil
-            shutil.rmtree(store)
-            return gen_s + sum(rates.values())
+            shutil.rmtree(store, ignore_errors=True)
+            return sum(rates.values()), rates
 
         # probe size is env-overridable so the contract test can drive
         # this whole section live on CPU in seconds (test_bench_contract)
         probe_n = int(os.environ.get("BENCH_SCALE_PROBE", 10_000))
         tag = _ktag(probe_n)
-        probe_s = run_at(probe_n, tag)
+        probe_s, stage_s = run_at(probe_n, tag)
+        last_n = probe_n
 
         rungs = _scale_rungs()
         if n_forced:
@@ -543,7 +559,8 @@ def section_scale(n_forced):
             emit(scale_probe_seconds=round(probe_s, 1),
                  scale_chosen_n=big or 0)
         if big and big > probe_n:
-            big_s = run_at(big, _ktag(big))
+            big_s, stage_s = run_at(big, _ktag(big))
+            last_n = big
             # ESCALATION: the 10k probe OVERESTIMATES large-N cost —
             # per-run fixed work (query prep, compiles at fresh shapes,
             # output open) and partial-batch padding amortise away with
@@ -561,12 +578,39 @@ def section_scale(n_forced):
                             and _fits(n, big, big_s, left)), None)
                 if not nxt:
                     break
-                big_s = run_at(nxt, _ktag(nxt))
-                big = nxt
+                big_s, stage_s = run_at(nxt, _ktag(nxt))
+                big = last_n = nxt
                 emit(scale_escalated_n=big)
+
+        # NEAREST-ONLY extension (BASELINE config-5 direction): when
+        # the trio ladder is done and wall remains, climb further with
+        # gen+nearest alone — the flagship scan scales past where the
+        # full trio fits (cluster dominates the trio wall).  Projected
+        # from the measured gen+near seconds of the last completed run.
+        ext = tuple(sorted((int(x) for x in os.environ.get(
+            "BENCH_SCALE_EXT_RUNGS", "1000000,500000").split(",")),
+            reverse=True))
+        while not n_forced and {"gen", "near"} <= stage_s.keys():
+            left = budget - (time.time() - t_start)
+            base_s = stage_s["gen"] + stage_s["near"]
+            nxt = next((n for n in ext if n > last_n
+                        and _fits(n, last_n, base_s, left)), None)
+            if not nxt:
+                break
+            _, stage_s = run_at(nxt, _ktag(nxt),
+                                stages={"near"})
+            last_n = nxt
+            emit(scale_near_only_n=nxt)
 
 
 def run_section(name, L, Q, B, K, STEPS):
+    if name == "sleepy":
+        # contract-test section (BENCH_SECTIONS=sleepy): emit one key
+        # then hang — lets tests SIGKILL the orchestrator mid-section
+        # and assert the stdout snapshot already carried the key
+        emit(sleepy_key=1.5)
+        time.sleep(float(os.environ.get("BENCH_SLEEPY_S", 120)))
+        return
     # the session sitecustomize force-updates jax_platforms to
     # "axon,cpu", overriding the env var; honour an explicit
     # JAX_PLATFORMS (CPU test runs) by re-applying it here
@@ -609,8 +653,104 @@ def collect(tail: str) -> dict:
     return out
 
 
-def orchestrate():
-    retries = int(os.environ.get("BENCH_RETRIES", 3))
+def final_record(results: dict, L, Q, K) -> dict:
+    """The driver-facing record (also printed as progressive snapshots
+    after every measurement — the last stdout line is the round's
+    evidence even if the driver kills the orchestrator mid-run)."""
+    extras = {k: v for k, v in results.items()
+              if k != "kernel_genomes_per_sec"}
+    kernel = results.get("kernel_genomes_per_sec")
+    value = kernel if kernel is not None else \
+        results.get("streamed_genomes_per_sec", 0.0)
+    return {
+        "metric": f"nearest_scan_genomes_per_sec_per_chip_L{L}_Q{Q}_k{K}",
+        "value": value,
+        "unit": "genomes/sec/chip",
+        "vs_baseline": round((value or 0.0) / 100_000.0, 4),
+        **extras,
+    }
+
+
+def _stream_section(sec: str, env: dict, timeout: float, on_fragment):
+    """Run one section subprocess, parsing its ``@@BENCH`` stderr lines
+    LIVE (on_fragment(dict) per line) instead of after exit — the
+    round-4 failure mode was a timeout kill erasing a finished
+    section's output because nothing was consumed until completion.
+
+    Returns (rc, n_keys, stderr_tail, timed_out); rc is None when the
+    deadline killed the process.  The child dies with the orchestrator
+    (PDEATHSIG), so a driver SIGKILL cannot leak a TPU-holding orphan
+    into the next driver step."""
+    def _pdeathsig():
+        try:
+            import ctypes
+            ctypes.CDLL("libc.so.6").prctl(1, signal.SIGKILL)  # PR_SET_PDEATHSIG
+        except Exception:
+            pass
+
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--section", sec],
+        stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
+        env=env, preexec_fn=_pdeathsig)
+    tail: collections.deque = collections.deque(maxlen=40)
+    q: queue_mod.Queue = queue_mod.Queue()
+
+    def pump():
+        for ln in p.stderr:
+            q.put(ln)
+        q.put(None)
+
+    threading.Thread(target=pump, daemon=True).start()
+    deadline = time.time() + timeout
+    n_keys = 0
+    timed_out = False
+    eof = False
+    while not eof:
+        try:
+            ln = q.get(timeout=max(0.1, min(5.0, deadline - time.time())))
+        except queue_mod.Empty:
+            if time.time() >= deadline:
+                timed_out = True
+                p.kill()
+                # drain what the pipe already holds (fragments written
+                # before the kill are valid measurements)
+                t_drain = time.time() + 10
+                while time.time() < t_drain:
+                    try:
+                        ln = q.get(timeout=0.5)
+                    except queue_mod.Empty:
+                        break
+                    if ln is None:
+                        break
+                    tail.append(ln.rstrip())
+                    frag = collect(ln)
+                    if frag:
+                        n_keys += len(frag)
+                        on_fragment(frag)
+                break
+            continue
+        if ln is None:
+            eof = True
+            break
+        tail.append(ln.rstrip())
+        frag = collect(ln)
+        if frag:
+            n_keys += len(frag)
+            on_fragment(frag)
+    try:
+        rc = p.wait(timeout=15)
+    except subprocess.TimeoutExpired:
+        p.kill()
+        rc = None
+    if timed_out:
+        rc = None
+    return rc, n_keys, "\n".join(tail), timed_out
+
+
+def _sections_from_env() -> list:
+    forced = os.environ.get("BENCH_SECTIONS")
+    if forced:
+        return [s.strip() for s in forced.split(",") if s.strip()]
     sections = ["scan", "acgt", "q1000"]
     if os.environ.get("BENCH_ALIGN", "1") != "0":
         sections.append("align")
@@ -618,20 +758,26 @@ def orchestrate():
         sections.append("realdata")
     if os.environ.get("BENCH_SCALE", "1") != "0":
         sections.append("scale")
+    return sections
+
+
+def orchestrate(snapshot=None):
+    """Run all sections; call snapshot(results) after every fragment
+    (the progressive stdout print lives in main)."""
+    retries = int(os.environ.get("BENCH_RETRIES", 3))
+    sections = _sections_from_env()
     # the scale section is TIME-BOXED: it probes at 10k, runs the
     # largest N in {50k, 100k, 150k, 250k} whose projected wall fits
     # this timeout, then ESCALATES rung-by-rung while the measured
     # rate of the completed run says the next rung still fits (see
     # section_scale).  A forced BENCH_SCALE_N scales the timeout
-    # linearly instead.  2700 default (was 1800): scale runs last, so
-    # on a fast window the global wall has ~3000s left here and the
-    # extra room is what lets the ladder reach the config-4 250k rung;
-    # on a slow window the orchestrator clamps to the remaining global
-    # wall and the chooser self-corrects downward.
+    # linearly instead.  Scale runs last, so the orchestrator clamps
+    # it to the remaining global wall either way and the chooser
+    # self-corrects downward on a slow window.
     scale_n = int(os.environ.get("BENCH_SCALE_N", 0))
     scale_to = int(os.environ.get("BENCH_SCALE_TIMEOUT",
-                                  max(2700, int(scale_n * 0.03))))
-    timeouts = {"scan": 1800, "acgt": 1800, "q1000": 1800, "align": 1500,
+                                  max(2400, int(scale_n * 0.03))))
+    timeouts = {"scan": 1500, "acgt": 1200, "q1000": 1200, "align": 1500,
                 "realdata": 1500, "scale": scale_to}
     # the scale section gets ONE attempt: it emits its 10k probe keys
     # progressively, and re-running a ~25-min section on a timeout
@@ -639,18 +785,27 @@ def orchestrate():
     max_attempts = {"scale": 1}
     # GLOBAL wall budget: a bad tunnel window inflates every section
     # 2-3x, and the worst-case sum of per-section timeouts x retries is
-    # hours — if the driver then kills bench.py itself, the round loses
-    # ALL its perf evidence (the final JSON line never prints).
-    # Sections run headline-first, each clamped to the remaining
-    # budget and skipped entirely when too little is left.
-    wall_budget = float(os.environ.get("BENCH_WALL", 4200))
+    # hours.  Sections run headline-first, each clamped to the
+    # remaining budget and skipped entirely when too little is left.
+    # 3000s default (was 4200): r04's driver kill arrived before 4200s
+    # elapsed — the progressive stdout snapshots make a kill lossless
+    # now, but finishing inside the driver's patience is still better.
+    wall_budget = float(os.environ.get("BENCH_WALL", 3000))
     t_bench = time.time()
 
     results: dict = {}
+
+    def absorb(frag: dict):
+        results.update(frag)
+        if snapshot is not None:
+            snapshot(results)
+
     for sec in sections:
-        best: dict = {}
+        sec_keys = 0
         stall_retried = False
-        for attempt in range(1, max_attempts.get(sec, retries) + 1):
+        next_leash_cap = None
+        attempts_allowed = max_attempts.get(sec, retries)
+        for attempt in range(1, attempts_allowed + 1):
             left = wall_budget - (time.time() - t_bench)
             if left < 120:
                 print(f"# section {sec} attempt {attempt}: skipped, "
@@ -663,24 +818,24 @@ def orchestrate():
                 # not the nominal timeout
                 env["BENCH_SCALE_TIMEOUT"] = str(
                     int(min(scale_to, left)))
-            try:
-                p = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__),
-                     "--section", sec],
-                    capture_output=True, text=True, env=env,
-                    timeout=min(timeouts.get(sec, 1200), left))
-            except subprocess.TimeoutExpired as e:
-                best = {**collect((e.stderr or b"").decode()
-                                  if isinstance(e.stderr, bytes)
-                                  else (e.stderr or "")), **best}
-                if best or stall_retried:
+            leash = min(timeouts.get(sec, 1200), left)
+            if next_leash_cap is not None:
+                # the 600s cap applies to the single stall-retry
+                # attempt only — later crash retries get the nominal
+                # leash back (a crash is not a stall)
+                leash = min(leash, next_leash_cap)
+                next_leash_cap = None
+            rc, n_keys, tail, timed_out = _stream_section(
+                sec, env, leash, absorb)
+            sec_keys += n_keys
+            if timed_out:
+                if sec_keys or stall_retried \
+                        or attempt >= attempts_allowed:
                     # a timeout WITH keys means the section is too slow
                     # for its budget in THIS tunnel window — an
                     # identical retry would eat the same wall again and
-                    # starve the later sections.  Keys emit
-                    # progressively, so the partials above are kept;
-                    # only crashes (rc != 0, usually fast + transient)
-                    # are worth retrying.
+                    # starve the later sections.  Keys were absorbed
+                    # live, so everything measured is already kept.
                     print(f"# section {sec} attempt {attempt}: timeout",
                           file=sys.stderr)
                     break
@@ -694,25 +849,18 @@ def orchestrate():
                 # key in a healthy window, and caps what a repeat
                 # stall can take from the sections after this one.
                 stall_retried = True
-                timeouts[sec] = min(timeouts.get(sec, 1200), 600)
+                next_leash_cap = 600
                 print(f"# section {sec} attempt {attempt}: timeout with "
-                      f"no keys (device-grab stall?) — one "
-                      f"{timeouts[sec]}s retry", file=sys.stderr)
+                      f"no keys (device-grab stall?) — one 600s retry",
+                      file=sys.stderr)
                 continue
-            frag = collect(p.stderr)
-            # keep the richest attempt; a crash after partial emits
-            # still contributes what it measured
-            if len(frag) > len(best):
-                best = frag
-            if p.returncode == 0:
+            if rc == 0:
                 break
-            tail = "\n".join(p.stderr.strip().splitlines()[-4:])
-            print(f"# section {sec} attempt {attempt} rc={p.returncode}:"
-                  f"\n{tail}", file=sys.stderr)
-        if not best:
-            print(f"# section {sec}: no results after {retries} attempts",
+            print(f"# section {sec} attempt {attempt} rc={rc}:\n{tail}",
                   file=sys.stderr)
-        results.update(best)
+        if not sec_keys:
+            print(f"# section {sec}: no results",
+                  file=sys.stderr)
     return results
 
 
@@ -731,17 +879,14 @@ def main():
         run_section(args.section, L, Q, B, K, STEPS)
         return
 
-    results = orchestrate()
-    kernel = results.pop("kernel_genomes_per_sec", None)
-    value = kernel if kernel is not None else \
-        results.get("streamed_genomes_per_sec", 0.0)
-    print(json.dumps({
-        "metric": f"nearest_scan_genomes_per_sec_per_chip_L{L}_Q{Q}_k{K}",
-        "value": value,
-        "unit": "genomes/sec/chip",
-        "vs_baseline": round((value or 0.0) / 100_000.0, 4),
-        **results,
-    }))
+    def snapshot(results):
+        # progressive evidence: one complete driver-format line per
+        # measurement — the driver parses the LAST stdout line, so a
+        # kill at any moment still leaves everything measured so far
+        print(json.dumps(final_record(results, L, Q, K)), flush=True)
+
+    results = orchestrate(snapshot=snapshot)
+    print(json.dumps(final_record(results, L, Q, K)), flush=True)
 
 
 if __name__ == "__main__":

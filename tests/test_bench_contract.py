@@ -154,16 +154,18 @@ def test_timeout_policy_stall_retry_vs_partial_keep(monkeypatch):
 
     for var in ("BENCH_ALIGN", "BENCH_REALDATA", "BENCH_SCALE"):
         monkeypatch.setenv(var, "0")  # sections = scan, acgt, q1000
+    monkeypatch.delenv("BENCH_SECTIONS", raising=False)
+    monkeypatch.setenv("BENCH_RETRIES", "3")   # hermetic vs ambient env
     monkeypatch.setenv("BENCH_WALL", "100000")
 
     # scenario 1: every attempt stalls before its first key
     calls = []
 
-    def stall(cmd, **kw):
-        calls.append((cmd[-1], kw["timeout"]))
-        raise subprocess.TimeoutExpired(cmd, kw["timeout"], stderr="")
+    def stall(sec, env, timeout, on_fragment):
+        calls.append((sec, timeout))
+        return None, 0, "", True
 
-    monkeypatch.setattr(bench.subprocess, "run", stall)
+    monkeypatch.setattr(bench, "_stream_section", stall)
     assert bench.orchestrate() == {}
     per_sec = {}
     for sec, to in calls:
@@ -176,13 +178,75 @@ def test_timeout_policy_stall_retry_vs_partial_keep(monkeypatch):
     # scenario 2: timeout AFTER a key emitted -> keep partial, no retry
     calls.clear()
 
-    def partial(cmd, **kw):
-        calls.append((cmd[-1], kw["timeout"]))
-        raise subprocess.TimeoutExpired(
-            cmd, kw["timeout"],
-            stderr=bench.EMIT_TAG + '{"part_key": 1.5}\n')
+    def partial(sec, env, timeout, on_fragment):
+        calls.append((sec, timeout))
+        on_fragment({"part_key": 1.5})
+        return None, 1, "", True
 
-    monkeypatch.setattr(bench.subprocess, "run", partial)
+    monkeypatch.setattr(bench, "_stream_section", partial)
     out = bench.orchestrate()
     assert out.get("part_key") == 1.5
     assert [c[0] for c in calls] == ["scan", "acgt", "q1000"]  # 1x each
+
+    # scenario 3 (ADVICE r4): a zero-key stall on the section's LAST
+    # allowed attempt must NOT claim (or attempt) a retry
+    calls.clear()
+    monkeypatch.setenv("BENCH_RETRIES", "1")
+    monkeypatch.setattr(bench, "_stream_section", stall)
+    assert bench.orchestrate() == {}
+    assert [c[0] for c in calls] == ["scan", "acgt", "q1000"]  # 1x each
+
+    # scenario 4 (ADVICE r4): after the one 600s stall retry, a
+    # CRASHING attempt (rc != 0, not a timeout) gets the section's
+    # nominal leash back, not the 600s stall cap
+    calls.clear()
+    monkeypatch.setenv("BENCH_RETRIES", "4")
+    state = {"n": 0}
+
+    def stall_then_crash(sec, env, timeout, on_fragment):
+        calls.append((sec, timeout))
+        state["n"] += 1
+        if state["n"] == 1:
+            return None, 0, "", True      # stall, no keys
+        return 1, 0, "boom", False        # fast crash
+
+    monkeypatch.setattr(bench, "_stream_section", stall_then_crash)
+    monkeypatch.setenv("BENCH_SECTIONS", "scan")
+    bench.orchestrate()
+    assert [to for _, to in calls] == [1500, 600, 1500, 1500]
+
+
+def test_sigkill_mid_section_keeps_stdout_snapshot():
+    """The exact r04 failure mode: the driver SIGKILLs bench.py while a
+    section is still running.  The progressive stdout snapshots must
+    already carry every measured key in driver-parseable form (the
+    driver takes the LAST stdout line)."""
+    import signal
+
+    env = dict(os.environ, BENCH_SECTIONS="sleepy", BENCH_WALL="100000",
+               BENCH_SLEEPY_S="45")
+    p = subprocess.Popen(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True,
+        env=env, cwd=REPO)
+    try:
+        import threading
+        box = {}
+
+        def read_one():
+            box["line"] = p.stdout.readline()
+
+        t = threading.Thread(target=read_one, daemon=True)
+        t.start()
+        t.join(timeout=60)
+        assert box.get("line"), "no stdout snapshot before the kill"
+    finally:
+        try:
+            os.kill(p.pid, signal.SIGKILL)
+        except ProcessLookupError:
+            pass
+        p.wait(timeout=30)
+    rec = json.loads(box["line"])
+    for key in ("metric", "value", "unit", "vs_baseline"):
+        assert key in rec, rec
+    assert rec["sleepy_key"] == 1.5
