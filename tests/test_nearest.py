@@ -121,3 +121,28 @@ def test_pruned_equals_dense(tmp_path, acgt, trim, monkeypatch):
     with lzma.open("pruned.csv.xz", "rt") as f:
         p = f.read()
     assert d == p
+
+
+@pytest.mark.parametrize("acgt", [False, True])
+@pytest.mark.parametrize("trim", [0, 13])
+def test_site_class_rederivation_synthetic(acgt, trim):
+    """The realdata gate's independent char-space site-class oracle
+    (test_realdata.site_class_oracle) vs QueryPack.create_indices on a
+    randomized IUPAC alignment — the cheap always-on version of the
+    gate (VERDICT r4 #3)."""
+    from test_realdata import site_class_oracle, assert_site_classes_match
+    from uvaia_tpu.core.encoding import ENCODE_LUT
+    from uvaia_tpu.engine.query import QueryPack
+
+    rng = np.random.default_rng(99)
+    Q, L = 40, 700
+    seqs = [s.encode() for s in random_seqs(rng, Q, L, mut=0.05)]
+    names = [f"q{i}" for i in range(Q)]
+    arr = np.stack([np.frombuffer(s, np.uint8) for s in seqs])
+    pack = QueryPack(names=names, codes=ENCODE_LUT[arr], acgt=acgt,
+                     trim=trim)
+    pack.create_indices()
+    assert_site_classes_match(pack, dict(zip(names, seqs)))
+    # sanity: the random alphabet must exercise all three classes
+    cons, idx_c, idx_m, idx = site_class_oracle(seqs, trim, acgt)
+    assert len(idx_c) and len(idx_m) and len(idx)

@@ -201,6 +201,97 @@ def test_gate_oracle_corroboration(q1k, tmp_path, monkeypatch):
     assert engine_rows == oracle_rows
 
 
+def site_class_oracle(seqs: list[bytes], trim: int, acgt: bool):
+    """From-scratch re-derivation of create_query_indices semantics
+    (fastaseq.c:732-777) in CHARACTER space with a distinct-count
+    formulation — deliberately a different algorithm from
+    QueryPack.create_indices (code-space min/max over ENCODE_LUT), so
+    a bug in engine/query.py cannot corrupt both sides identically.
+
+    C semantics: a site is *valid* for a query when its char is outside
+    ``is_indel`` = {N,n,X,x,-,?,O,o,.} (full mode, utils.c:258-264) or
+    inside ACGT (--acgt mode); consensus takes the unique valid char,
+    '#' when two valid chars conflict, 'N' when no query is valid;
+    miss[] marks sites where some query was invalid.  Classes:
+    '#' -> idx, else miss -> idx_m, else idx_c.
+
+    Returns (cons_char (L,) uint8 with 'N'/'#' markers, idx_c, idx_m,
+    idx) over the [trim, L-trim) window."""
+    arr = np.stack([np.frombuffer(s, dtype=np.uint8) for s in seqs])
+    Q, L = arr.shape
+    if acgt:
+        valid = np.isin(arr, np.frombuffer(b"AaCcGgTt", np.uint8))
+    else:
+        valid = ~np.isin(arr, np.frombuffer(b"NnXx-?Oo.", np.uint8))
+    miss = (~valid).any(axis=0)
+
+    # distinct VALID chars per column via per-observed-value presence
+    # planes (no min/max over an encoding — the engine's trick)
+    observed = np.unique(arr)
+    present = np.zeros((len(observed), L), dtype=bool)
+    for k, v in enumerate(observed):
+        present[k] = ((arr == v) & valid).any(axis=0)
+    n_distinct = present.sum(axis=0)
+
+    window = np.zeros(L, dtype=bool)
+    window[trim:L - trim if trim else L] = True
+    any_valid = n_distinct >= 1
+    poly = n_distinct >= 2
+
+    cons = np.full(L, ord("N"), dtype=np.uint8)
+    one = window & any_valid & ~poly
+    # the unique valid char of single-value columns
+    cons[one] = observed[np.argmax(present[:, one], axis=0)]
+    cons[window & poly] = ord("#")
+
+    cols = np.nonzero(window & any_valid)[0].astype(np.int32)
+    is_poly = poly[cols]
+    is_miss = miss[cols]
+    return (cons, cols[~is_poly & ~is_miss], cols[~is_poly & is_miss],
+            cols[is_poly])
+
+
+def assert_site_classes_match(pack, seqs_by_name: dict):
+    """Compare pack.create_indices output against site_class_oracle on
+    the pack's own (QC-surviving) sequence set."""
+    from uvaia_tpu.core.encoding import ENCODE_LUT
+
+    seqs = [seqs_by_name[n] for n in pack.names]
+    cons, idx_c, idx_m, idx = site_class_oracle(seqs, pack.trim,
+                                                pack.acgt)
+    np.testing.assert_array_equal(pack.idx_c, idx_c)
+    np.testing.assert_array_equal(pack.idx_m, idx_m)
+    np.testing.assert_array_equal(pack.idx, idx)
+    # consensus: engine stores the CODE at informative non-poly sites,
+    # 0 elsewhere; the oracle holds the unique valid character there
+    informative = np.zeros(pack.n_sites, dtype=bool)
+    informative[idx_c] = True
+    informative[idx_m] = True
+    np.testing.assert_array_equal(pack.consensus[informative],
+                                  ENCODE_LUT[cons[informative]])
+    assert (pack.consensus[~informative] == 0).all()
+    poly_mask = np.zeros(pack.n_sites, dtype=bool)
+    poly_mask[idx] = True
+    np.testing.assert_array_equal(pack.poly, poly_mask)
+
+
+def test_gate_site_class_rederivation(q1k):
+    """VERDICT r4 #3: the oracle corroborations reuse build_query_pack
+    for consensus/site classes, so a create_indices bug would corrupt
+    engine and oracle identically.  This gate closes that hole: an
+    independent char-space re-derivation of the 1 000-query site-class
+    decomposition must agree exactly — full AND --acgt modes."""
+    from uvaia_tpu.engine.query import build_query_pack
+
+    seqs_by_name = {rec.name: rec.seq for rec in read_fasta(q1k)}
+    pack = build_query_pack(q1k)
+    assert len(pack.idx_c) + len(pack.idx_m) + len(pack.idx) > 0
+    assert_site_classes_match(pack, seqs_by_name)
+
+    pack_a = build_query_pack(q1k, acgt=True)
+    assert_site_classes_match(pack_a, seqs_by_name)
+
+
 def test_gate_acgt_pruned(q1k, tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     run_nearest([DB], q1k, _cfg("gate", acgt=True, prune=True))
