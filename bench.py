@@ -319,6 +319,14 @@ def section_align(L):
             emit(align_5k_seqs_per_sec=round(NQ5 / dt5, 1),
                  align_5k_wall_s=round(dt5, 2),
                  align_5k_uncertified=stats.uncertified)
+            # certification gate (emitted first so a regression still
+            # lands its count in the round evidence): every row of the
+            # realistic 5k workload must carry an optimality
+            # certificate — the exact-fallback pass exists so this is
+            # 0, and a silent regression here would otherwise hide
+            # behind an unchanged seqs/sec number
+            assert stats.uncertified == 0, \
+                f"{stats.uncertified} uncertified align rows"
 
 
 def section_realdata():

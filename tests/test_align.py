@@ -355,3 +355,40 @@ def test_run_align_multi_file_pipelined(tmp_path, monkeypatch):
     out = {r.name: r.seq for r in read_fasta_all("mf.aln.xz")}
     assert sorted(out) == sorted(names)
     assert all(len(s) == n for s in out.values())
+
+
+def test_band_edge_indel_adversarial(tmp_path, monkeypatch):
+    """VERDICT r4 #6: a query whose NET length offset is ~0 (routed to
+    the smallest canonical band) but whose optimal path wanders +-150
+    diagonals (a 150bp insertion later cancelled by a 150bp deletion).
+    The certificate must refuse the small band, escalation must find
+    the optimum, and the emitted row must be certified — the class of
+    input where WFA-Adapt silently accepts a suboptimal reduced-
+    wavefront result (align.c:309)."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(1234)
+    n = 3000
+    ref = rand_dna(rng, n)
+    ins = rand_dna(rng, 150)
+    q = ref[:1000] + ins + ref[1000:2000] + ref[2150:]
+    assert len(q) == n                      # net offset 0
+    with open("ref.fa", "w") as f:
+        f.write(f">r\n{ref.decode()}\n")
+    with open("q.fa", "w") as f:
+        f.write(f">wander\n{q.decode()}\n")
+
+    stats = run_align("ref.fa", ["q.fa"], AlignConfig(output="adv"))
+    assert stats.n_output == 1
+    assert stats.uncertified == 0
+    assert stats.failed_band == 0
+    row = read_fasta_all("adv.aln.xz")[0].seq
+    assert len(row) == n
+    # one 150-gap deletion run; every aligned char agrees with ref
+    # after refilling the gap (boundary may shift a few bases when the
+    # random flanks happen to match)
+    assert row.count(b"-") == 150
+    refill = bytearray(row)
+    for i, ch in enumerate(row):
+        if ch == ord("-"):
+            refill[i] = ref[i]
+    assert bytes(refill) == ref
