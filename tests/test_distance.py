@@ -108,3 +108,29 @@ def test_legacy_scores_trim():
             a, _, _, v = oracle.pair_counters(qs[q][t:-t], refs[b][t:-t])
             assert got[b, q, 0] == a
             assert got[b, q, 3] == v
+
+
+@pytest.mark.parametrize("rule", ["product", "jaccard", "max"])
+def test_legacy_scores_partial_rule_variants(rule):
+    """Every selectable amb-vs-amb table (LegacyConfig.partial_rule)
+    matches the per-pair spec oracle.partial_weight(rule); the other
+    three counters are rule-independent."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(7)
+    refs = np.stack([encode(s) for s in random_alignment(rng, 6, 300, 0.2)])
+    qs = np.stack([encode(s) for s in random_alignment(rng, 4, 300, 0.2)])
+    base = np.asarray(dist_ops.legacy_scores(
+        dist_ops.build_legacy_query_data(qs, trim=0), jnp.asarray(refs)))
+    qdata = dist_ops.build_legacy_query_data(qs, trim=0,
+                                             partial_rule=rule)
+    got = np.asarray(dist_ops.legacy_scores(qdata, jnp.asarray(refs)))
+    np.testing.assert_array_equal(got[..., 0], base[..., 0])
+    np.testing.assert_array_equal(got[..., 1], base[..., 1])
+    np.testing.assert_array_equal(got[..., 3], base[..., 3])
+    for b in range(refs.shape[0]):
+        for q in range(qs.shape[0]):
+            w = sum(oracle.partial_weight(int(c1), int(c2), rule)
+                    for c1, c2 in zip(qs[q], refs[b]))
+            np.testing.assert_allclose(got[b, q, 2], w, atol=1e-3)
+    with pytest.raises(ValueError):
+        dist_ops.build_legacy_query_data(qs, trim=0, partial_rule="bogus")

@@ -350,6 +350,161 @@ def test_gate_ball_oracle_corroboration(q1k, tmp_path, monkeypatch):
     assert kept == expect_names
 
 
+def test_gate_legacy_partial_weight_bound():
+    """VERDICT r4 #5: biomcmc-lib's IUPAC-weighted partial-match table
+    is unrecoverable (empty submodule); engine/legacy.py conjectures
+    |a&b|/(|a|*|b|).  Every admissible table agrees on all recoverable
+    pins (pure-pure 1/0, T-W=0.5 per utils.c:73, N contributes 0, and
+    pure-vs-ambiguity = |a&b|/|amb| under product, Jaccard AND
+    max-rule alike) — candidates can differ ONLY at ambiguity-vs-
+    ambiguity site pairs.  This test measures, on the bundled config-1
+    data, whether that freedom can change the legacy stage-3 selection
+    (describe_scores, utils.c:120-137): scores all ref pairs for every
+    query that shares >=1 amb-amb site with any reference, rebuilds
+    the weighted-partial column under the three candidate tables, and
+    re-runs the 3-stage selection with the C defaults (nbest=8,
+    nmax=16, uvaia.c:49,122).
+
+    COMMITTED BOUND (measured 2026-08-20): 119 487 of 9 180 000
+    QC-surviving (query, ref) pairs share amb-amb sites (max 35 per
+    pair, 499 of 1000 queries affected).  Switching product -> Jaccard
+    or product -> max-rule changes the stage-3 selected id set for
+    exactly 63 of the 1000 queries, never by more than 3 ids — the
+    maximal rank impact of the conjecture on this data.  Stages 1-2,
+    all ranks, and the printed ACGT/text/valid columns are table-
+    independent; the 501 queries with no amb-amb coincidence are
+    invariant by construction.  --partial-rule (LegacyConfig
+    .partial_rule) lets a user match whichever table their C binary
+    carries."""
+    import contextlib
+    import io as io_mod
+    import sys
+    from collections import defaultdict
+
+    import jax.numpy as jnp
+
+    from uvaia_tpu.core.encoding import (ENCODE_LUT, IS_AMBIG, IS_PURE,
+                                         POPCOUNT4)
+    from uvaia_tpu.engine.legacy import describe_scores
+    from uvaia_tpu.ops import distance as dist_ops
+
+    names, codes = [], []
+    for rec in read_fasta(DB):
+        names.append(rec.name)
+        codes.append(ENCODE_LUT[np.frombuffer(rec.seq, np.uint8)])
+    codes = np.stack(codes)
+    R, L = codes.shape
+
+    # mirror run_legacy's QC (utils.c:11-48 thresholds at 0.5)
+    acgt_f = IS_PURE[codes].sum(axis=1) / L
+    other_f = 1.0 - acgt_f - IS_AMBIG[codes].sum(axis=1) / L
+    keep = (other_f <= 0.5) & (acgt_f >= 1.0 - 1.1 * 0.5)
+    ref_ids = np.nonzero(keep)[0]
+    qnames = set(open(NAMES).read().split())
+    q_ids = np.array([i for i in ref_ids if names[i] in qnames])
+    assert len(q_ids) == 1000
+
+    # amb-amb coincidences via a per-site inverted index (sparse: the
+    # DB holds 15 213 ambiguity chars over 275M sites)
+    site_rows = defaultdict(list)
+    for i in ref_ids:
+        for s in np.nonzero(IS_AMBIG[codes[i]])[0]:
+            site_rows[int(s)].append(i)
+    qset = set(int(i) for i in q_ids)
+    common: dict = defaultdict(list)        # (q, r) -> [site, ...]
+    for s, rows in site_rows.items():
+        qs = [r for r in rows if r in qset]
+        for q in qs:
+            for r in rows:
+                if r != q:
+                    common[(q, r)].append(s)
+    n_pairs = len(common)
+    max_k = max(len(v) for v in common.values())
+    affected_q = sorted({q for q, _ in common})
+    # committed scale numbers (pinned: the data is immutable; QC keeps
+    # 9180 of 9185 rows)
+    assert len(ref_ids) == 9180
+    assert n_pairs == 119487 and max_k == 35
+    assert len(affected_q) == 499
+
+    # engine counters for the affected queries vs ALL kept refs
+    q_codes = codes[affected_q]
+    qdata = dist_ops.build_legacy_query_data(q_codes, trim=0)
+    import jax
+    score_fn = jax.jit(dist_ops.legacy_scores)
+    Rk, Qa = len(ref_ids), len(affected_q)
+    s0 = np.zeros((Rk, Qa), np.int64)
+    s1 = np.zeros((Rk, Qa), np.int64)
+    s2 = np.zeros((Rk, Qa), np.float64)
+    s3 = np.zeros((Rk, Qa), np.int64)
+    for st in range(0, Rk, 1024):
+        chunk = codes[ref_ids[st:st + 1024]]
+        s = np.asarray(score_fn(qdata, jnp.asarray(chunk)))
+        s0[st:st + 1024] = s[..., 0]
+        s1[st:st + 1024] = s[..., 1]
+        s2[st:st + 1024] = s[..., 2]
+        s3[st:st + 1024] = s[..., 3]
+
+    # per-pair weighted-partial deltas at the amb-amb sites
+    pos_of_ref = {int(r): k for k, r in enumerate(ref_ids)}
+    pos_of_q = {q: j for j, q in enumerate(affected_q)}
+
+    def table(c1, c2):
+        inter = POPCOUNT4[c1 & c2]
+        p1, p2 = POPCOUNT4[c1], POPCOUNT4[c2]
+        union = POPCOUNT4[c1 | c2]
+        prod = inter / (p1 * p2)
+        jac = inter / union
+        mx = inter / max(p1, p2)
+        return prod, jac, mx
+
+    d_jac: dict = defaultdict(lambda: defaultdict(float))  # j -> k -> d
+    d_max: dict = defaultdict(lambda: defaultdict(float))
+    for (q, r), sites in common.items():
+        j, k = pos_of_q[q], pos_of_ref[r]
+        for s in sites:
+            prod, jac, mx = table(codes[q][s], codes[r][s])
+            d_jac[j][k] += jac - prod
+            d_max[j][k] += mx - prod
+
+    # stage-3 selection under each candidate table
+    rnames = [names[i] for i in ref_ids]
+    sink = io_mod.StringIO()
+    n_diff_j = n_diff_m = 0
+    max_sym = 0
+    for j, q in enumerate(affected_q):
+        s2_j = s2[:, j].copy()
+        s2_m = s2[:, j].copy()
+        for k, dv in d_jac[j].items():
+            s2_j[k] += dv
+        for k, dv in d_max[j].items():
+            s2_m[k] += dv
+        with contextlib.redirect_stdout(sink):
+            base = describe_scores("q", s0[:, j], s1[:, j], s2[:, j],
+                                   s3[:, j], rnames, 8, 16)
+            alt_j = describe_scores("q", s0[:, j], s1[:, j], s2_j,
+                                    s3[:, j], rnames, 8, 16)
+            alt_m = describe_scores("q", s0[:, j], s1[:, j], s2_m,
+                                    s3[:, j], rnames, 8, 16)
+        if set(base) != set(alt_j):
+            n_diff_j += 1
+            max_sym = max(max_sym, len(set(base) ^ set(alt_j)))
+        if set(base) != set(alt_m):
+            n_diff_m += 1
+            max_sym = max(max_sym, len(set(base) ^ set(alt_m)))
+    # THE COMMITTED BOUND (pinned): the admissible-table freedom CAN
+    # move the legacy stage-3 extras on this data — for these many of
+    # the 1000 config-1 queries the selected id set differs from the
+    # product-rule default (the other ~94% are invariant; stages 1-2,
+    # ranks, and the printed ACGT/text/valid columns never change).
+    # Mitigation: LegacyConfig.partial_rule / --partial-rule lets a
+    # user match whichever table their C binary uses.
+    print(f"partial-weight impact: jaccard {n_diff_j}, max-rule "
+          f"{n_diff_m} of {len(affected_q)} affected "
+          f"(max symmetric diff {max_sym})", file=sys.stderr)
+    assert (n_diff_j, n_diff_m, max_sym) == (63, 63, 3)
+
+
 def test_gate_cluster_invariants(tmp_path, monkeypatch):
     """Third-tool real-data check: cluster the first 2 000 database
     genomes at distance 1 and verify the guarantees fastaseq.c:140-261

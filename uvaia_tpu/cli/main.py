@@ -172,6 +172,14 @@ def _add_legacy(sub):
     p.add_argument("-t", "--nthreads", type=int, default=None,
                    help="accepted for compatibility (uvaia.c:43; "
                    "device-parallel here)")
+    p.add_argument("--partial-rule", default="product",
+                   choices=["product", "jaccard", "max"],
+                   help="ambiguity-vs-ambiguity entries of the "
+                        "weighted-partial table (biomcmc-lib's exact "
+                        "table is unrecoverable; all candidates agree "
+                        "on the documented pins incl. T vs W = 0.5 — "
+                        "on the bundled data the choice moves only "
+                        "63/1000 queries' stage-3 extras)")
     return p
 
 
@@ -335,7 +343,8 @@ def _dispatch(args) -> int:
         cfg = LegacyConfig(nbest=args.nbest, nmax=args.nmax,
                            trim=args.trim, ambiguity=args.query_ambiguity,
                            ref_ambiguity=args.ref_ambiguity,
-                           output=args.output)
+                           output=args.output,
+                           partial_rule=args.partial_rule)
         run_legacy(args.reference, args.fasta, cfg)
         return 0
     return 2

@@ -62,15 +62,31 @@ def pair_mismatch_acgt(q, r, idx=None):
     return pair_counters_acgt(q, r, idx)[0]
 
 
-def partial_weight(c1: int, c2: int) -> float:
-    """IUPAC-weighted partial match used by the legacy tool: the
-    probability that two uniformly-drawn bases from each set agree,
-    |intersection| / (|set1|*|set2|)  (e.g. T vs W -> 0.5, matching the
-    comment at src/utils.c:73).  biomcmc-lib's exact table is not
-    recoverable from the snapshot; this definition is documented."""
+def partial_weight(c1: int, c2: int, rule: str = "product") -> float:
+    """IUPAC-weighted partial match used by the legacy tool.
+
+    biomcmc-lib's exact table is not recoverable from the snapshot
+    (empty submodule); every candidate consistent with the recoverable
+    pins (pure matches 1, pure mismatches 0, T vs W = 0.5 per
+    src/utils.c:73, N/gap 0) is offered, differing ONLY at
+    ambiguity-vs-ambiguity pairs:
+
+      product — |∩| / (|s1|·|s2|), the probability two uniformly-drawn
+                bases agree (default; M vs R = 0.25, M vs M = 0.5)
+      jaccard — |∩| / |s1 ∪ s2|            (M vs R = 1/3, M vs M = 1)
+      max     — |∩| / max(|s1|, |s2|)      (M vs R = 0.5, M vs M = 1)
+
+    Measured impact of the choice on the bundled config-1 data: 63 of
+    1000 queries' stage-3 extras move, never ranks or stages 1-2
+    (tests/test_realdata.py::test_gate_legacy_partial_weight_bound)."""
     if c1 == 0 or c2 == 0:
         return 0.0
-    return POPCOUNT4[c1 & c2] / (POPCOUNT4[c1] * POPCOUNT4[c2])
+    inter = POPCOUNT4[c1 & c2]
+    if rule == "jaccard":
+        return inter / POPCOUNT4[c1 | c2]
+    if rule == "max":
+        return inter / max(POPCOUNT4[c1], POPCOUNT4[c2])
+    return inter / (POPCOUNT4[c1] * POPCOUNT4[c2])
 
 
 def six_scores_full(ref: np.ndarray, query: np.ndarray, consensus: np.ndarray,

@@ -18,15 +18,20 @@ reference selection + stdout score table of describe_scores
   output: the union, de-duplicated by frequency, printed in ACGT-match
            order; optionally the chosen references saved to xz.
 
-The weighted partial match uses |intersection|/(|set1|*|set2|).
-Recoverable entries from the snapshot are pinned by test
+The weighted partial match uses |intersection|/(|set1|*|set2|) by
+default.  Recoverable entries from the snapshot are pinned by test
 (tests/test_distance.py::test_partial_weight_recoverable_entries):
 pure-pure matches = 1, pure-pure mismatches = 0, T vs W = 0.5
 (utils.c:73 comment), N/gap contributes 0.  Entries between two
 ambiguity codes (e.g. M vs R = 0.25 here; Jaccard would give 1/3) are
 CONJECTURE — biomcmc-lib's exact table is not recoverable from the
 snapshot (empty submodule); only those values may differ from the C
-binary, and they influence stage-3 re-ranking only.
+binary, and they influence stage-3 re-ranking only.  The impact is
+measured and pinned on the bundled config-1 data (63/1000 queries'
+stage-3 extras move across admissible tables, never ranks or stages
+1-2 — tests/test_realdata.py::test_gate_legacy_partial_weight_bound),
+and ``--partial-rule product|jaccard|max`` (LegacyConfig.partial_rule)
+switches the table to match a given C binary.
 """
 
 from __future__ import annotations
@@ -52,6 +57,9 @@ class LegacyConfig:
     ref_ambiguity: float = 0.5
     output: str | None = None
     batch: int = 2048                # refs scored per device step
+    partial_rule: str = "product"    # amb-vs-amb weighted-partial
+                                     # entries: product|jaccard|max
+                                     # (core/oracle.partial_weight)
 
 
 def print_score_header():
@@ -181,7 +189,8 @@ def run_legacy(ref_path: str, query_path: str, cfg: LegacyConfig):
     q_codes = np.stack([encode(s) for n, s in keep])
 
     trim = max(0, min(cfg.trim, int(L / 2.1)))
-    qdata = dist_ops.build_legacy_query_data(q_codes, trim)
+    qdata = dist_ops.build_legacy_query_data(
+        q_codes, trim, partial_rule=cfg.partial_rule)
     # qdata rides as a jit ARGUMENT (pytree of device arrays): closing
     # over it would inline hundreds of MB of per-query feature planes
     # into the compiled HLO as constants at contract scale

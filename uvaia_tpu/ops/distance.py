@@ -56,8 +56,18 @@ def cons_mismatches(ref_codes: jnp.ndarray, sites: jnp.ndarray,
 # ----------------------------------------------------------------------
 # legacy in-memory scoring
 
-def build_legacy_query_data(q_codes: np.ndarray, trim: int):
-    """Precompute query-side features for legacy_scores."""
+def build_legacy_query_data(q_codes: np.ndarray, trim: int,
+                            partial_rule: str = "product"):
+    """Precompute query-side features for legacy_scores.
+
+    ``partial_rule`` selects the ambiguity-vs-ambiguity entries of the
+    weighted-partial table (see core/oracle.py partial_weight —
+    product is this implementation's documented default; jaccard / max
+    are the other candidates consistent with the recoverable pins).
+    Non-product rules add a sparse per-amb-column correction plane;
+    every other counter is rule-independent."""
+    if partial_rule not in ("product", "jaccard", "max"):
+        raise ValueError(f"unknown partial rule {partial_rule!r}")
     Q, L = q_codes.shape
     window = np.zeros(L, dtype=bool)
     window[trim:L - trim if trim else L] = True
@@ -74,9 +84,27 @@ def build_legacy_query_data(q_codes: np.ndarray, trim: int):
     codes16 = np.arange(16, dtype=np.uint8)
     cq = q[:, amb_cols, None]
     w_text = ((cq == codes16) & (IS_AMBIG[cq] != 0)).astype(np.int8)
+    w_part = None
+    if partial_rule != "product":
+        # delta (rule - product) per (query code, ref code): nonzero
+        # only when BOTH codes are ambiguity codes, so the correction
+        # rides the same amb-column one-hot gather as w_text
+        both = (IS_AMBIG[cq] != 0) & (IS_AMBIG[codes16] != 0)
+        inter = POPCOUNT4[cq & codes16].astype(np.float32)
+        p1 = POPCOUNT4[cq].astype(np.float32)
+        p2 = POPCOUNT4[codes16].astype(np.float32)
+        prod = inter / np.maximum(p1 * p2, 1.0)
+        if partial_rule == "jaccard":
+            alt = inter / np.maximum(
+                POPCOUNT4[cq | codes16].astype(np.float32), 1.0)
+        else:
+            alt = inter / np.maximum(np.maximum(p1, p2), 1.0)
+        w_part = ((alt - prod) * both).astype(np.float32)
     return dict(a_q=jnp.asarray(a_q), v_q=jnp.asarray(v_q),
                 mn_q=jnp.asarray(mn_q), amb_cols=jnp.asarray(amb_cols),
-                w_text=jnp.asarray(w_text), window=jnp.asarray(window))
+                w_text=jnp.asarray(w_text),
+                w_part=None if w_part is None else jnp.asarray(w_part),
+                window=jnp.asarray(window))
 
 
 def legacy_scores(qdata: dict, ref_codes: jnp.ndarray):
@@ -103,6 +131,14 @@ def legacy_scores(qdata: dict, ref_codes: jnp.ndarray):
         oh = (ra[..., None] == jnp.arange(16, dtype=r.dtype)
               ).astype(jnp.int8)
         corr_t = _imm(oh, qdata["w_text"])
+        if qdata.get("w_part") is not None:
+            # non-product partial rule: float delta over the same
+            # amb-column one-hot (see build_legacy_query_data)
+            ohf = oh.astype(jnp.float32).reshape(oh.shape[0], -1)
+            wp = qdata["w_part"].reshape(qdata["w_part"].shape[0], -1)
+            mw = mw + jax.lax.dot_general(
+                ohf, wp, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
     text = s_aa + corr_t
     return jnp.stack([s_aa.astype(jnp.float32),
                       text.astype(jnp.float32), mw,
