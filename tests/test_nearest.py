@@ -146,3 +146,61 @@ def test_site_class_rederivation_synthetic(acgt, trim):
     # sanity: the random alphabet must exercise all three classes
     cons, idx_c, idx_m, idx = site_class_oracle(seqs, trim, acgt)
     assert len(idx_c) and len(idx_m) and len(idx)
+
+
+@pytest.mark.parametrize("codec,suffix", [("bz2", ".bz2"), ("gz", ".gz"),
+                                          ("raw", "")])
+def test_output_codec_ladder(tmp_path, codec, suffix, monkeypatch):
+    """--codec writes the reference's biomcmc_open_compress ladder
+    alternatives (nearest.c:234-236): dump + CSV round-trip and match
+    the default xz run byte-for-byte after decompression."""
+    import bz2 as bz2_mod
+    import gzip
+
+    from uvaia_tpu.io.fasta import read_fasta_all
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(3)
+    L, nq, nr = 300, 3, 40
+    write_fasta("q.fa", [f"q{i}" for i in range(nq)],
+                random_seqs(rng, nq, L))
+    write_fasta("db.fa", [f"r{i}" for i in range(nr)],
+                random_seqs(rng, nr, L))
+    run_nearest(["db.fa"], "q.fa", NearestConfig(nbest=4, output="x"))
+    run_nearest(["db.fa"], "q.fa", NearestConfig(nbest=4, output="c",
+                                                 codec=codec))
+    opener = {"bz2": bz2_mod.open, "gz": gzip.open,
+              "raw": open}[codec]
+    with opener(f"c.csv{suffix}", "rb") as f:
+        got_csv = f.read()
+    with lzma.open("x.csv.xz", "rb") as f:
+        want_csv = f.read()
+    assert got_csv == want_csv
+    got = {(r.name, r.seq) for r in read_fasta_all(f"c.aln{suffix}")}
+    want = {(r.name, r.seq) for r in read_fasta_all("x.aln.xz")}
+    assert got == want
+
+
+def test_strict_chars_modes(tmp_path, monkeypatch, capsys):
+    """UVAIA_TPU_STRICT_CHARS surfaces the opaque-valid-character
+    deviation (utils.c:258-264): silent by default, stderr warning in
+    warn mode, SystemExit in error mode."""
+    monkeypatch.chdir(tmp_path)
+    from uvaia_tpu.core.encoding import count_unrecognised
+    from uvaia_tpu.engine.query import qc_filter
+
+    dirty = b"ACGTZZACGTACGTJ*"
+    assert count_unrecognised(dirty) == 4
+    assert count_unrecognised(b"ACGTRYMKSWBDHVNnXx-?Oo.acgtu") == 0
+
+    monkeypatch.delenv("UVAIA_TPU_STRICT_CHARS", raising=False)
+    names, seqs = qc_filter(["d"], [dirty], 0.5, check_aligned=False)
+    assert names == ["d"]
+
+    monkeypatch.setenv("UVAIA_TPU_STRICT_CHARS", "warn")
+    qc_filter(["d"], [dirty], 0.5, check_aligned=False)
+    assert "4 unrecognised character(s)" in capsys.readouterr().err
+
+    monkeypatch.setenv("UVAIA_TPU_STRICT_CHARS", "error")
+    with pytest.raises(SystemExit):
+        qc_filter(["d"], [dirty], 0.5, check_aligned=False)

@@ -21,10 +21,62 @@ import os
 import sys
 
 
+_SCORE_EPILOG = """\
+scoring / ranking semantics (reference: nearest.c:130-152, README.md:254-330):
+
+Neighbours are ranked by MATCH counts (similarity), not distances, with
+each later column breaking ties in the previous one:
+  1. ACGT_matches            matches counting only unambiguous A/C/G/T
+  2. text_matches            exact character matches (M-M counts, M-A
+                             does not)
+  3. partial_matches         IUPAC-aware: M-A counts because M={A,C};
+                             the fully ambiguous N never counts
+  4. valid_pair_comparisons  the effective compared length: sites where
+                             NEITHER sequence has a gap or N
+  5. ACGT_matches_unique     matches at sites where the query differs
+                             from the query-set consensus (prefers
+                             neighbours far from the queries' common
+                             ancestor on ties)
+  6. valid_ref_sites         non-gap/non-N sites in the reference
+                             (prefers better-resolved references last)
+
+Columns 1, 3 and 4 are the most useful; `valid_pair_comparisons -
+partial_matches` approximates an snp-dists-style SNP distance (sites
+with a gap/N in either sequence are ignored; partially ambiguous codes
+still count, so K vs A is a real mismatch here that snp-dists drops).
+Matches are tracked instead of mismatches because poorly-resolved
+sequences trivially have few mismatches: as a scan progresses the
+"highest ACGT mismatches in neighbourhood" can legitimately RISE while
+better-resolved (more informative) neighbours replace low-quality ones.
+
+Poorly-resolved queries (many Ns/indels) have more equally-near
+neighbours since only non-N sites are compared.  --keep_resolved drops
+a query when another query is a strictly more resolved version of it
+(no conflicting SNPs, e.g. AA--CG-C is redundant given AAAGCG-C, but
+AAA-CGAC and AAA-CGTC each carry information of their own and are
+kept).
+
+--acgt emulates ACGT-only tools (still match-counting): the table then
+carries dist_consensus and dist_unique columns whose sum is the usual
+SNP distance.
+
+Absolute match counts depend on how the query set is compressed and
+indexed and may differ between implementations or runs; the ranks (and
+distances) are what is preserved.
+
+The output alignment <prefix>.aln.xz accumulates every reference that
+was EVER in some query's current best set (a superset of the final
+k-NN, appended during the scan so an interrupted run keeps a useful
+file); the ranked CSV <prefix>.csv.xz holds the final per-query
+neighbours."""
+
+
 def _add_nearest(sub):
     p = sub.add_parser(
         "nearest", help="for every query sequence, find closest "
-        "neighbours in a (huge, streamed) aligned reference database")
+        "neighbours in a (huge, streamed) aligned reference database",
+        epilog=_SCORE_EPILOG,
+        formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--acgt", action="store_true",
                    help="consider only ACGT sites (unambiguous SNPs)")
     p.add_argument("-k", "--keep_resolved", action="store_true",
@@ -65,12 +117,34 @@ def _add_nearest(sub):
                    help="seconds between checkpoint snapshots")
     p.add_argument("--no-prune", action="store_true",
                    help="disable the (lossless) two-phase prefilter")
+    _add_codec(p)
     return p
 
 
+def _add_codec(p):
+    p.add_argument("--codec", default="xz",
+                   choices=["xz", "bz2", "gz", "raw"],
+                   help="output compression (the reference's writer "
+                        "ladder xz>bz2>gz>raw, nearest.c:234-236; "
+                        "xz default)")
+
+
 def _add_align(sub):
-    p = sub.add_parser("align",
-                       help="align query sequences against a reference")
+    p = sub.add_parser(
+        "align", help="align query sequences against a reference",
+        epilog="Global affine-gap alignment with the reference's "
+               "penalties {match 0, mismatch 4, gap open 6, gap "
+               "extend 2} (align.c:306, 'bwa-mem values').  Each "
+               "output row is projected onto reference coordinates: "
+               "insertions relative to the reference are DROPPED, "
+               "deletions become '-', so every row has exactly the "
+               "reference length (align.c:366-390).  Queries outside "
+               "[2/3, 3/2] of the reference length or failing the "
+               "ambiguity thresholds are skipped (align.c:190-202).  "
+               "Unlike WFA-Adapt, emitted rows carry an optimality "
+               "certificate: rows whose optimum escapes the banded "
+               "search are re-aligned at a provably sufficient band.",
+        formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("--stdout", action="store_true",
                    help="print alignment to stdout instead of xz file")
     p.add_argument("-a", "--ambiguity", type=float, default=0.5)
@@ -83,12 +157,23 @@ def _add_align(sub):
     p.add_argument("fasta", nargs="+")
     p.add_argument("-t", "--nthreads", type=int, default=None)
     p.add_argument("-o", "--output", default=None)
+    _add_codec(p)
     return p
 
 
 def _add_ball(sub):
-    p = sub.add_parser("ball", help="keep references within a distance "
-                       "radius of any query sequence")
+    p = sub.add_parser(
+        "ball", help="keep references within a distance "
+        "radius of any query sequence",
+        epilog="Keeps every reference whose ACGT mismatch distance to "
+               "at least ONE query is <= --distance (ball.c:63: "
+               "default 5).  Distances use a staged consensus "
+               "decomposition (constant sites vs consensus first, "
+               "then gapped-constant, then per-query polymorphic — "
+               "fastaseq.c:660-696); redundant queries are always "
+               "removed first (ball.c:190).  Output is an xz "
+               "alignment of the kept references.",
+        formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("-x", "--acgt", action="store_true")
     p.add_argument("-k", "--keep_resolved", action="store_true")
     p.add_argument("-d", "--distance", type=int, default=5)
@@ -99,11 +184,23 @@ def _add_ball(sub):
     p.add_argument("-r", "--reference", action="append", required=True)
     p.add_argument("fasta")
     p.add_argument("-o", "--output", default=None)
+    _add_codec(p)
     return p
 
 
 def _add_cluster(sub):
-    p = sub.add_parser("cluster", help="one-pass canopy clustering/dedup")
+    p = sub.add_parser(
+        "cluster", help="one-pass canopy clustering/dedup",
+        epilog="Canopy clustering: sequences within --distance ACGT "
+               "mismatches of an existing medoid join its cluster, "
+               "others found a new one; partial clusters are merged "
+               "at the end (cluster.c:219-230).  Each cluster's "
+               "medoid is its most-resolved member (furthest from the "
+               "consensus reference on ties).  Outputs the medoid "
+               "alignment and a membership CSV; partial tables are "
+               "saved every --save-interval seconds for crash "
+               "resilience (cluster.c:197-200).",
+        formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("-d", "--distance", type=int, default=1)
     p.add_argument("--trim", type=int, default=0)
     p.add_argument("-p", "--pool", type=int, default=1024,
@@ -115,6 +212,7 @@ def _add_cluster(sub):
                         "(crash resilience, as in uvaiaclust)")
     p.add_argument("fasta", nargs="+")
     p.add_argument("-o", "--output", default=None)
+    _add_codec(p)
     return p
 
 
@@ -157,8 +255,19 @@ def _add_info(sub):
 
 
 def _add_legacy(sub):
-    p = sub.add_parser("legacy", help="in-memory searcher (pre-2022 "
-                       "uvaia behaviour)")
+    p = sub.add_parser(
+        "legacy", help="in-memory searcher (pre-2022 uvaia behaviour)",
+        epilog="Loads the WHOLE reference DB + queries in memory and "
+               "prints, per query, a table of the best references "
+               "(valid_sites, ACGT_matches, prop_char_matches, "
+               "partial_matches) selected in three stages: by ACGT "
+               "matches, then by char-match proportion among the top "
+               "n/8, then by IUPAC-weighted partial matches among the "
+               "top n/16 (utils.c:87-161).  Partial matches weight "
+               "T vs W as 0.5 (utils.c:73); see --partial-rule for "
+               "the ambiguity-vs-ambiguity entries.  Use `nearest` "
+               "for databases too large for memory.",
+        formatter_class=argparse.RawDescriptionHelpFormatter)
     p.add_argument("-n", "--nbest", type=int, default=8)
     p.add_argument("-m", "--nmax", type=int, default=0,
                    help="max best refs when several optimal (default "
@@ -243,7 +352,7 @@ def _dispatch(args) -> int:
             n_devices=args.devices, site_shards=args.site_shards,
             checkpoint=args.checkpoint,
             checkpoint_every=args.checkpoint_every,
-            prune=not args.no_prune)
+            prune=not args.no_prune, codec=args.codec)
         if args.num_hosts > 1:
             from ..parallel.multihost import run_nearest_multihost
             run_nearest_multihost(args.reference, args.fasta, cfg,
@@ -256,7 +365,7 @@ def _dispatch(args) -> int:
         from ..engine.align import AlignConfig, run_align
         cfg = AlignConfig(ambiguity=args.ambiguity, pool=args.pool,
                           band=args.band, to_stdout=args.stdout,
-                          output=args.output)
+                          output=args.output, codec=args.codec)
         run_align(args.reference, args.fasta, cfg)
         return 0
     if args.cmd == "ball":
@@ -265,7 +374,8 @@ def _dispatch(args) -> int:
                          acgt=args.acgt, keep_resolved=args.keep_resolved,
                          query_ambiguity=args.query_ambiguity,
                          ref_ambiguity=args.ref_ambiguity,
-                         pool=args.pool, output=args.output)
+                         pool=args.pool, output=args.output,
+                         codec=args.codec)
         run_ball(args.reference, args.fasta, cfg)
         return 0
     if args.cmd == "cluster":
@@ -273,7 +383,8 @@ def _dispatch(args) -> int:
         cfg = ClusterConfig(distance=args.distance, trim=args.trim,
                             pool=args.pool, snps=args.snps,
                             reference=args.reference, output=args.output,
-                            save_interval=args.save_interval)
+                            save_interval=args.save_interval,
+                            codec=args.codec)
         run_cluster(args.fasta, cfg)
         return 0
     if args.cmd == "ingest":

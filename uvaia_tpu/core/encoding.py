@@ -64,6 +64,52 @@ IS_VALID = (np.arange(16) != 0).astype(np.uint8)
 IS_AMBIG = ((np.arange(16) != 0) & (POPCOUNT4 != 1)).astype(np.uint8)
 
 
+#: characters with DEFINED semantics here: IUPAC codes (either case)
+#: plus the reference's is_indel set {N,n,X,x,-,?,O,o,.}
+#: (src/utils.c:258-264).  Anything else is where this implementation
+#: deviates from the C: the C treats such bytes as opaque VALID
+#: characters (they can text-match and count as valid pairs), we map
+#: them to invalid (code 0).  Benign for DNA FASTA — the bundled real
+#: data contains zero such bytes — but real on dirty inputs, so the QC
+#: paths surface it via UVAIA_TPU_STRICT_CHARS=warn|error.
+RECOGNISED = np.zeros(256, dtype=bool)
+for _ch in _MASKS:
+    RECOGNISED[ord(_ch)] = RECOGNISED[ord(_ch.lower())] = True
+for _ch in b"NnXx-?Oo.":
+    RECOGNISED[_ch] = True
+
+
+def count_unrecognised(seq: bytes | np.ndarray) -> int:
+    """Number of bytes outside the defined IUPAC + indel alphabet —
+    exactly the bytes whose validity semantics deviate from the C
+    reference (opaque-valid there, invalid here)."""
+    buf = np.frombuffer(seq, dtype=np.uint8) if isinstance(seq, bytes) \
+        else seq
+    return int((~RECOGNISED[buf]).sum())
+
+
+def strict_chars_check(name: str, seq: bytes | np.ndarray) -> None:
+    """Dirty-input guard: with UVAIA_TPU_STRICT_CHARS=warn (or error),
+    report sequences carrying unrecognised characters instead of
+    silently scoring them as invalid sites (the C would text-match
+    them as opaque characters — utils.c:258-264)."""
+    import os
+    import sys
+    mode = os.environ.get("UVAIA_TPU_STRICT_CHARS", "")
+    if not mode:
+        return
+    n = count_unrecognised(seq)
+    if not n:
+        return
+    msg = (f"Sequence {name} carries {n} unrecognised character(s) "
+           f"(outside IUPAC + {{N,X,-,?,O,.}}): treated as invalid "
+           f"sites here, but the C reference text-matches them as "
+           f"opaque characters")
+    if mode == "error":
+        raise SystemExit(msg)
+    print(msg, file=sys.stderr, flush=True)
+
+
 def encode(seq: bytes | str | np.ndarray) -> np.ndarray:
     """Encode a sequence into uint8 codes (0..14)."""
     if isinstance(seq, str):

@@ -49,6 +49,7 @@ class AlignConfig:
     to_stdout: bool = False
     output: str | None = None
     print_interval: int = 5000
+    codec: str = "xz"             # output compression: xz/bz2/gz/raw
 
     @property
     def prefix(self) -> str:
@@ -96,6 +97,8 @@ def _qc(rec: FastaRecord, n: int, ambiguity: float, stats: AlignStats) -> bool:
             f"({m} vs {n})")
         stats.rejected_length += 1
         return False
+    from ..core.encoding import strict_chars_check
+    strict_chars_check(rec.name, rec.seq)
     acgt, _amb, other = composition(encode(rec.seq))
     if other > ambiguity:
         log(f"Sequence {rec.name} has proportion of N etc. (={other:f}) "
@@ -403,7 +406,8 @@ def run_align(ref_path: str, fasta_paths: list[str], cfg: AlignConfig):
 
     writer = None
     if not cfg.to_stdout:
-        writer = ParallelXzFastaWriter(cfg.prefix + ".aln.xz")
+        from ..io.fasta import make_fasta_writer
+        writer = make_fasta_writer(cfg.prefix + ".aln", cfg.codec)
         log(f"Sequences will be compressed and saved into file "
             f"{writer.path}.")
 

@@ -53,6 +53,7 @@ class BallConfig:
     pool: int = 4096
     output: str | None = None
     print_interval: int = 50000
+    codec: str = "xz"                # output compression: xz/bz2/gz/raw
 
     @property
     def prefix(self) -> str:
@@ -133,7 +134,8 @@ def run_ball(ref_paths: list[str], query_path: str, cfg: BallConfig):
     # the kept set can be a large DB fraction (radius searches on
     # surveillance data keep whole lineages); multi-stream xz on a
     # thread pool keeps the writer off the streaming critical path
-    writer = ParallelXzFastaWriter(cfg.prefix + ".aln.xz")
+    from ..io.fasta import make_fasta_writer
+    writer = make_fasta_writer(cfg.prefix + ".aln", cfg.codec)
     t1 = time.time()
     last_print = 0
     pending = None

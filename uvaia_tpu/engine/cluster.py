@@ -54,6 +54,7 @@ class ClusterConfig:
     print_interval: int = 5000
     save_interval: float = 30.0   # secs between partial table saves
                                   # (cluster.c:197-200 resilience)
+    codec: str = "xz"             # output compression: xz/bz2/gz/raw
 
     @property
     def prefix(self) -> str:
@@ -426,7 +427,10 @@ def _seq_stats(codes: np.ndarray, ref_codes: np.ndarray, window: np.ndarray,
 
 def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
     from ..utils.jaxcache import enable as _cache
+    from ..io.fasta import WRITE_CODEC_SUFFIX
     _cache()
+    csv_suffix = WRITE_CODEC_SUFFIX[cfg.codec]
+    csv_path = cfg.prefix + ".csv" + csv_suffix
     t0 = time.time()
     if cfg.reference:
         ref_seq, L = build_reference(cfg.reference, 1)
@@ -499,18 +503,19 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
         """Crash-resilient partial membership table, written atomically
         to the final csv path (save_neighbours_to_xz_file semantics,
         cluster.c:197-200: a killed run keeps a usable table)."""
-        # keep the real .csv.xz suffix INSIDE the temp name: open_write
-        # picks the codec by suffix, so '…csv.xz.part' would be written
-        # uncompressed and renamed to an unreadable .csv.xz
-        tmp = cfg.prefix + ".part.csv.xz"
+        # keep the real .csv.<codec> suffix INSIDE the temp name:
+        # open_write picks the codec by suffix, so '…csv.xz.part'
+        # would be written uncompressed and renamed to an unreadable
+        # .csv.xz
+        tmp = cfg.prefix + ".part.csv" + csv_suffix
         with open_write(tmp) as fh:
             for c in clusters:
                 fh.write((",".join([c.name] + c.neighbours) + "\n")
                          .encode())
         import os as _os
-        _os.replace(tmp, cfg.prefix + ".csv.xz")
+        _os.replace(tmp, csv_path)
         log(f"Saving partial clustering info from {n_seen} sequences "
-            f"to file {cfg.prefix}.csv.xz")
+            f"to file {csv_path}")
 
     from ..io import store as store_mod
     from .stream import RefStreamer
@@ -558,19 +563,19 @@ def run_cluster(fasta_paths: list[str], cfg: ClusterConfig):
     # dist-to-ref, then the tracked SNP positions, then resolution
     merged.sort(key=lambda c: (-len(c.neighbours), -c.dist_ref,
                                tuple(-p for p in c.snp_pos), -c.non_n))
-    with open_write(cfg.prefix + ".csv.xz") as fh:
+    with open_write(csv_path) as fh:
         for c in merged:
             fh.write((",".join([c.name] + c.neighbours) + "\n").encode())
     # medoid sets scale with the cluster count (10^4-10^5 full genomes
     # on surveillance data): multi-stream xz on a thread pool instead
     # of one serial preset-6 stream
-    from ..io.fasta import ParallelXzFastaWriter
+    from ..io.fasta import make_fasta_writer
 
-    with ParallelXzFastaWriter(cfg.prefix + ".aln.xz") as w:
+    with make_fasta_writer(cfg.prefix + ".aln", cfg.codec) as w:
         for c in merged:
             w.write(c.name, c.seq)
-    log(f"Saved {len(merged)} medoids to {cfg.prefix}.aln.xz and "
-        f"membership to {cfg.prefix}.csv.xz")
+    log(f"Saved {len(merged)} medoids to {cfg.prefix}.aln{csv_suffix} "
+        f"and membership to {csv_path}")
     return merged
 
 

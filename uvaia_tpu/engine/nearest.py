@@ -50,6 +50,11 @@ class NearestConfig:
     site_shards: int = 1             # additionally shard the site axis
     checkpoint: str | None = None    # snapshot path (resume if it exists)
     checkpoint_every: float = 60.0   # seconds between snapshots
+    codec: str = "xz"                # output compression: xz (default,
+                                     # as the reference prefers),
+                                     # bz2 / gz / raw (the rest of
+                                     # biomcmc_open_compress's ladder,
+                                     # nearest.c:234-236)
     prune: bool = True               # two-phase upper-bound prefilter
                                      # (exact; single-device AND
                                      # sharded paths)
@@ -248,7 +253,9 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         streamer.stats.same_name = ckpt.same_name
 
     import os as _os
-    dump_path = cfg.prefix + ".aln.xz"
+    from ..io.fasta import WRITE_CODEC_SUFFIX, make_fasta_writer
+    dump_base = cfg.prefix + ".aln"
+    dump_path = dump_base + WRITE_CODEC_SUFFIX[cfg.codec]
     if ckpt is not None:
         # drop any truncated xz stream a crash left after the snapshot
         if _os.path.exists(dump_path) and \
@@ -262,8 +269,8 @@ def _run_nearest(ref_paths: list[str], query_path: str,
     # thousands of full genomes (every prune survivor / candidate),
     # and a single background lzma stream measured 9.4s of a 12.4s
     # real-data run — the drain thread could not keep up
-    writer = ParallelXzFastaWriter(dump_path,
-                                   append=ckpt is not None)
+    writer = make_fasta_writer(dump_base, cfg.codec,
+                               append=ckpt is not None)
     t1 = time.time()
     last_print = 0
     last_ckpt = time.time()
@@ -286,7 +293,7 @@ def _run_nearest(ref_paths: list[str], query_path: str,
             state_scores=state_host[0], state_idx=state_host[1],
             names=names, config_key=ckpt_key,
             dump_bytes=_os.path.getsize(dump_path)))
-        writer = ParallelXzFastaWriter(dump_path, append=True)
+        writer = make_fasta_writer(dump_base, cfg.codec, append=True)
 
     def _drain(pending):
         flags, batch = pending
@@ -519,7 +526,8 @@ def _run_nearest(ref_paths: list[str], query_path: str,
     if cfg.exclude_self:
         log(f" {result.same_name} reference sequences already present in "
             "query alignment (based on name only).")
-    result.write_csv(cfg.prefix + ".csv.xz")
-    log(f"Saved distance table to {cfg.prefix}.csv.xz ; "
+    csv_path = cfg.prefix + ".csv" + WRITE_CODEC_SUFFIX[cfg.codec]
+    result.write_csv(csv_path)
+    log(f"Saved distance table to {csv_path} ; "
         f"{chrono.total():.2f}s total.")
     return result

@@ -22,7 +22,8 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..core.encoding import IS_PURE, encode, composition
+from ..core.encoding import (IS_PURE, encode, composition,
+                             strict_chars_check)
 from ..io.fasta import read_fasta_all
 
 
@@ -232,6 +233,8 @@ def qc_filter(names: list[str], seqs: list[bytes], ambiguity: float,
                 "limit is hardcoded at 5bps.")
             continue
         codes = encode(seq)
+        strict_chars_check(name, seq if isinstance(seq, bytes)
+                           else bytes(seq))
         acgt, _amb, other = composition(codes)
         if other > ambiguity:
             log(f"Sequence {name} has proportion of N etc. (={other:f}) "

@@ -107,6 +107,28 @@ class FastaWriter:
         self.close()
 
 
+#: writer codecs selectable by the engines' --codec flag.  The
+#: reference's biomcmc_open_compress picks the best available codec in
+#: order xz, bz2, gz, raw (nearest.c:234-236 comment); every codec is
+#: available here, so the flag exposes the same choice explicitly
+#: instead of by library absence.
+WRITE_CODEC_SUFFIX = {"xz": ".xz", "bz2": ".bz2", "gz": ".gz", "raw": ""}
+
+
+def make_fasta_writer(base: str, codec: str = "xz", append: bool = False):
+    """FASTA dump writer for ``<base>.<codec suffix>``: the parallel
+    chunked writer for xz (the high-volume default), the plain
+    suffix-dispatched writer (io/compress.open_write) otherwise."""
+    try:
+        suffix = WRITE_CODEC_SUFFIX[codec]
+    except KeyError:
+        raise ValueError(f"unknown output codec {codec!r} "
+                         f"(choose from {sorted(WRITE_CODEC_SUFFIX)})")
+    if codec == "xz":
+        return ParallelXzFastaWriter(base + suffix, append=append)
+    return FastaWriter(base + suffix, append=append)
+
+
 #: default filter chain for genome batches: aligned genomes in one
 #: stream are ~99.9% mutual matches, so a hash-chain match finder with
 #: maximal nice_len and a 4MB dict (covers a whole chunk) beats preset
