@@ -237,27 +237,53 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
 
     # STREAMED rate, sparse-delta uploads (the default path): encode
     # each distinct batch against the query majority + upload the
-    # (pos, val) diff lists + rebuild on device (ops/pallas_recon)
+    # (pos, val) diff lists + rebuild on device (ops/pallas_recon).
+    # Host diffing runs ENCODE-AHEAD on a worker pool (the engine's
+    # EncodedStream shape): batch i+1/i+2 encode while batch i's
+    # upload + dispatch are in flight, so the measured rate is the
+    # pipeline the real nearest scan runs, not a serial
+    # encode->upload->dispatch chain.
+    import concurrent.futures as cf
+    import collections as col
     ok_h = np.ones(B, dtype=bool)
-    enc0 = scan.delta_encode(host_codes[0], ok_h, np.asarray(qd.delta_base))
+    base_h = np.asarray(qd.delta_base)
+    enc0 = scan.delta_encode(host_codes[0], ok_h, base_h)
     state = scan.init_state(Q, K)
     if enc0 is not None:
         state, flags = scan.scan_step_delta(
             qd, state, jnp.asarray(enc0[0]), jnp.asarray(enc0[1]), ok,
             np.int32(0))                             # compile+warm
         _ = np.asarray(state[0])
-        state = scan.init_state(Q, K)
-        t0 = time.time()
-        for i in range(STEPS):
-            pos, val = scan.delta_encode(host_codes[i % NB], ok_h,
-                                         np.asarray(qd.delta_base))
-            state, flags = scan.scan_step_delta(
-                qd, state, jnp.asarray(pos), jnp.asarray(val), ok,
-                np.int32((i + 1) * B))
-        _ = np.asarray(state[0])
-        _ = np.asarray(flags)
+        delta_bytes = enc0[0].nbytes + enc0[1].nbytes
+        AHEAD = 2
+        with cf.ThreadPoolExecutor(AHEAD) as ex:
+            state = scan.init_state(Q, K)
+            futs = col.deque(
+                ex.submit(scan.delta_encode, host_codes[i % NB], ok_h,
+                          base_h) for i in range(min(AHEAD, STEPS)))
+            t0 = time.time()
+            for i in range(STEPS):
+                pos, val = futs.popleft().result()
+                if i + AHEAD < STEPS:
+                    futs.append(ex.submit(
+                        scan.delta_encode,
+                        host_codes[(i + AHEAD) % NB], ok_h, base_h))
+                state, flags = scan.scan_step_delta(
+                    qd, state, jnp.asarray(pos), jnp.asarray(val), ok,
+                    np.int32((i + 1) * B))
+            _ = np.asarray(state[0])
+            _ = np.asarray(flags)
         streamed_rate = STEPS * B / (time.time() - t0)
         emit(streamed_genomes_per_sec=round(streamed_rate, 1))
+        # transport-bound accounting: what the measured H2D bandwidth
+        # alone would allow at this delta payload, and what fraction
+        # of the time the chip is actually computing — together these
+        # say whether the streamed gap is transport or host-bound
+        emit(delta_bytes_per_genome=round(delta_bytes / B, 1),
+             transport_bound_genomes_per_sec=round(
+                 h2d * 1e6 / max(delta_bytes / B, 1e-9), 1),
+             chip_busy_fraction=round(
+                 streamed_rate / max(rates), 4))
     else:
         emit(streamed_genomes_per_sec=round(packed_rate, 1))
 
