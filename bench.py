@@ -101,20 +101,28 @@ def make_data(rng, n, L, n_frac=0.02, amb_frac=0.0005, mut=0.002,
     rare ambiguity codes per row — the composition of a real intra-
     species alignment (queries and database are the same population, as
     in BASELINE configs 1/3).  Pass `backbone` to draw more genomes
-    from the same population."""
+    from the same population.
+
+    Mutation sites are SPARSE binomial scatters (draw the count, then
+    uniform flat positions) instead of dense Bernoulli masks: a
+    4096x30k float32 mask costs ~490MB of host RNG x3 per batch on a
+    VM where memcpy IS the setup wall (~60s of the r04 339s
+    pre-first-key setup); the scatter is a few MB for the same
+    composition (replacement collisions at these densities are <1%)."""
     alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
     if backbone is None:
         backbone = alphabet[rng.integers(0, 4, size=L)]
     seqs = np.tile(backbone, (n, 1))
-    # float32 masks: half the RNG bytes of the default float64 on a
-    # host where memcpy is the bench-setup wall
-    mut_mask = rng.random((n, L), dtype=np.float32) < mut
-    seqs[mut_mask] = alphabet[rng.integers(0, 4, size=mut_mask.sum())]
-    n_mask = rng.random((n, L), dtype=np.float32) < n_frac
-    seqs[n_mask] = ord("N")
+    flat = seqs.reshape(-1)
+
+    def scatter(frac, values):
+        k = rng.binomial(n * L, frac)
+        flat[rng.integers(0, n * L, k)] = values(k)
+
+    scatter(mut, lambda k: alphabet[rng.integers(0, 4, k)])
+    scatter(n_frac, lambda k: ord("N"))
     amb = np.frombuffer(b"RYMKSW", dtype=np.uint8)
-    a_mask = rng.random((n, L), dtype=np.float32) < amb_frac
-    seqs[a_mask] = amb[rng.integers(0, len(amb), size=a_mask.sum())]
+    scatter(amb_frac, lambda k: amb[rng.integers(0, len(amb), k)])
     return seqs
 
 
