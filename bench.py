@@ -345,14 +345,18 @@ def section_align(L):
             NQ5 = int(os.environ.get("BENCH_ALIGN_5K_N", 5000))
             with open(f"{d}/q5k.fa", "w") as f:
                 _write_align_queries(f, ref, NQ5, rng)
-            t0 = time.time()
-            stats = run_align(f"{d}/ref.fa", [f"{d}/q5k.fa"],
-                              AlignConfig(output=f"{d}/out5k"))
-            dt5 = time.time() - t0
-            assert stats.n_output == NQ5
-            emit(align_5k_seqs_per_sec=round(NQ5 / dt5, 1),
-                 align_5k_wall_s=round(dt5, 2),
-                 align_5k_uncertified=stats.uncertified)
+            dt5 = None      # best of 2: the 5k wall measured 9-29s
+            for _ in range(2):  # across same-code tunnel windows (r4
+                                # review weak #6) — one sample is
+                                # mostly tunnel weather
+                t0 = time.time()
+                stats = run_align(f"{d}/ref.fa", [f"{d}/q5k.fa"],
+                                  AlignConfig(output=f"{d}/out5k"))
+                dt5 = min(dt5 or 1e9, time.time() - t0)
+                assert stats.n_output == NQ5
+                emit(align_5k_seqs_per_sec=round(NQ5 / dt5, 1),
+                     align_5k_wall_s=round(dt5, 2),
+                     align_5k_uncertified=stats.uncertified)
             # certification gate (emitted first so a regression still
             # lands its count in the round evidence): every row of the
             # realistic 5k workload must carry an optimality
