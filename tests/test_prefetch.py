@@ -108,3 +108,46 @@ def test_aborted_flag_visible_to_producer():
     it.close()
     time.sleep(0.3)
     assert len(seen) < 1000
+
+
+@pytest.mark.parametrize("workers", [1, 3])
+def test_encoded_stream_pool_order_and_equivalence(tmp_path, workers):
+    """EncodedStream's worker pool (UVAIA_TPU_ENCODE_THREADS) yields
+    batches in input order with payloads identical to the serial
+    path, across delta and packed-fallback batches."""
+    import numpy as np
+
+    from uvaia_tpu.core.encoding import ENCODE_LUT
+    from uvaia_tpu.engine.stream import EncodedStream, RefStreamer
+
+    rng = np.random.default_rng(11)
+    L, N, POOL = 400, 37, 8
+    base = ENCODE_LUT[np.frombuffer(
+        bytes(bytearray(b"ACGT"[i] for i in rng.integers(0, 4, L))),
+        np.uint8)]
+    path = tmp_path / "db.fa"
+    with open(path, "w") as f:
+        for i in range(N):
+            row = bytearray(b"ACGT"[j] for j in rng.integers(0, 4, L)) \
+                if i % 5 == 0 else bytearray(
+                    np.frombuffer(b"ACGT", np.uint8)[
+                        (base - 1) % 4].tobytes())
+            for _ in range(rng.integers(0, 4)):
+                row[rng.integers(0, L)] = ord("N")
+            f.write(f">s{i}\n{row.decode()}\n")
+
+    def collect(w):
+        streamer = RefStreamer([str(path)], L, POOL)
+        out = []
+        for batch, payload in EncodedStream(streamer, base, workers=w):
+            out.append((batch.names[:batch.n], payload[0],
+                        [np.asarray(p).tobytes() for p in payload[1:]]))
+        return out
+
+    got = collect(workers)
+    want = collect(1)
+    assert [g[0] for g in got] == [w[0] for w in want]
+    assert [g[1] for g in got] == [w[1] for w in want]
+    # identical payload bytes batch-for-batch
+    for g, w in zip(got, want):
+        assert g[2] == w[2]

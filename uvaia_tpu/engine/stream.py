@@ -261,33 +261,73 @@ class RefStreamer:
 
 
 class EncodedStream:
-    """Second pipeline stage: host-encode batches on their own thread.
+    """Second pipeline stage: host-encode batches on a worker pool.
 
-    Yields (batch, payload) where payload is ("delta", pos, val) when
-    the sparse-diff fits the buckets, else ("packed", packed).  The
-    C++ XOR delta scan / 4-bit pack of batch i+1 runs while batch i's
-    upload + device step are in flight on the consumer thread — the
-    double-buffering the single-threaded series (encode -> upload ->
-    dispatch) was leaving on the table.  delta_encode's scratch is
-    thread-local, so the stage is race-free by construction.
+    Yields (batch, payload) IN ORDER, where payload is
+    ("delta", pos, val) when the sparse-diff fits the buckets, else
+    ("packed", packed).  The C++ XOR delta scan / 4-bit pack of
+    batches i+1..i+workers runs while batch i's upload + device step
+    are in flight on the consumer thread — the double-buffering the
+    single-threaded series (encode -> upload -> dispatch) was leaving
+    on the table.  delta_encode's scratch is thread-local and its
+    outputs are fresh arrays, so concurrent workers are race-free by
+    construction.
+
+    ``workers`` (UVAIA_TPU_ENCODE_THREADS) sizes the pool: on this
+    one-core dev VM >1 worker only adds oversubscription, so the
+    default scales with the host — min(2, cpu_count-1), floor 1 —
+    while a multicore production host can raise it until the encode
+    stage matches its transport (the encode is the streamed path's
+    host bound: ~120MB of XOR scan per 4096x30k batch).
     """
 
     def __init__(self, streamer: RefStreamer, delta_base: np.ndarray,
-                 prefetch: int = 2):
+                 prefetch: int = 2, workers: int | None = None):
+        import os
         from ..ops import scan
         self._scan = scan
         self.streamer = streamer
         self.delta_base = delta_base
-        self._pf = Prefetcher(self._batches, maxsize=prefetch)
+        if workers is None:
+            workers = int(os.environ.get(
+                "UVAIA_TPU_ENCODE_THREADS",
+                max(1, min(2, (os.cpu_count() or 1) - 1))))
+        self._workers = max(1, workers)
+        self._pf = Prefetcher(self._batches,
+                              maxsize=max(prefetch, self._workers))
+
+    def _encode(self, batch):
+        enc = self._scan.delta_encode(batch.codes, batch.ok,
+                                      self.delta_base)
+        if enc is not None:
+            return batch, ("delta", enc[0], enc[1])
+        return batch, ("packed", self._scan.pack_codes(batch.codes))
 
     def _batches(self):
-        for batch in self.streamer:
-            enc = self._scan.delta_encode(batch.codes, batch.ok,
-                                          self.delta_base)
-            if enc is not None:
-                yield batch, ("delta", enc[0], enc[1])
-            else:
-                yield batch, ("packed", self._scan.pack_codes(batch.codes))
+        """Generator run on the Prefetcher's thread: keeps up to
+        `workers` encodes in flight, yielding results in input order."""
+        if self._workers == 1:
+            for batch in self.streamer:
+                yield self._encode(batch)
+            return
+        import collections
+        import concurrent.futures as cf
+        with cf.ThreadPoolExecutor(self._workers) as ex:
+            it = iter(self.streamer)
+            futs: collections.deque = collections.deque()
+            try:
+                for _ in range(self._workers):
+                    futs.append(ex.submit(self._encode, next(it)))
+            except StopIteration:
+                it = None
+            while futs:
+                out = futs.popleft().result()
+                if it is not None:
+                    try:
+                        futs.append(ex.submit(self._encode, next(it)))
+                    except StopIteration:
+                        it = None
+                yield out
 
     def __iter__(self):
         return iter(self._pf)
