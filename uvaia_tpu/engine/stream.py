@@ -14,6 +14,7 @@ per-record Python reader (bz2, or native lib unavailable).
 from __future__ import annotations
 
 import ctypes
+import os
 from dataclasses import dataclass, field
 
 import numpy as np
@@ -222,6 +223,13 @@ class RefStreamer:
                 codes = ENCODE_LUT[raw]
             if valid is None:
                 valid = (codes != 0).sum(axis=1)
+            if os.environ.get("UVAIA_TPU_STRICT_CHARS"):
+                # dirty-input guard on the reference side too (see
+                # core/encoding.strict_chars_check; off by default so
+                # the hot path pays nothing)
+                from ..core.encoding import strict_chars_check
+                for i in range(len(names)):
+                    strict_chars_check(names[i], raw[i])
             keep = valid >= self.min_valid
             excl = None
             if self.exclude_names:
