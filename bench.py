@@ -251,8 +251,7 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
     # upload + dispatch are in flight, so the measured rate is the
     # pipeline the real nearest scan runs, not a serial
     # encode->upload->dispatch chain.
-    import concurrent.futures as cf
-    import collections as col
+    from uvaia_tpu.utils.prefetch import ordered_pool_map
     ok_h = np.ones(B, dtype=bool)
     base_h = np.asarray(qd.delta_base)
     enc0 = scan.delta_encode(host_codes[0], ok_h, base_h)
@@ -264,23 +263,18 @@ def section_scan(L, Q, B, K, STEPS, kernel_only=False, key_prefix="",
         _ = np.asarray(state[0])
         delta_bytes = enc0[0].nbytes + enc0[1].nbytes
         AHEAD = 2
-        with cf.ThreadPoolExecutor(AHEAD) as ex:
-            state = scan.init_state(Q, K)
-            futs = col.deque(
-                ex.submit(scan.delta_encode, host_codes[i % NB], ok_h,
-                          base_h) for i in range(min(AHEAD, STEPS)))
-            t0 = time.time()
-            for i in range(STEPS):
-                pos, val = futs.popleft().result()
-                if i + AHEAD < STEPS:
-                    futs.append(ex.submit(
-                        scan.delta_encode,
-                        host_codes[(i + AHEAD) % NB], ok_h, base_h))
-                state, flags = scan.scan_step_delta(
-                    qd, state, jnp.asarray(pos), jnp.asarray(val), ok,
-                    np.int32((i + 1) * B))
-            _ = np.asarray(state[0])
-            _ = np.asarray(flags)
+        state = scan.init_state(Q, K)
+        enc_iter = ordered_pool_map(
+            lambda i: scan.delta_encode(host_codes[i % NB], ok_h,
+                                        base_h),
+            range(STEPS), AHEAD)
+        t0 = time.time()
+        for i, (pos, val) in enumerate(enc_iter):
+            state, flags = scan.scan_step_delta(
+                qd, state, jnp.asarray(pos), jnp.asarray(val), ok,
+                np.int32((i + 1) * B))
+        _ = np.asarray(state[0])
+        _ = np.asarray(flags)
         streamed_rate = STEPS * B / (time.time() - t0)
         emit(streamed_genomes_per_sec=round(streamed_rate, 1))
         # transport-bound accounting: what the measured H2D bandwidth
@@ -726,18 +720,22 @@ def _stream_section(sec: str, env: dict, timeout: float, on_fragment):
     Returns (rc, n_keys, stderr_tail, timed_out); rc is None when the
     deadline killed the process.  The child dies with the orchestrator
     (PDEATHSIG), so a driver SIGKILL cannot leak a TPU-holding orphan
-    into the next driver step."""
-    def _pdeathsig():
-        try:
-            import ctypes
-            ctypes.CDLL("libc.so.6").prctl(1, signal.SIGKILL)  # PR_SET_PDEATHSIG
-        except Exception:
-            pass
-
+    into the next driver step.  The prctl is set by an exec shim in
+    the CHILD interpreter rather than preexec_fn — CPython documents
+    preexec_fn as unsafe in threaded parents (the stderr pump threads
+    here), and PR_SET_PDEATHSIG survives execve."""
+    shim = ("import ctypes, os, sys\n"
+            "try:\n"
+            "    ctypes.CDLL('libc.so.6', use_errno=True).prctl(1, "
+            f"{int(signal.SIGKILL)})\n"
+            "except Exception:\n"
+            "    pass\n"
+            "os.execv(sys.executable, [sys.executable] + sys.argv[1:])\n")
     p = subprocess.Popen(
-        [sys.executable, os.path.abspath(__file__), "--section", sec],
+        [sys.executable, "-c", shim, os.path.abspath(__file__),
+         "--section", sec],
         stdout=subprocess.DEVNULL, stderr=subprocess.PIPE, text=True,
-        env=env, preexec_fn=_pdeathsig)
+        env=env)
     tail: collections.deque = collections.deque(maxlen=40)
     q: queue_mod.Queue = queue_mod.Queue()
 
@@ -783,6 +781,13 @@ def _stream_section(sec: str, env: dict, timeout: float, on_fragment):
         if frag:
             n_keys += len(frag)
             on_fragment(frag)
+        if time.time() >= deadline:
+            # a section chatty enough to never leave q.get empty must
+            # still die at its leash — the deadline is checked on BOTH
+            # branches (review r5 finding)
+            timed_out = True
+            p.kill()
+            break
     try:
         rc = p.wait(timeout=15)
     except subprocess.TimeoutExpired:

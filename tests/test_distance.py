@@ -134,3 +134,6 @@ def test_legacy_scores_partial_rule_variants(rule):
             np.testing.assert_allclose(got[b, q, 2], w, atol=1e-3)
     with pytest.raises(ValueError):
         dist_ops.build_legacy_query_data(qs, trim=0, partial_rule="bogus")
+    with pytest.raises(ValueError):
+        oracle.partial_weight(1, 8, rule="jacard")   # typo must not
+        # silently fall through to the product rule (review r5)

@@ -204,3 +204,73 @@ def test_strict_chars_modes(tmp_path, monkeypatch, capsys):
     monkeypatch.setenv("UVAIA_TPU_STRICT_CHARS", "error")
     with pytest.raises(SystemExit):
         qc_filter(["d"], [dirty], 0.5, check_aligned=False)
+
+
+def test_codec_dump_from_frames_store(tmp_path, monkeypatch):
+    """Review r5 #1: a frames-enabled store scanned with a non-xz
+    --codec must re-encode the pre-compressed dump frames instead of
+    crashing on the xz-only splice path."""
+    import gzip
+
+    from uvaia_tpu.io.fasta import read_fasta_all
+    from uvaia_tpu.io.store import ingest
+
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(8)
+    L, nq, nr = 300, 2, 30
+    write_fasta("q.fa", [f"q{i}" for i in range(nq)],
+                random_seqs(rng, nq, L))
+    write_fasta("db.fa", [f"r{i}" for i in range(nr)],
+                random_seqs(rng, nr, L))
+    ingest(["db.fa"], "db.uvst", frames=True)
+    run_nearest(["db.uvst"], "q.fa",
+                NearestConfig(nbest=3, output="g", codec="gz"))
+    run_nearest(["db.uvst"], "q.fa",
+                NearestConfig(nbest=3, output="x"))
+    got = {(r.name, r.seq) for r in read_fasta_all("g.aln.gz")}
+    want = {(r.name, r.seq) for r in read_fasta_all("x.aln.xz")}
+    assert got == want and got
+    with gzip.open("g.csv.gz", "rb") as f, \
+            lzma.open("x.csv.xz", "rb") as g:
+        assert f.read() == g.read()
+
+
+def test_checkpoint_codec_mismatch_refused(tmp_path, monkeypatch):
+    """Review r5 #2: resuming a checkpoint under a different --codec
+    must fail the config check (the dump file it would truncate is
+    codec-named)."""
+    monkeypatch.chdir(tmp_path)
+    rng = np.random.default_rng(9)
+    L, nq, nr = 300, 2, 40
+    write_fasta("q.fa", [f"q{i}" for i in range(nq)],
+                random_seqs(rng, nq, L))
+    write_fasta("db.fa", [f"r{i}" for i in range(nr)],
+                random_seqs(rng, nr, L))
+    run_nearest(["db.fa"], "q.fa",
+                NearestConfig(nbest=3, output="o", codec="gz",
+                              checkpoint="ck", checkpoint_every=0.0))
+    assert os.path.exists("ck")
+    with pytest.raises(SystemExit, match="different run configuration"):
+        run_nearest(["db.fa"], "q.fa",
+                    NearestConfig(nbest=3, output="o",
+                                  checkpoint="ck"))
+
+
+def test_strict_chars_fails_closed(monkeypatch, capsys):
+    """Review r5 #4: any truthy UVAIA_TPU_STRICT_CHARS value other
+    than warn/off errors out — a strictness knob never silently
+    downgrades on spelling."""
+    from uvaia_tpu.core.encoding import strict_chars_check
+
+    for v in ("ERROR", "1", "strict", "error"):
+        monkeypatch.setenv("UVAIA_TPU_STRICT_CHARS", v)
+        with pytest.raises(SystemExit):
+            strict_chars_check("d", b"ACGTZ")
+    for v in ("WARN", "warn"):
+        monkeypatch.setenv("UVAIA_TPU_STRICT_CHARS", v)
+        strict_chars_check("d", b"ACGTZ")
+        assert "unrecognised" in capsys.readouterr().err
+    for v in ("", "0", "off", "false"):
+        monkeypatch.setenv("UVAIA_TPU_STRICT_CHARS", v)
+        strict_chars_check("d", b"ACGTZ")
+        assert capsys.readouterr().err == ""

@@ -95,8 +95,8 @@ def strict_chars_check(name: str, seq: bytes | np.ndarray) -> None:
     them as opaque characters — utils.c:258-264)."""
     import os
     import sys
-    mode = os.environ.get("UVAIA_TPU_STRICT_CHARS", "")
-    if not mode:
+    mode = os.environ.get("UVAIA_TPU_STRICT_CHARS", "").strip().lower()
+    if not mode or mode in ("0", "off", "false"):
         return
     n = count_unrecognised(seq)
     if not n:
@@ -105,9 +105,13 @@ def strict_chars_check(name: str, seq: bytes | np.ndarray) -> None:
            f"(outside IUPAC + {{N,X,-,?,O,.}}): treated as invalid "
            f"sites here, but the C reference text-matches them as "
            f"opaque characters")
-    if mode == "error":
-        raise SystemExit(msg)
-    print(msg, file=sys.stderr, flush=True)
+    if mode == "warn":
+        print(msg, file=sys.stderr, flush=True)
+        return
+    # any other truthy value ("error", "ERROR", "1", "strict", ...)
+    # fails CLOSED: a user who set a strictness knob must never get a
+    # silent downgrade to warn because of spelling (review r5 finding)
+    raise SystemExit(msg)
 
 
 def encode(seq: bytes | str | np.ndarray) -> np.ndarray:

@@ -79,6 +79,8 @@ def partial_weight(c1: int, c2: int, rule: str = "product") -> float:
     Measured impact of the choice on the bundled config-1 data: 63 of
     1000 queries' stage-3 extras move, never ranks or stages 1-2
     (tests/test_realdata.py::test_gate_legacy_partial_weight_bound)."""
+    if rule not in ("product", "jaccard", "max"):
+        raise ValueError(f"unknown partial rule {rule!r}")
     if c1 == 0 or c2 == 0:
         return 0.0
     inter = POPCOUNT4[c1 & c2]

@@ -217,7 +217,11 @@ def _run_nearest(ref_paths: list[str], query_path: str,
         trim=cfg.trim, acgt=cfg.acgt, keep_resolved=cfg.keep_resolved,
         exclude_self=cfg.exclude_self, qa=cfg.query_ambiguity,
         ra=cfg.ref_ambiguity, n_query=pack.n_query,
-        skip=cfg.skip_records, limit=cfg.limit_records)
+        skip=cfg.skip_records, limit=cfg.limit_records,
+        # the dump file the checkpoint truncates/appends is codec-named
+        # (prefix.aln.<codec>); resuming under a different --codec must
+        # fail the config check, not corrupt a stale other-codec dump
+        codec=cfg.codec)
     ckpt = ckpt_mod.load(cfg.checkpoint) if cfg.checkpoint else None
     if ckpt is not None and ckpt.config_key != ckpt_key:
         raise SystemExit(f"checkpoint {cfg.checkpoint} was written by a "

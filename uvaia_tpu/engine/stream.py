@@ -62,7 +62,9 @@ def dump_entry(batch, i: int):
 
 
 def write_dump(writer, entry) -> None:
-    """Write a dump_entry through a ParallelXzFastaWriter."""
+    """Write a dump_entry through a FASTA dump writer (both writer
+    classes implement write_compressed: the xz writer splices the
+    pre-compressed frame verbatim, a --codec writer re-encodes it)."""
     name, seq, frame = entry
     if frame is not None:
         writer.write_compressed(frame)
@@ -313,29 +315,11 @@ class EncodedStream:
 
     def _batches(self):
         """Generator run on the Prefetcher's thread: keeps up to
-        `workers` encodes in flight, yielding results in input order."""
-        if self._workers == 1:
-            for batch in self.streamer:
-                yield self._encode(batch)
-            return
-        import collections
-        import concurrent.futures as cf
-        with cf.ThreadPoolExecutor(self._workers) as ex:
-            it = iter(self.streamer)
-            futs: collections.deque = collections.deque()
-            try:
-                for _ in range(self._workers):
-                    futs.append(ex.submit(self._encode, next(it)))
-            except StopIteration:
-                it = None
-            while futs:
-                out = futs.popleft().result()
-                if it is not None:
-                    try:
-                        futs.append(ex.submit(self._encode, next(it)))
-                    except StopIteration:
-                        it = None
-                yield out
+        `workers` encodes in flight, yielding results in input order
+        (utils.prefetch.ordered_pool_map — shared with bench.py)."""
+        from ..utils.prefetch import ordered_pool_map
+        yield from ordered_pool_map(self._encode, self.streamer,
+                                    self._workers)
 
     def __iter__(self):
         return iter(self._pf)

@@ -97,6 +97,15 @@ class FastaWriter:
         self._fh.write(b">" + name.encode("utf-8") + b"\n" + seq + b"\n")
         self.n_written += 1
 
+    def write_compressed(self, frame: bytes) -> None:
+        """Append a store dump frame (a complete xz stream holding one
+        ``>name\\nseq\\n`` record, io/store.py frame_row).  A non-xz
+        --codec writer cannot splice the frame verbatim, so it decodes
+        and re-encodes through its own stream — only the xz writer
+        (ParallelXzFastaWriter) gets the zero-work pass-through."""
+        self._fh.write(lzma.decompress(frame))
+        self.n_written += 1
+
     def close(self) -> None:
         self._fh.close()
 

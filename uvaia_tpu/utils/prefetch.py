@@ -86,3 +86,36 @@ class Prefetcher:
             # consumer stopped (normal end, exception, or close): the
             # producer must never stay blocked on the bounded queue
             self._abort.set()
+
+
+def ordered_pool_map(fn, iterable, workers: int):
+    """Map ``fn`` over ``iterable`` on a ``workers``-thread pool,
+    yielding results IN INPUT ORDER while keeping up to ``workers``
+    calls in flight (serial when workers <= 1).
+
+    The shared submit-ahead/pop-in-order pipeline used by the engine's
+    encode stage (engine/stream.EncodedStream) and by bench.py's
+    streamed-delta measurement — one implementation so what the bench
+    times IS the pipeline the engines run."""
+    if workers <= 1:
+        for item in iterable:
+            yield fn(item)
+        return
+    import collections
+    import concurrent.futures as cf
+    with cf.ThreadPoolExecutor(workers) as ex:
+        it = iter(iterable)
+        futs: collections.deque = collections.deque()
+        try:
+            for _ in range(workers):
+                futs.append(ex.submit(fn, next(it)))
+        except StopIteration:
+            it = None
+        while futs:
+            out = futs.popleft().result()
+            if it is not None:
+                try:
+                    futs.append(ex.submit(fn, next(it)))
+                except StopIteration:
+                    it = None
+            yield out
