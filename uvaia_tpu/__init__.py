@@ -7,4 +7,4 @@ radius search, and canopy clustering — re-designed for TPU hardware
 (dense MXU match counting, lax.sort top-k, sharded multi-chip scans).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.5.0"
