@@ -746,48 +746,53 @@ def _stream_section(sec: str, env: dict, timeout: float, on_fragment):
 
     threading.Thread(target=pump, daemon=True).start()
     deadline = time.time() + timeout
-    n_keys = 0
+    keys = [0]
     timed_out = False
     eof = False
+
+    def absorb_line(ln) -> None:
+        tail.append(ln.rstrip())
+        frag = collect(ln)
+        if frag:
+            keys[0] += len(frag)
+            on_fragment(frag)
+
+    def kill_and_drain() -> None:
+        """Kill at the leash, then drain what the pipe already holds —
+        fragments written before the kill are valid measurements
+        (both deadline branches use this; review r5 finding)."""
+        p.kill()
+        t_drain = time.time() + 10
+        while time.time() < t_drain:
+            try:
+                ln = q.get(timeout=0.5)
+            except queue_mod.Empty:
+                break
+            if ln is None:
+                break
+            absorb_line(ln)
+
     while not eof:
         try:
             ln = q.get(timeout=max(0.1, min(5.0, deadline - time.time())))
         except queue_mod.Empty:
             if time.time() >= deadline:
                 timed_out = True
-                p.kill()
-                # drain what the pipe already holds (fragments written
-                # before the kill are valid measurements)
-                t_drain = time.time() + 10
-                while time.time() < t_drain:
-                    try:
-                        ln = q.get(timeout=0.5)
-                    except queue_mod.Empty:
-                        break
-                    if ln is None:
-                        break
-                    tail.append(ln.rstrip())
-                    frag = collect(ln)
-                    if frag:
-                        n_keys += len(frag)
-                        on_fragment(frag)
+                kill_and_drain()
                 break
             continue
         if ln is None:
             eof = True
             break
-        tail.append(ln.rstrip())
-        frag = collect(ln)
-        if frag:
-            n_keys += len(frag)
-            on_fragment(frag)
+        absorb_line(ln)
         if time.time() >= deadline:
             # a section chatty enough to never leave q.get empty must
             # still die at its leash — the deadline is checked on BOTH
-            # branches (review r5 finding)
+            # branches
             timed_out = True
-            p.kill()
+            kill_and_drain()
             break
+    n_keys = keys[0]
     try:
         rc = p.wait(timeout=15)
     except subprocess.TimeoutExpired:

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.encoding import encode, composition
-from ..io.fasta import FastaRecord, ParallelXzFastaWriter, read_fasta
+from ..io.fasta import FastaRecord, read_fasta
 from ..ops import gotoh
 from ..utils.prefetch import Prefetcher
 from .query import log

@@ -35,7 +35,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.fasta import ParallelXzFastaWriter
+
 from ..ops import distance as dist_ops
 from ..ops.scan import _pad_to
 from .query import build_query_pack, log

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 import jax.numpy as jnp
 import numpy as np
 
-from ..io.fasta import ParallelXzFastaWriter
+
 from ..io.compress import open_write
 from ..ops import scan
 from .query import QueryPack, build_query_pack, log

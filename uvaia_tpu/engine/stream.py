@@ -226,12 +226,14 @@ class RefStreamer:
             if valid is None:
                 valid = (codes != 0).sum(axis=1)
             if os.environ.get("UVAIA_TPU_STRICT_CHARS"):
-                # dirty-input guard on the reference side too (see
-                # core/encoding.strict_chars_check; off by default so
-                # the hot path pays nothing)
-                from ..core.encoding import strict_chars_check
-                for i in range(len(names)):
-                    strict_chars_check(names[i], raw[i])
+                # dirty-input guard on the reference side too: one
+                # vectorised LUT reduction per chunk (off by default so
+                # the hot path pays nothing; per-row work only for the
+                # offending rows — review r5 finding)
+                from ..core.encoding import RECOGNISED, strict_chars_check
+                bad = (~RECOGNISED[raw]).any(axis=1)
+                for i in np.nonzero(bad)[0]:
+                    strict_chars_check(names[int(i)], raw[int(i)])
             keep = valid >= self.min_valid
             excl = None
             if self.exclude_names:

@@ -974,6 +974,19 @@ class StoreStreamer:
         # rows [skip, limit) — the multihost row splitter's contract
         self.limit_records = limit_records
         self.stats = StreamStats()
+        import os as _os
+        import sys as _sys
+        if _os.environ.get("UVAIA_TPU_STRICT_CHARS"):
+            # store rows were canonicalised to 4-bit codes at ingest —
+            # the original bytes are gone, so the dirty-character guard
+            # cannot re-check them here.  Say so ONCE instead of
+            # silently skipping the knob the user set (the guard DID
+            # run at ingest time if the env was set then, via
+            # RefStreamer).
+            print("UVAIA_TPU_STRICT_CHARS: ingested stores hold "
+                  "canonicalised codes; unrecognised characters can "
+                  "only be detected at ingest time, not when scanning "
+                  f"{paths[0]}", file=_sys.stderr, flush=True)
         self.base = next(
             (st.base for st in self.stores if st.base is not None), None)
         self._pf = Prefetcher(self._batches, maxsize=prefetch)

@@ -148,7 +148,8 @@ def run_nearest_multihost(ref_paths: list[str], query_path: str,
                                     res.indices.astype(np.int32)[None],
                                     names[None])
     if process_id == 0:
-        out = cfg.prefix + ".csv.xz"
+        from ..io.fasta import WRITE_CODEC_SUFFIX
+        out = cfg.prefix + ".csv" + WRITE_CODEC_SUFFIX[cfg.codec]
         n = merge_and_write(res.pack, g_scores, g_idx, g_names, out)
         log(f"[host 0] merged {g_scores.shape[0]} hosts -> {out} "
             f"({n} rows)")
