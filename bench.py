@@ -651,6 +651,15 @@ def run_section(name, L, Q, B, K, STEPS):
         emit(sleepy_key=1.5)
         time.sleep(float(os.environ.get("BENCH_SLEEPY_S", 120)))
         return
+    if name == "chatty":
+        # contract-test section: emit keys forever — exercises the
+        # leash kill on the line branch of _stream_section (a section
+        # chatty enough that q.get never times out)
+        i = 0
+        while True:
+            emit(chatty_key=i)
+            i += 1
+            time.sleep(0.2)
     # the session sitecustomize force-updates jax_platforms to
     # "axon,cpu", overriding the env var; honour an explicit
     # JAX_PLATFORMS (CPU test runs) by re-applying it here

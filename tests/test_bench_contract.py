@@ -250,3 +250,24 @@ def test_sigkill_mid_section_keeps_stdout_snapshot():
     for key in ("metric", "value", "unit", "vs_baseline"):
         assert key in rec, rec
     assert rec["sleepy_key"] == 1.5
+
+
+def test_stream_section_kills_chatty_section_at_leash():
+    """Review r5: a section that emits stderr lines faster than the
+    q.get timeout must still die at its leash, and the fragments it
+    emitted before the kill must all be kept (same drain as the
+    queue-empty branch)."""
+    import time as time_mod
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    frags = []
+    t0 = time_mod.time()
+    rc, n_keys, tail, timed_out = bench._stream_section(
+        "chatty", dict(os.environ), 4, frags.append)
+    wall = time_mod.time() - t0
+    assert timed_out and rc is None
+    assert n_keys >= 3, (n_keys, tail)
+    assert any("chatty_key" in f for f in frags)
+    assert wall < 30, wall          # killed at the leash, not later
